@@ -1,0 +1,443 @@
+"""The distributed crawl: URL frontier + fetch scheduler as a Ray Data generation loop.
+
+This replaces the reference's whole execution engine — nested
+``for year / situation / type / page`` loops + per-stage ThreadPoolExecutors +
+a background saver thread (src/scraper/base/scraper.py:458-493,
+src/scraper/federal_legislation/scrape.py:247-371, src/database/saver.py:63-141)
+— with a BFS generation loop where every stage is a Dataset transform:
+
+    frontier ──map_batches(canonicalize)──▶ url_hash
+            ──map_batches(SeenFilter → cuckoo shard actors)──▶ novel URLs
+            ──groupby(host).map_groups(politeness schedule)──▶ scheduled_ts
+            ──sort(priority) [ordered modes]
+            ──map_batches(FetchActor pool)──▶ payloads + out_links   [generation barrier]
+            ├─ errors  ──▶ write_parquet(errors/)          (S9 error sink)
+            ├─ docs    ──▶ map_batches(DecodeActor pool) ──▶ write_parquet(docs/, partitioned)
+            └─ listings──▶ explode(out_links) ──▶ next generation's frontier
+
+Two ordering modes (SURVEY.md §7 "Hard parts — crawl-order parity"):
+
+- ``order="strict"`` — process (year, situation, type) units sequentially in
+  priority order, BFS within each unit.  This IS the reference's crawl order
+  (years asc, situations/types in declared order, page waves inside) and is
+  what the parity tests compare against the single-threaded simulator.
+- ``order="bfs"`` (default) — one global BFS; all units crawl concurrently.
+  Same final URL-seen set and document set (dedup is order-insensitive over a
+  deterministic link graph), ~unit-count× more parallelism.  This is the
+  at-scale path and the one benchmarked.
+
+Checkpoint/resume (north_rule): each generation is a barrier; before consuming
+generation ``g`` the engine snapshots the seen-set shards and persists the
+frontier, so a resumed run replays ``check_and_add`` idempotently and skips
+completed generations exactly (vs the reference's lossy resume-at-last-year-1,
+src/database/saver.py:48-61).  Lineage records (url_hash, generation, host,
+scheduled_ts, status, attempts) are written per generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..stages.canonicalize import canonicalize_batch
+from ..stages.decode import DecodeActor
+from ..stages.fetch import FetchActor
+from ..state.seen import SeenFilter, ShardedSeenSet
+
+DOC_COLUMNS = [
+    "url",
+    "url_hash",
+    "host",
+    "image_id",
+    "w",
+    "h",
+    "fmt",
+    "caption",
+    "phash",
+    "phash_decoded",
+    "decode_ok",
+    "ocr_used",
+    "psnr_db",
+    "generation",
+    "scheduled_ts",
+    "priority",
+    "year",
+    "situation",
+    "type",
+]
+LINEAGE_COLUMNS = [
+    "url_hash",
+    "host",
+    "kind",
+    "status",
+    "attempts",
+    "scheduled_ts",
+    "priority",
+    "generation",
+]
+
+
+@dataclass
+class CrawlConfig:
+    n_seen_shards: int = 4
+    seen_mode: str = "cuckoo"  # cuckoo (at-scale) | exact (parity tests)
+    seen_capacity_per_shard: int = 1 << 20
+    fetch_concurrency: int = 4
+    decode_concurrency: int = 4
+    batch_size: int = 4096
+    order: str = "bfs"  # bfs | strict
+    max_generations: int = 64
+    checkpoint: bool = True
+    write_lineage: bool = True
+    ocr_threshold: int = 0
+    keep_payloads: bool = False  # write decoded payload bytes into the doc sink
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    generations: int = 0
+    fetched_ok: int = 0
+    errors: int = 0
+    dedup_dropped: int = 0
+    docs_written: int = 0
+    seen_total: int = 0
+    dedup_ops: int = 0
+    wall_s: float = 0.0
+    per_generation: list[dict] = field(default_factory=list)
+
+
+def _load_tables(corpus_dir: str):
+    graph = pq.read_table(os.path.join(corpus_dir, "web_graph.parquet"))
+    corpus = pq.read_table(os.path.join(corpus_dir, "corpus.parquet"))
+    with open(os.path.join(corpus_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return graph, corpus, manifest
+
+
+def _seed_frontier(corpus_dir: str) -> pa.Table:
+    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    return seeds.append_column("depth", pa.array(np.zeros(seeds.num_rows, np.int32)))
+
+
+def _make_schedule_fn(delays_ms: dict[str, int], clocks: dict[str, float]):
+    """Per-host politeness scheduler as a groupby(host).map_groups fn.
+
+    Sorts the host's frontier slice by priority and assigns virtual start
+    times spaced ≥ the host's robots delay, continuing from the host's clock
+    (carried across generations by the driver — a dict of n_hosts floats)."""
+
+    def schedule(group: pa.Table) -> pa.Table:
+        host = group["host"][0].as_py()
+        delay = delays_ms.get(host, 0) / 1000.0
+        order = pc.sort_indices(
+            group, sort_keys=[("priority", "ascending"), ("url_hash", "ascending")]
+        )
+        group = group.take(order)
+        t0 = clocks.get(host, 0.0)
+        ts = t0 + delay * np.arange(1, group.num_rows + 1)
+        return group.append_column("scheduled_ts", pa.array(ts, pa.float64()))
+
+    return schedule
+
+
+def _explode_links(batch: pa.Table) -> pa.Table:
+    """listing rows → one frontier row per out_link (flat-map as a vectorized
+    Arrow list explode: list_parent_indices + flatten — no Python row loop)."""
+    links = batch["out_links"]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    parents = pc.list_parent_indices(links)
+    flat = pc.list_flatten(links)
+    taken = batch.take(parents)
+    return pa.table(
+        {
+            "url": flat,
+            "host": taken["host"],
+            "year": taken["year"],
+            "situation": taken["situation"],
+            "type": taken["type"],
+            "priority": taken["priority"],
+            "depth": pc.add(taken["depth"], pa.scalar(1, pa.int32())).cast(pa.int32()),
+        }
+    )
+
+
+def run_crawl(
+    corpus_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run (or resume) the crawl over a synthetic corpus directory."""
+    cfg = cfg or CrawlConfig()
+    t_start = time.perf_counter()
+    graph, corpus, manifest = _load_tables(corpus_dir)
+    delays_ms = manifest["robots_delay_ms"]
+    graph_ref = ray.put(graph)
+    corpus_ref = ray.put(corpus)
+
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    seen = ShardedSeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard, cfg.seen_mode)
+    res = CrawlResult(out_dir=out_dir)
+    clocks: dict[str, float] = {}
+    start_gen = 0
+    frontier_tbl = _seed_frontier(corpus_dir)
+
+    if resume:
+        state = _load_checkpoint(ckpt_dir)
+        if state is None:
+            resume = False  # nothing to resume from → fresh run
+        else:
+            start_gen = state["next_generation"]
+            clocks = state["clocks"]
+            seen.restore([_read_blob(p) for p in state["shard_files"]])
+            fpath = state["frontier_file"]
+            frontier_tbl = pq.read_table(fpath) if os.path.exists(fpath) else None
+            res.per_generation = state.get("per_generation", [])
+            for g in res.per_generation:
+                res.fetched_ok += g["fetched_ok"]
+                res.errors += g["errors"]
+                res.dedup_dropped += g["dedup_dropped"]
+                res.docs_written += g["docs_written"]
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if cfg.order == "strict":
+        # Reference order: one (year, situation, type) unit at a time, priority asc
+        # (src/scraper/base/scraper.py:479-485 + declared dict order).
+        units = (
+            frontier_tbl.group_by(["priority"]).aggregate([]).sort_by("priority")
+            if frontier_tbl is not None
+            else pa.table({"priority": pa.array([], pa.float32())})
+        )
+        for prio in units["priority"].to_pylist():
+            unit_frontier = frontier_tbl.filter(pc.equal(frontier_tbl["priority"], prio))
+            _bfs(
+                unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
+                ckpt_dir, res, start_gen=res.generations, checkpoint=False,
+            )
+    else:
+        _bfs(
+            frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
+            ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
+        )
+
+    stats = seen.stats()
+    res.seen_total = sum(s["count"] for s in stats)
+    res.dedup_ops = sum(s["ops"] for s in stats)
+    res.wall_s = time.perf_counter() - t_start
+    with open(os.path.join(out_dir, "crawl_result.json"), "w") as f:
+        json.dump({k: v for k, v in res.__dict__.items()}, f, indent=2, default=str)
+    seen.shutdown()
+    return res
+
+
+def _bfs(
+    frontier_tbl: pa.Table | None,
+    cfg: CrawlConfig,
+    seen: ShardedSeenSet,
+    graph_ref,
+    corpus_ref,
+    delays_ms: dict[str, int],
+    clocks: dict[str, float],
+    out_dir: str,
+    ckpt_dir: str,
+    res: CrawlResult,
+    start_gen: int,
+    checkpoint: bool,
+) -> None:
+    gen = start_gen
+    while frontier_tbl is not None and frontier_tbl.num_rows > 0:
+        if gen - start_gen >= cfg.max_generations:
+            break
+        if checkpoint:
+            _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation)
+        n_frontier = frontier_tbl.num_rows
+        n_blocks = max(1, min(128, n_frontier // cfg.batch_size + 1))
+        frontier = rd.from_arrow(frontier_tbl, override_num_blocks=n_blocks)
+
+        frontier = frontier.map_batches(
+            canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+        frontier = frontier.map_batches(
+            SeenFilter(seen.shards, seen.n_shards),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        frontier = frontier.groupby("host").map_groups(
+            _make_schedule_fn(delays_ms, clocks), batch_format="pyarrow"
+        )
+        # salted re-split after the per-host groupby: politeness is already baked
+        # into scheduled_ts, so the hot host's single group block can be split
+        # across the whole fetch pool (hot-host skew handling, SURVEY.md §4)
+        frontier = frontier.repartition(n_blocks)
+        fetched = frontier.map_batches(
+            FetchActor,
+            fn_constructor_args=(graph_ref, corpus_ref),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.fetch_concurrency,
+            num_cpus=1,
+        )
+        fetched = fetched.map_batches(
+            lambda b, g=gen: b.append_column(
+                "generation", pa.array(np.full(b.num_rows, g, np.int32))
+            ),
+            batch_format="pyarrow",
+        )
+        # -------- generation barrier: pin this generation's blocks once --------
+        fetched = fetched.materialize()
+
+        n_after_seen = fetched.count()
+        dropped = n_frontier - n_after_seen
+
+        errors = fetched.filter(expr="status == 'error'")
+        docs = fetched.filter(expr="status == 'ok' and kind == 'doc'")
+        listings = fetched.filter(expr="status == 'ok' and kind == 'listing'")
+
+        n_err = errors.count()
+        if n_err:
+            errors.select_columns(LINEAGE_COLUMNS).write_parquet(
+                os.path.join(out_dir, "errors", f"gen={gen}")
+            )
+
+        decoded = docs.map_batches(
+            DecodeActor,
+            fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
+            batch_format="pyarrow",
+            batch_size=min(cfg.batch_size, 1024),
+            concurrency=cfg.decode_concurrency,
+            num_cpus=1,
+        )
+        doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
+        decoded = decoded.map_batches(
+            lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
+        )
+        docs_path = os.path.join(out_dir, "docs", f"gen={gen}")
+        n_docs = docs.count()
+        if n_docs:
+            decoded.write_parquet(docs_path, partition_cols=["year", "type", "situation"])
+
+        if cfg.write_lineage:
+            fetched.select_columns(LINEAGE_COLUMNS).write_parquet(
+                os.path.join(out_dir, "lineage", f"gen={gen}")
+            )
+
+        # advance host clocks from this generation's schedule (tiny: n_hosts rows)
+        sched = (
+            fetched.groupby("host").max("scheduled_ts").to_pandas()
+            if n_after_seen
+            else None
+        )
+        if sched is not None:
+            for _, row in sched.iterrows():
+                h = row["host"]
+                clocks[h] = max(
+                    clocks.get(h, 0.0),
+                    float(row["max(scheduled_ts)"]) + delays_ms.get(h, 0) / 1000.0,
+                )
+
+        # next frontier = exploded out_links of this generation's listings
+        nxt = listings.map_batches(_explode_links, batch_format="pyarrow")
+        frontier_tbl = _collect_frontier(nxt)
+
+        res.per_generation.append(
+            {
+                "generation": gen,
+                "frontier": n_frontier,
+                "after_seen": n_after_seen,
+                "dedup_dropped": dropped,
+                "fetched_ok": n_after_seen - n_err,
+                "errors": n_err,
+                "docs_written": n_docs,
+            }
+        )
+        res.fetched_ok += n_after_seen - n_err
+        res.errors += n_err
+        res.dedup_dropped += dropped
+        res.docs_written += n_docs
+        res.generations = gen + 1
+        gen += 1
+
+    if checkpoint:
+        exhausted = frontier_tbl is None or frontier_tbl.num_rows == 0
+        _save_checkpoint(
+            ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation, final=exhausted
+        )
+
+
+def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:
+    out = {}
+    for c in cols:
+        if c in ("year", "situation", "type"):
+            out[c] = batch["doc_" + c]
+        else:
+            out[c] = batch[c]
+    return pa.table(out)
+
+
+def _collect_frontier(ds: rd.Dataset) -> pa.Table | None:
+    """Next generation's frontier: metadata-only rows (no payloads) — small
+    relative to the payload stream, so an Arrow collect at the barrier is the
+    per-generation driver state, exactly what gets checkpointed."""
+    tbls = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+# ---------------- checkpoint helpers ----------------
+
+
+def _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, per_generation, final=False):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    shard_files = []
+    for i, blob in enumerate(seen.snapshot()):
+        p = os.path.join(ckpt_dir, f"seen_gen{gen}_shard{i}.bin")
+        with open(p, "wb") as f:
+            f.write(blob)
+        shard_files.append(p)
+    fpath = os.path.join(ckpt_dir, f"frontier_gen{gen}.parquet")
+    if frontier_tbl is not None and frontier_tbl.num_rows:
+        pq.write_table(frontier_tbl, fpath)
+    state = {
+        "next_generation": gen,
+        "frontier_file": fpath,
+        "shard_files": shard_files,
+        "clocks": clocks,
+        "per_generation": per_generation,
+        "final": final,
+    }
+    tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+
+def _load_checkpoint(ckpt_dir):
+    p = os.path.join(ckpt_dir, "manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        state = json.load(f)
+    if state.get("final"):
+        return state | {"frontier_file": "/nonexistent"}
+    return state
+
+
+def _read_blob(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()

@@ -1,0 +1,304 @@
+"""Deterministic synthetic corpus + web graph + seed generator (FIXTURES.md F1–F3, F5).
+
+This is the hermetic stand-in for the live web the reference scrapes: the
+``corpus`` table is the authoritative input-hint shape
+``(image_id, bytes, w, h, fmt, caption, phash)``, the ``web_graph`` table maps
+every crawlable URL to its out-links / payload FK / failure mode, and ``seeds``
+is frontier generation 0 — one row per (host, year, situation, type), mirroring
+the reference's crawl nesting (src/scraper/base/scraper.py:107 years list;
+src/scraper/federal_legislation/scrape.py:247-262 situation/type loops;
+page fan-out after a count probe, :259-285).
+
+Everything is seeded (seed=42) and cached as parquet under a scale-keyed
+directory, so tests / bench / oracle all see byte-identical inputs.  Generation
+is plain numpy + zlib (no Ray session needed — callable before ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .codec import decode_image, encode_image, phash64, psnr
+
+SITUATIONS = ["valid", "revoked"]  # cf. VALID_SITUATIONS/INVALID_SITUATIONS, federal scrape.py:10-26
+TYPES = ["lei", "decreto", "portaria", "resolucao"]  # cf. type dicts, federal scrape.py:28-56
+WORDS = (
+    "lei decreto ambiental federal estadual norma artigo paragrafo vigente revogado "
+    "publicada republica presidencia congresso nacional codigo florestal recurso hidrico"
+).split()
+
+
+@dataclass(frozen=True)
+class ScaleSpec:
+    name: str
+    n_hosts: int
+    years: tuple[int, int]          # inclusive range
+    n_types: int
+    n_situations: int
+    n_doc_urls: int                 # total crawlable doc URLs
+    n_images: int                   # corpus rows (doc URLs many-to-one onto images)
+    per_page: int                   # listing page size (reference: 20–10,000, scrape.py:260)
+    dup_link_frac: float = 0.05     # % doc links repeated on a second listing page
+    dup_image_frac: float = 0.02    # % corpus rows that are pixel-copies (shared phash)
+    fail_frac: float = 0.04         # % URLs with a failure mode
+    img_dim: tuple[int, int] = (8, 64)
+
+
+SCALES: dict[str, ScaleSpec] = {
+    "t1": ScaleSpec("t1", 2, (1990, 1991), 2, 2, 200, 180, 10, dup_link_frac=0.2),
+    "t2": ScaleSpec("t2", 8, (1990, 1999), 4, 2, 5_000, 4_500, 20),
+    "bench": ScaleSpec("bench", 8, (1980, 1999), 4, 2, 450_000, 50_000, 100, img_dim=(8, 24)),
+}
+
+# sf_dir → corpus scale, so queries(sf_dir) pick a matching synthetic scale
+SF_TO_SCALE = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
+
+CACHE_ROOT = os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus")
+
+
+def _caption(rng: np.random.Generator, n: int, year: int) -> str:
+    words = rng.choice(WORDS, size=6)
+    return f"Lei {n} de {year}: " + " ".join(words)
+
+
+def _make_images(spec: ScaleSpec, rng: np.random.Generator):
+    """corpus table columns. ~dup_image_frac rows are pixel-copies of earlier rows."""
+    n = spec.n_images
+    lo, hi = spec.img_dim
+    ws = rng.integers(lo, hi + 1, size=n).astype(np.int32)
+    hs = rng.integers(lo, hi + 1, size=n).astype(np.int32)
+    fmts = np.where(rng.random(n) < 0.7, "png", "jpeg")
+    years = rng.integers(spec.years[0], spec.years[1] + 1, size=n)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    dup_mask = rng.random(n) < spec.dup_image_frac
+    dup_mask[0] = False
+    dup_of[dup_mask] = rng.integers(0, np.maximum(np.where(dup_mask)[0], 1))[: dup_mask.sum()]
+
+    blobs, phashes, captions, dec_sums, psnrs = [], [], [], [], []
+    pixel_cache: list[np.ndarray | None] = []
+    for i in range(n):
+        if dup_of[i] >= 0:
+            j = int(dup_of[i])
+            px = pixel_cache[j]
+            ws[i], hs[i], fmts[i] = ws[j], hs[j], fmts[j]
+        else:
+            px = rng.integers(0, 256, size=(int(hs[i]), int(ws[i]), 3), dtype=np.uint8)
+        pixel_cache.append(px)
+        blob = encode_image(px, str(fmts[i]))
+        blobs.append(blob)
+        dec = decode_image(blob, str(fmts[i]))  # ground truth for the decode-stage invariant
+        dec_sums.append(int(dec.astype(np.uint64).sum()))
+        psnrs.append(psnr(px, dec))  # inf for png; ≈48.8 dB for the lossy stand-in
+        phashes.append(phash64(dec))
+        captions.append(_caption(rng, i, int(years[i])))
+    return {
+        "image_id": [f"img_{i:08d}" for i in range(n)],
+        "bytes": blobs,
+        "w": ws,
+        "h": hs,
+        "fmt": fmts.astype(object).tolist(),
+        "caption": captions,
+        "phash": np.array(phashes, dtype=np.int64),
+        "dec_sum": np.array(dec_sums, dtype=np.uint64),  # extra: decoded-pixel checksum (gt)
+        "psnr_db": np.array(psnrs, dtype=np.float64),    # extra: encode-time fidelity vs source
+        "dup_of": dup_of,                                # extra: oracle for near-dup tests
+    }
+
+
+def generate(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Generate (or return cached) corpus/web_graph/seeds/subjects parquet for a scale.
+
+    Returns the directory containing ``corpus.parquet``, ``web_graph.parquet``,
+    ``seeds.parquet``, ``subjects.parquet``, ``manifest.json``.
+    """
+    spec = SCALES[scale]
+    out = os.path.join(root or CACHE_ROOT, scale)
+    manifest = os.path.join(out, "manifest.json")
+    if os.path.exists(manifest) and not force:
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    # ---- corpus (F1) ----
+    corpus = _make_images(spec, rng)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(corpus["image_id"], pa.string()),
+                "bytes": pa.array(corpus["bytes"], pa.binary()),
+                "w": pa.array(corpus["w"], pa.int32()),
+                "h": pa.array(corpus["h"], pa.int32()),
+                "fmt": pa.array(corpus["fmt"], pa.string()),
+                "caption": pa.array(corpus["caption"], pa.string()),
+                "phash": pa.array(corpus["phash"], pa.int64()),
+                "dec_sum": pa.array(corpus["dec_sum"], pa.uint64()),
+                "psnr_db": pa.array(corpus["psnr_db"], pa.float64()),
+                "dup_of": pa.array(corpus["dup_of"], pa.int64()),
+            }
+        ),
+        os.path.join(out, "corpus.parquet"),
+    )
+
+    # ---- hosts: Zipf-skewed doc allocation (one hot host for skew tests) ----
+    hosts = [f"host{i}.legis.example" for i in range(spec.n_hosts)]
+    zipf_w = 1.0 / np.arange(1, spec.n_hosts + 1)
+    zipf_w /= zipf_w.sum()
+    docs_per_host = np.maximum((zipf_w * spec.n_doc_urls).astype(int), 1)
+    docs_per_host[0] += spec.n_doc_urls - docs_per_host.sum()
+
+    years = list(range(spec.years[0], spec.years[1] + 1))
+    sits = SITUATIONS[: spec.n_situations]
+    typs = TYPES[: spec.n_types]
+    n_cells_per_host = len(years) * len(sits) * len(typs)
+
+    g_urls, g_hosts, g_kind, g_out, g_img, g_year, g_sit, g_typ = [], [], [], [], [], [], [], []
+    g_subjects: list[list[int] | None] = []
+    seed_rows = []
+    doc_counter = 0
+    for hi, host in enumerate(hosts):
+        # spread the host's docs over (year, situation, type) cells, deterministic
+        cell_docs = rng.multinomial(int(docs_per_host[hi]), np.full(n_cells_per_host, 1.0 / n_cells_per_host))
+        ci = 0
+        for year in years:
+            for si, sit in enumerate(sits):
+                for ti, typ in enumerate(typs):
+                    nd = int(cell_docs[ci])
+                    ci += 1
+                    base = f"https://{host}/busca?ano={year}&situacao={sit}&tipo={typ}"
+                    n_pages = max(nd // spec.per_page + (1 if nd % spec.per_page else 0), 1)
+                    listing_urls = [f"{base}&pagina={p}" for p in range(1, n_pages + 1)]
+                    seed_rows.append(
+                        {
+                            "url": listing_urls[0],
+                            "host": host,
+                            "year": year,
+                            "situation": sit,
+                            "type": typ,
+                            "sit_idx": si,
+                            "type_idx": ti,
+                        }
+                    )
+                    doc_urls = []
+                    for d in range(nd):
+                        doc_urls.append(f"https://{host}/doc/{year}/{typ}/{sit}/{doc_counter + d}")
+                    # page p's out_links = its slice of docs (+ all other listing pages on p1:
+                    # the count-probe fan-out, scrape.py:267-285)
+                    for p, lurl in enumerate(listing_urls):
+                        links = doc_urls[p * spec.per_page : (p + 1) * spec.per_page]
+                        # duplicate ~dup_link_frac of the previous page's links (cross-page dups)
+                        if p > 0 and spec.dup_link_frac > 0:
+                            prev = doc_urls[(p - 1) * spec.per_page : p * spec.per_page]
+                            k = int(len(prev) * spec.dup_link_frac)
+                            if k:
+                                links = list(rng.choice(prev, size=k, replace=False)) + links
+                        if p == 0 and len(listing_urls) > 1:
+                            links = listing_urls[1:] + links
+                        g_urls.append(lurl)
+                        g_hosts.append(host)
+                        g_kind.append("listing")
+                        g_out.append(links)
+                        g_img.append(None)
+                        g_year.append(year)
+                        g_sit.append(sit)
+                        g_typ.append(typ)
+                        g_subjects.append(None)
+                    for d, durl in enumerate(doc_urls):
+                        g_urls.append(durl)
+                        g_hosts.append(host)
+                        g_kind.append("doc")
+                        g_out.append([])
+                        g_img.append(f"img_{(doc_counter + d) % spec.n_images:08d}")
+                        g_year.append(year)
+                        g_sit.append(sit)
+                        g_typ.append(typ)
+                        g_subjects.append(
+                            rng.integers(0, 50, size=int(rng.integers(1, 4))).tolist()
+                        )
+                    doc_counter += nd
+
+    n_g = len(g_urls)
+    fail = np.full(n_g, None, dtype=object)
+    fr = rng.random(n_g)
+    fail[fr < spec.fail_frac * 0.4] = "soft_429"
+    fail[(fr >= spec.fail_frac * 0.4) & (fr < spec.fail_frac * 0.7)] = "soft_503"
+    fail[(fr >= spec.fail_frac * 0.7) & (fr < spec.fail_frac * 0.9)] = "body_error"
+    fail[(fr >= spec.fail_frac * 0.9) & (fr < spec.fail_frac)] = "hard_error"
+    robots = {h: int(d) for h, d in zip(hosts, rng.integers(0, 30, size=len(hosts)))}
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(g_urls, pa.string()),
+                "host": pa.array(g_hosts, pa.string()),
+                "kind": pa.array(g_kind, pa.string()),
+                "out_links": pa.array(g_out, pa.list_(pa.string())),
+                "image_id": pa.array(g_img, pa.string()),
+                "year": pa.array(g_year, pa.int32()),
+                "situation": pa.array(g_sit, pa.string()),
+                "type": pa.array(g_typ, pa.string()),
+                "subject_ids": pa.array(g_subjects, pa.list_(pa.int32())),
+                "robots_delay_ms": pa.array([robots[h] for h in g_hosts], pa.int32()),
+                "fail_mode": pa.array(fail.tolist(), pa.string()),
+            }
+        ),
+        os.path.join(out, "web_graph.parquet"),
+    )
+
+    # ---- seeds (F2): priority = lexicographic (year, situation_idx, type_idx) — O2 ----
+    year0 = spec.years[0]
+    seeds_tbl = pa.table(
+        {
+            "url": pa.array([r["url"] for r in seed_rows], pa.string()),
+            "host": pa.array([r["host"] for r in seed_rows], pa.string()),
+            "year": pa.array([r["year"] for r in seed_rows], pa.int32()),
+            "situation": pa.array([r["situation"] for r in seed_rows], pa.string()),
+            "type": pa.array([r["type"] for r in seed_rows], pa.string()),
+            "priority": pa.array(
+                [
+                    float((r["year"] - year0) * 100 + r["sit_idx"] * 10 + r["type_idx"])
+                    for r in seed_rows
+                ],
+                pa.float32(),
+            ),
+        }
+    )
+    pq.write_table(seeds_tbl, os.path.join(out, "seeds.parquet"))
+
+    # ---- subjects dim (F5) ----
+    pq.write_table(
+        pa.table(
+            {
+                "subject_id": pa.array(range(50), pa.int32()),
+                "subject": pa.array([f"assunto_{i:02d}" for i in range(50)], pa.string()),
+            }
+        ),
+        os.path.join(out, "subjects.parquet"),
+    )
+
+    with open(manifest, "w") as f:
+        json.dump(
+            {
+                "scale": scale,
+                "seed": 42,
+                "n_doc_urls": spec.n_doc_urls,
+                "n_images": spec.n_images,
+                "n_graph_rows": n_g,
+                "n_seeds": len(seed_rows),
+                "robots_delay_ms": robots,
+            },
+            f,
+            indent=2,
+        )
+    return out
+
+
+def corpus_dir_for_sf(sf_dir: str) -> str:
+    """Map a driver sf dir (…/sf0.01) to the matching synthetic-corpus scale dir."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return generate(SF_TO_SCALE.get(name, "t1"))

@@ -1,0 +1,191 @@
+"""Cuckoo filter — the approximate URL-seen-set membership structure.
+
+The reference has NO online seen set: its dedup semantics are post-hoc exact
+dedup by document_url (reference: src/datasets/build_dataset.py:204).  At a
+10^10-URL frontier an exact set costs ≥ 80 GB cluster-wide (8 B/url); a cuckoo
+filter with 16-bit fingerprints and 4-slot buckets costs ~2.4 B/url (~24 GB)
+with an FP rate ≈ 2·b / 2^f ≈ 0.012 % and **zero false negatives** — a false
+positive drops a URL that was never fetched, a false negative refetches, so the
+asymmetry is the right one for crawling (cf. PAPERS.md, learned cuckoo filter,
+SIGMOD 2023).
+
+Two membership modes are exposed by the shard actors (state/seen.py):
+
+- ``exact``  — numpy-set semantics, used for reference-parity tests (the
+  URL-seen set must match the reference's exact-dedup semantics bit-for-bit);
+- ``cuckoo`` — this filter, the at-scale path benchmarked for dedup ops/sec.
+
+All batch operations are vectorized numpy; the only per-item Python loop is the
+insertion/eviction chain for *novel* keys (amortized O(1), bounded kicks).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64-ish odd multiplier for fp→bucket hashing
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+class CuckooFilter:
+    """(2,4)-cuckoo filter over uint64 keys with 16-bit fingerprints."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 42):
+        # target load ≤ ~0.84 ⇒ buckets = pow2(capacity / (4 * 0.84))
+        self.n_buckets = max(_next_pow2(int(capacity / (4 * 0.84)) + 1), 8)
+        self.mask = np.uint64(self.n_buckets - 1)
+        self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
+        self.count = 0
+        self.rng = np.random.default_rng(seed)
+        self.overflow: set[int] = set()  # keys whose eviction chain exceeded MAX_KICKS
+
+    # ---- key → (fingerprint, bucket1, bucket2), all vectorized ----
+    def _derive(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        keys = keys.astype(np.uint64, copy=False)
+        fp = ((keys >> np.uint64(48)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+        i1 = (keys & self.mask).astype(np.uint64)
+        i2 = (i1 ^ ((fp.astype(np.uint64) * _MIX) & self.mask)).astype(np.uint64)
+        return fp, i1, i2
+
+    def _alt(self, fp: np.uint16, i: int) -> int:
+        return int((np.uint64(i) ^ ((np.uint64(fp) * _MIX) & self.mask)) & self.mask)
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        fp, i1, i2 = self._derive(keys)
+        hit = (self.table[i1] == fp[:, None]).any(axis=1) | (
+            self.table[i2] == fp[:, None]
+        ).any(axis=1)
+        if self.overflow:
+            for j in np.nonzero(~hit)[0]:
+                if int(keys[j]) in self.overflow:
+                    hit[j] = True
+        return hit
+
+    def add_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Insert all keys; return ``was_present`` mask (True = already a member,
+        including earlier duplicates *within this batch* — matches exact-set
+        semantics for intra-batch dups)."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+        present_uniq = self.contains_batch(uniq)
+        novel = np.nonzero(~present_uniq)[0]
+        fp, i1, i2 = self._derive(uniq)
+        for j in novel:
+            self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]), int(uniq[j]))
+        # expand back: a key is "new" only at its first occurrence in the batch
+        was_present = np.ones(len(keys), dtype=bool)
+        first_occurrence = np.zeros(len(keys), dtype=bool)
+        first_occurrence[first_idx] = True
+        was_present[first_occurrence] = present_uniq
+        return was_present
+
+    def _insert_one(self, fp: int, i1: int, i2: int, key: int) -> None:
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return
+        # evict
+        i = i1 if self.rng.integers(2) else i2
+        cur = np.uint16(fp)
+        for _ in range(self.MAX_KICKS):
+            slot = int(self.rng.integers(4))
+            cur, self.table[i, slot] = self.table[i, slot], cur
+            i = self._alt(cur, i)
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return
+        self.overflow.add(key)  # never lose a key (no false negatives), even at overload
+        self.count += 1
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.n_buckets * 4)
+
+    # ---- snapshot/restore for checkpoint-resume (north_rule) ----
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf,
+            table=self.table,
+            count=np.int64(self.count),
+            overflow=np.array(sorted(self.overflow), dtype=np.uint64),
+            rng_state=np.frombuffer(
+                self.rng.bit_generator.state["state"]["state"].to_bytes(16, "little"), np.uint8
+            ),
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CuckooFilter":
+        z = np.load(io.BytesIO(data))
+        obj = cls.__new__(cls)
+        obj.table = z["table"].copy()
+        obj.n_buckets = obj.table.shape[0]
+        obj.mask = np.uint64(obj.n_buckets - 1)
+        obj.count = int(z["count"])
+        obj.overflow = set(int(x) for x in z["overflow"])
+        obj.rng = np.random.default_rng(42)
+        st = obj.rng.bit_generator.state
+        st["state"]["state"] = int.from_bytes(z["rng_state"].tobytes(), "little")
+        obj.rng.bit_generator.state = st
+        return obj
+
+
+class ExactSet:
+    """Exact uint64 membership set with the same batch API as CuckooFilter.
+
+    Used by parity tests and as the exact-dedup semantics anchor
+    (reference: drop_duplicates(subset=["document_url"]),
+    src/datasets/build_dataset.py:204)."""
+
+    def __init__(self, capacity: int = 0, seed: int = 0):
+        self._set: set[int] = set()
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        s = self._set
+        return np.fromiter((int(k) in s for k in keys), dtype=bool, count=len(keys))
+
+    def add_batch(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        s = self._set
+        out = np.empty(len(keys), dtype=bool)
+        for j, k in enumerate(keys):
+            k = int(k)
+            out[j] = k in s
+            s.add(k)
+        return out
+
+    @property
+    def count(self) -> int:
+        return len(self._set)
+
+    @property
+    def load_factor(self) -> float:
+        return 0.0
+
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.array(sorted(self._set), dtype=np.uint64))
+        return buf.getvalue()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "ExactSet":
+        obj = cls()
+        obj._set = set(int(x) for x in np.load(io.BytesIO(data)))
+        return obj
