@@ -1,44 +1,51 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship crawl pipeline on the sf0.001-scale synthetic
+corpus; ``queries()`` / ``oracle_sql()`` expose the operator registry in
+``legislation_scraper_ray.pipelines.queries`` (SURVEY.md §2 coverage +
+training-data operator suite).  Ray is initialised by the driver before this
+module is imported — nothing here calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).parent))
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl on the t1 (sf0.001-scale) synthetic corpus: frontier BFS
+    → cuckoo seen-set → politeness schedule → fetch pool → decode pool →
+    partitioned parquet; returns the decoded document table."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from legislation_scraper_ray.sources.corpus import generate
+
+    corpus_dir = generate("t1")
+    out = "/tmp/graft_entry_crawl"
+    run_crawl(
+        corpus_dir,
+        out,
+        CrawlConfig(n_seen_shards=2, fetch_concurrency=2, decode_concurrency=2, checkpoint=False),
+    )
+    docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table()
+    return docs.sort_by("url_hash")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from legislation_scraper_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from legislation_scraper_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,99 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one numpy matmul against it, per-batch top-k
+partials are merged in a final tiny reduction (classic top-k aggregation: no
+full sort of the corpus, no driver-side loop over rows).
+
+Scale path: LSH-bucketed search (random hyperplanes, multi-probe) — the corpus
+is bucketed once via ``groupby(bucket)``; a query only scans its probe buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import hyperplane_bucket
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float64 matrix (vectorized flatten)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lengths[0])
+    assert (lengths == d).all(), "ragged embedding column"
+    return flat.reshape(-1, d)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k partials vs broadcast queries.
+
+    Emits (query_id, vec_id, cos_sim) for each batch's local top-k; a final
+    ``groupby(query_id)`` + per-group top-k merge yields the exact answer."""
+
+    def __init__(self, query_ref, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.q_ids, self.q = q  # (m,), (m, d) unit-normalized
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = normalize(_as_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ vecs.T  # (m, n)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        m = sims.shape[0]
+        rows_q = np.repeat(self.q_ids, k)
+        rows_v = ids[top.reshape(-1)]
+        rows_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q),
+                "vec_id": pa.array(rows_v),
+                "cos_sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+
+def merge_topk(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
+    """Final per-query merge of batch-local top-k partials (deterministic
+    tiebreak on vec_id)."""
+    g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    g = g.reset_index(drop=True)
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g
+
+
+def add_lsh_bucket(batch: pa.Table, vec_col: str = "embedding", n_bits: int = 8) -> pa.Table:
+    vecs = normalize(_as_matrix(batch[vec_col]))
+    return batch.append_column(
+        "lsh_bucket", pa.array(hyperplane_bucket(vecs, n_bits), pa.int64())
+    )
+
+
+def query_probe_buckets(q: np.ndarray, n_bits: int = 8, n_probe: int = 8, seed: int = 42) -> np.ndarray:
+    """Multi-probe: the query's bucket plus the buckets at Hamming distance 1
+    on the lowest-margin hyperplanes (standard multi-probe LSH)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((q.shape[0], n_bits))
+    proj = q @ planes
+    base = int(((proj > 0) * (1 << np.arange(n_bits))).sum())
+    order = np.argsort(np.abs(proj))  # least confident bits first
+    buckets = [base] + [base ^ (1 << int(b)) for b in order[: n_probe - 1]]
+    return np.array(buckets, dtype=np.int64)

@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Semantics anchor for exact dedup: the reference's
+``drop_duplicates(subset=["document_url"])`` (src/datasets/build_dataset.py:204)
+— first-wins by key.  The near-dup family is the standard large-corpus
+extension (not in the reference; required engine capability).
+
+Scale design:
+- exact dedup: content-hash in a vectorized ``map_batches`` →
+  ``groupby(hash)`` (8-byte shuffle keys, never the payload strings) →
+  first-wins inside ``map_groups``.
+- MinHash: per-batch vectorized signatures (token-trigram shingles →
+  ``np.minimum.at`` over 128 universal-hash permutations), exploded to
+  (band, band_hash, doc_id) rows — the LSH bucket join is a ``groupby`` on a
+  16-byte key; candidate verification runs inside each bucket group only.
+- SimHash: 64-bit sign-aggregated token hashes; banding on 4×16-bit chunks
+  turns Hamming-≤3 search into the same bucket-groupby shape.
+- embedding near-dup: random-hyperplane LSH buckets → within-bucket numpy
+  brute force.  Exact verification is always numpy inside small groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash64
+from .text import _flat_tokens, _trigram_hashes
+
+MERSENNE_P = np.uint64((1 << 61) - 1)
+N_PERM = 128
+LSH_BANDS = 32  # 32 bands × 4 rows
+
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out: str = "content_hash") -> pa.Table:
+    return batch.append_column(out, pa.array(hash64(batch[text_col]), pa.uint64()))
+
+
+def first_wins(group: pd.DataFrame, order_col: str) -> pd.DataFrame:
+    """Reference first-wins semantics: keep the row with the smallest order key."""
+    return group.nsmallest(1, order_col)
+
+
+def minhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """→ (doc_id, band, band_hash) rows: LSH-banded MinHash signatures.
+
+    Vectorized: word hashes → trigram shingle hashes → for each permutation
+    ``(a·x + b) mod p`` → per-doc min via ``np.minimum.at``.  Docs with < 3
+    tokens get a signature from their word hashes instead."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    flat, parents, counts = _flat_tokens(texts)
+    wh = hash64(flat)
+    sh, sp = _trigram_hashes(wh, parents)
+    if len(sh) == 0:
+        sh, sp = wh, parents
+    else:
+        short = counts < 3  # fall back to word hashes for tiny docs
+        if short.any():
+            extra_mask = short[parents]
+            sh = np.concatenate([sh, wh[extra_mask]])
+            sp = np.concatenate([sp, parents[extra_mask]])
+    a, b = _perm_params()
+    sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (S, P) permuted hashes, reduced per doc. Chunk over permutations to bound memory.
+    step = 32
+    for lo in range(0, N_PERM, step):
+        ph = (sh[:, None] * a[None, lo : lo + step] + b[None, lo : lo + step]) % MERSENNE_P
+        np.minimum.at(sig[:, lo : lo + step], sp, ph)
+    rows_per_band = N_PERM // LSH_BANDS
+    band_hash = np.empty((n, LSH_BANDS), dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    for bidx in range(LSH_BANDS):
+        seg = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+        h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = (h ^ seg[:, r]) * mix
+        band_hash[:, bidx] = h
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, LSH_BANDS)),
+            "band": pa.array(np.tile(np.arange(LSH_BANDS, dtype=np.int32), n), pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1), pa.uint64()),
+        }
+    )
+
+
+def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one LSH bucket: emit all candidate (doc_a < doc_b) pairs."""
+    ids = np.sort(group["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame(
+            {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+        )
+    ii, jj = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame(
+        {"doc_a": ids[ii].astype("int64"), "doc_b": ids[jj].astype("int64")}
+    )
+
+
+def jaccard_shingles(texts_a: list[str], texts_b: list[str], k: int = 3) -> np.ndarray:
+    """Exact token-k-gram Jaccard for aligned text pairs (verification step —
+    runs only on LSH candidates, never all pairs)."""
+    out = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa = _shingle_set(ta, k)
+        sb = _shingle_set(tb, k)
+        u = len(sa | sb)
+        out[i] = (len(sa & sb) / u) if u else 1.0
+    return out
+
+
+def _shingle_set(text: str, k: int) -> set:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return set(toks)
+    return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def simhash64(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over word hashes (sign-aggregated bit votes), plus 4
+    16-bit band columns for Hamming-≤3 bucketing (by pigeonhole, any pair with
+    Hamming distance ≤ 3 shares at least one of 4 bands)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = batch.num_rows
+    flat, parents, _ = _flat_tokens(texts)
+    wh = hash64(flat)
+    votes = np.zeros((n, 64), dtype=np.int64)
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1
+    np.add.at(votes, parents, bits)
+    sim = (votes > 0).astype(np.uint64)
+    sh = np.zeros(n, dtype=np.uint64)
+    for bit in range(64):
+        sh |= sim[:, bit] << np.uint64(bit)
+    out = batch.append_column("simhash", pa.array(sh, pa.uint64()))
+    for bidx in range(4):
+        band = (sh >> np.uint64(16 * bidx)) & np.uint64(0xFFFF)
+        out = out.append_column(f"simhash_band{bidx}", pa.array(band.astype(np.int32), pa.int32()))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(len(x), dtype=np.int64)
+    while True:
+        nz = x != 0
+        if not nz.any():
+            break
+        cnt[nz] += 1
+        x = x & (x - np.uint64(1))
+    return cnt
+
+
+def hyperplane_bucket(vectors: np.ndarray, n_bits: int = 12, seed: int = 42) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids for unit-normalized vectors."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((vectors.shape[1], n_bits)).astype(vectors.dtype)
+    bits = (vectors @ planes) > 0
+    return (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)

@@ -1,0 +1,145 @@
+"""Text-analysis operators: tokenization, language ID, quality scoring,
+fingerprinting.
+
+These are the training-data-pipeline operators a 100 TB corpus engine needs on
+top of the reference's scraping transforms (the reference's own text handling
+is regex cleanup + markdown conversion, SURVEY.md §2.8).  All kernels are
+vectorized: Arrow ``split_pattern`` for tokenization, flattened-word hashing +
+``np.bincount`` for per-document token statistics — no Python loop over rows
+or tokens in any hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash64
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (hermetic stand-in for fasttext-style LID)
+LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "a", "of", "and", "to", "in", "is"},
+    "es": {"el", "la", "de", "y", "en", "que", "los"},
+    "pt": {"de", "e", "que", "do", "da", "em", "lei"},
+    "de": {"der", "die", "und", "in", "den", "von"},
+    "fr": {"le", "de", "et", "la", "les", "des"},
+}
+
+STOPWORDS = {"the", "a", "of", "and", "to", "in"}
+
+# BPE-ish token regex: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _flat_tokens(texts: pa.ChunkedArray | pa.Array):
+    """texts → (flat word Array, parent_indices int64, per-doc counts int64)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    parents = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    return pc.list_flatten(words), parents, counts
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish regex token count.
+
+    Arrow has no findall; the regex token count is alpha runs + digit runs +
+    single symbols (the TOKEN_REGEX classes), each counted vectorized."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ws_tokens = pc.list_value_length(pc.split_pattern(texts, " "))
+    alpha_runs = pc.count_substring_regex(texts, r"[A-Za-z]+")
+    digit_runs = pc.count_substring_regex(texts, r"[0-9]+")
+    symbols = pc.count_substring_regex(texts, r"[^A-Za-z0-9\s]")
+    bpe_tokens = pc.add(pc.add(alpha_runs, digit_runs), symbols)
+    return batch.append_column("n_tokens", ws_tokens.cast(pa.int64())).append_column(
+        "n_bpe_tokens", bpe_tokens.cast(pa.int64())
+    )
+
+
+def _stopword_hits(flat_words: pa.Array, parents: np.ndarray, n_docs: int, vocab: set[str]) -> np.ndarray:
+    mask = pc.is_in(flat_words, value_set=pa.array(sorted(vocab))).to_numpy(zero_copy_only=False)
+    return np.bincount(parents, weights=mask.astype(np.float64), minlength=n_docs)
+
+
+def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: token count, mean token length, stopword
+    ratio, alpha ratio — the standard cheap quality filters for web corpora."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    flat, parents, counts = _flat_tokens(texts)
+    n_chars = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_alpha = pc.count_substring_regex(texts, r"[A-Za-z]").to_numpy(zero_copy_only=False)
+    stop_hits = _stopword_hits(flat, parents, n, STOPWORDS)
+    tokens = np.maximum(counts, 1).astype(np.float64)
+    mean_tok_len = (n_chars - (counts - 1)) / tokens  # chars minus separators
+    out = batch
+    out = out.append_column("n_tokens", pa.array(counts, pa.int64()))
+    out = out.append_column("mean_token_len", pa.array(mean_tok_len, pa.float64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_hits / tokens, pa.float64()))
+    out = out.append_column(
+        "alpha_ratio", pa.array(n_alpha / np.maximum(n_chars, 1), pa.float64())
+    )
+    quality = (
+        np.clip(counts / 64.0, 0, 1) * 0.4
+        + np.clip(stop_hits / tokens * 5, 0, 1) * 0.2
+        + (n_alpha / np.maximum(n_chars, 1)) * 0.4
+    )
+    return out.append_column("quality", pa.array(quality, pa.float64()))
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-profile language ID (argmax over per-language hit ratios;
+    'und' when nothing matches)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lowered = pc.utf8_lower(texts)
+    flat, parents, counts = _flat_tokens(lowered)
+    n = len(texts)
+    langs = sorted(LANG_PROFILES)
+    scores = np.zeros((n, len(langs)))
+    for j, lg in enumerate(langs):
+        scores[:, j] = _stopword_hits(flat, parents, n, LANG_PROFILES[lg])
+    best = scores.argmax(axis=1)
+    hit = scores.max(axis=1) > 0
+    pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprints: exact content hash (FNV-1a 64 of the text) and a
+    rolling winnowed hash (min token-trigram hash — a 1-element MinHash, the
+    cheapest shift-robust fingerprint)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    exact = hash64(texts)
+    flat, parents, counts = _flat_tokens(texts)
+    wh = hash64(flat)
+    n = len(texts)
+    tri = _trigram_hashes(wh, parents)
+    minh = np.full(n, np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(tri[0]):
+        np.minimum.at(minh, tri[1], tri[0])
+    return batch.append_column("fp_exact", pa.array(exact, pa.uint64())).append_column(
+        "fp_shingle_min", pa.array(minh, pa.uint64())
+    )
+
+
+def _trigram_hashes(word_hashes: np.ndarray, parents: np.ndarray):
+    """Hashes of consecutive word trigrams that do not cross doc boundaries.
+    Returns (trigram_hash uint64[], parent_doc int64[])."""
+    if len(word_hashes) < 3:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    a, b, c = word_hashes[:-2], word_hashes[1:-1], word_hashes[2:]
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    h = (a * mix + b) * mix + c
+    same = (parents[:-2] == parents[1:-1]) & (parents[1:-1] == parents[2:])
+    return h[same], parents[:-2][same]

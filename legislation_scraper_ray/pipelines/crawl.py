@@ -51,7 +51,7 @@ import ray.data as rd
 
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.decode import DecodeActor
-from ..stages.fetch import FetchActor
+from ..stages.fetch import FetchActor, prepare_web
 from ..state.seen import SeenFilter, ShardedSeenSet
 
 DOC_COLUMNS = [
@@ -184,7 +184,7 @@ def run_crawl(
     t_start = time.perf_counter()
     graph, corpus, manifest = _load_tables(corpus_dir)
     delays_ms = manifest["robots_delay_ms"]
-    graph_ref = ray.put(graph)
+    graph_ref = ray.put(prepare_web(graph, corpus))
     corpus_ref = ray.put(corpus)
 
     ckpt_dir = os.path.join(out_dir, "checkpoint")
@@ -215,15 +215,23 @@ def run_crawl(
     os.makedirs(out_dir, exist_ok=True)
 
     if cfg.order == "strict":
-        # Reference order: one (year, situation, type) unit at a time, priority asc
-        # (src/scraper/base/scraper.py:479-485 + declared dict order).
+        # Reference order: host-major (sources strictly sequential,
+        # main.py:359-365), then one (year, situation, type) unit at a time in
+        # declared order (src/scraper/base/scraper.py:479-485).
         units = (
-            frontier_tbl.group_by(["priority"]).aggregate([]).sort_by("priority")
+            frontier_tbl.group_by(["host", "priority"])
+            .aggregate([])
+            .sort_by([("host", "ascending"), ("priority", "ascending")])
             if frontier_tbl is not None
-            else pa.table({"priority": pa.array([], pa.float32())})
+            else pa.table({"host": pa.array([], pa.string()), "priority": pa.array([], pa.float32())})
         )
-        for prio in units["priority"].to_pylist():
-            unit_frontier = frontier_tbl.filter(pc.equal(frontier_tbl["priority"], prio))
+        for host, prio in zip(units["host"].to_pylist(), units["priority"].to_pylist()):
+            unit_frontier = frontier_tbl.filter(
+                pc.and_(
+                    pc.equal(frontier_tbl["priority"], prio),
+                    pc.equal(frontier_tbl["host"], host),
+                )
+            )
             _bfs(
                 unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
@@ -300,58 +308,68 @@ def _bfs(
         # -------- generation barrier: pin this generation's blocks once --------
         fetched = fetched.materialize()
 
-        n_after_seen = fetched.count()
+        # All bookkeeping (lineage, errors, counters, host clocks) is computed
+        # from the generation's *metadata* columns — zero-copy views of the
+        # materialized blocks, no extra Dataset executions.  Payload columns
+        # stay in the object store and only flow through decode→write.
+        meta = pa.concat_tables(
+            [ray.get(r).select(LINEAGE_COLUMNS) for r in fetched.to_arrow_refs()]
+        ).combine_chunks()
+        n_after_seen = meta.num_rows
         dropped = n_frontier - n_after_seen
-
-        errors = fetched.filter(expr="status == 'error'")
-        docs = fetched.filter(expr="status == 'ok' and kind == 'doc'")
-        listings = fetched.filter(expr="status == 'ok' and kind == 'listing'")
-
-        n_err = errors.count()
+        status = meta["status"]
+        kind = meta["kind"]
+        n_err = int(pc.sum(pc.equal(status, "error")).as_py() or 0)
+        n_docs = int(
+            pc.sum(pc.and_(pc.equal(status, "ok"), pc.equal(kind, "doc"))).as_py() or 0
+        )
+        n_listings = int(
+            pc.sum(pc.and_(pc.equal(status, "ok"), pc.equal(kind, "listing"))).as_py() or 0
+        )
         if n_err:
-            errors.select_columns(LINEAGE_COLUMNS).write_parquet(
-                os.path.join(out_dir, "errors", f"gen={gen}")
+            err_dir = os.path.join(out_dir, "errors")
+            os.makedirs(err_dir, exist_ok=True)
+            pq.write_table(
+                meta.filter(pc.equal(status, "error")),
+                os.path.join(err_dir, f"gen-{gen}.parquet"),
             )
+        if cfg.write_lineage and n_after_seen:
+            lin_dir = os.path.join(out_dir, "lineage")
+            os.makedirs(lin_dir, exist_ok=True)
+            pq.write_table(meta, os.path.join(lin_dir, f"gen-{gen}.parquet"))
+        if n_after_seen:
+            sched = meta.group_by("host").aggregate([("scheduled_ts", "max")])
+            for h, ts in zip(
+                sched["host"].to_pylist(), sched["scheduled_ts_max"].to_pylist()
+            ):
+                clocks[h] = max(clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0)
 
-        decoded = docs.map_batches(
-            DecodeActor,
-            fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
-            batch_format="pyarrow",
-            batch_size=min(cfg.batch_size, 1024),
-            concurrency=cfg.decode_concurrency,
-            num_cpus=1,
-        )
-        doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
-        decoded = decoded.map_batches(
-            lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
-        )
-        docs_path = os.path.join(out_dir, "docs", f"gen={gen}")
-        n_docs = docs.count()
         if n_docs:
-            decoded.write_parquet(docs_path, partition_cols=["year", "type", "situation"])
-
-        if cfg.write_lineage:
-            fetched.select_columns(LINEAGE_COLUMNS).write_parquet(
-                os.path.join(out_dir, "lineage", f"gen={gen}")
+            docs = fetched.filter(expr="status == 'ok' and kind == 'doc'")
+            decoded = docs.map_batches(
+                DecodeActor,
+                fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
+                batch_format="pyarrow",
+                batch_size=min(cfg.batch_size, 1024),
+                concurrency=cfg.decode_concurrency,
+                num_cpus=1,
             )
-
-        # advance host clocks from this generation's schedule (tiny: n_hosts rows)
-        sched = (
-            fetched.groupby("host").max("scheduled_ts").to_pandas()
-            if n_after_seen
-            else None
-        )
-        if sched is not None:
-            for _, row in sched.iterrows():
-                h = row["host"]
-                clocks[h] = max(
-                    clocks.get(h, 0.0),
-                    float(row["max(scheduled_ts)"]) + delays_ms.get(h, 0) / 1000.0,
-                )
+            doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
+            decoded = decoded.map_batches(
+                lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
+            )
+            decoded.write_parquet(
+                os.path.join(out_dir, "docs", f"gen={gen}"),
+                partition_cols=["year", "type", "situation"],
+            )
 
         # next frontier = exploded out_links of this generation's listings
-        nxt = listings.map_batches(_explode_links, batch_format="pyarrow")
-        frontier_tbl = _collect_frontier(nxt)
+        if n_listings:
+            listings = fetched.filter(expr="status == 'ok' and kind == 'listing'")
+            nxt = listings.map_batches(_explode_links, batch_format="pyarrow")
+            frontier_tbl = _collect_frontier(nxt)
+        else:
+            frontier_tbl = None
 
         res.per_generation.append(
             {

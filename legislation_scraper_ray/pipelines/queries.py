@@ -1,0 +1,670 @@
+"""Query registry: every operator family from SURVEY.md §2 + the training-data
+operator suite, each as a Ray Data pipeline over the driver's parquet tables,
+paired (where SQL-expressible) with a DuckDB oracle in ``ORACLE_SQL``.
+
+Conventions:
+- each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table;
+- computed/aggregate column names match the oracle SQL exactly;
+- float aggregates are rounded (2–4 dp) in BOTH engines so value-hash
+  comparison is insensitive to summation order;
+- reads prune columns (``columns=[...]``) — never load what the query ignores;
+- grouped aggregates pre-aggregate per batch (``pa.Table.group_by`` inside
+  ``map_batches``) before the Ray ``groupby`` shuffle, so the all-to-all
+  exchange moves one row per (batch × key), not per input row.
+
+Reference-operator mapping (file:line references are to /root/reference):
+- A1/A5 running counts & tallies (federal_legislation/scrape.py:365-369)    → q1_agg, counts_by_lang_source
+- A3 exact dedup by url (datasets/build_dataset.py:204)                     → dedup_first_by_text
+- A4 max-scan resume (database/saver.py:48-61)                              → last_event_per_user
+- J1/T5 small-dim broadcast join (state_legislation/paraiba.py:121-145)     → supplier_revenue
+- M2/S4 pagination count → pages (federal_legislation/scrape.py:285)        → order_pages
+- M9 situation inference by regex (state_legislation/parana.py:536-543)     → situation_label
+- M13 empty/short filter (state_legislation/amazonas.py:89-104 min-len 70)  → valid_docs_by_lang
+- O1/O2 ordering + page-size limits (base/scraper.py:107,479-485)           → orders_priority_order, top_events_by_value
+- §2.7 union of seed lists (federal_legislation/scrape.py:26)               → union_sources
+- §2.8 scalar/json functions (conama/scrape.py:117-130)                     → props_sum_by_type
+- §2.9 streaming windows (saver queue drain, saver.py:63-87)                → events_minute_window
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(x, n: int):
+    """Round half away from zero — matches SQL ROUND (numpy/pandas/pyarrow
+    default to half-even, which diverges on exact ties like 0.03125)."""
+    scale = 10.0**n
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+# --------------------------------------------------------------------------
+# grouped aggregates (partial-aggregation pattern)
+# --------------------------------------------------------------------------
+
+
+def q1_agg(sf_dir: str):
+    """TPC-H-Q1-shaped tally: per (returnflag, linestatus) sums/avg/count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("disc_price", "sum"),
+             ("l_discount", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "p_qty", "p_price", "p_disc_price", "p_disc", "p_n"]
+        )
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="sum_qty"),
+        Sum("p_price", alias_name="sum_base_price"),
+        Sum("p_disc_price", alias_name="sum_disc_price"),
+        Sum("p_disc", alias_name="s_disc"),
+        Sum("p_n", alias_name="n"),
+    )
+    df = agg.to_pandas()
+    df["avg_disc"] = _round(df["s_disc"] / df["n"], 4)
+    df["sum_qty"] = _round(df["sum_qty"], 2)
+    df["sum_base_price"] = _round(df["sum_base_price"], 2)
+    df["sum_disc_price"] = _round(df["sum_disc_price"], 2)
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_disc", "n"]]
+
+
+def counts_by_lang_source(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+
+
+def last_event_per_user(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").aggregate(Max("ts", alias_name="last_ts"), Count(alias_name="n"))
+
+
+def order_pages(sf_dir: str):
+    """Pagination fan-out arithmetic: pages = n // per_page + 1 (scrape.py:285)."""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+
+    def pages(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        return t.append_column("pages", pa.array(n // 10 + 1, pa.int64()))
+
+    return agg.map_batches(pages, batch_format="pyarrow")
+
+
+def events_minute_window(sf_dir: str):
+    """Tumbling 1-minute window per event_type (streaming-window analog)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.append_column("minute", pa.array(us // 60_000_000, pa.int64()))
+        g = t.group_by(["event_type", "minute"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return g.rename_columns(["event_type", "minute", "p_sum", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = parts.groupby(["event_type", "minute"]).aggregate(
+        Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n")
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = _round(df["sum_value"], 2)
+    return df[["event_type", "minute", "n", "sum_value"]]
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+
+def supplier_revenue(sf_dir: str):
+    """Broadcast small-side hash join: supplier dim → revenue per supplier.
+
+    The dim table is ray.put once; each batch does a vectorized searchsorted
+    lookup — no shuffle join for a 10-row dimension."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    order = pc.sort_indices(supp["s_suppkey"])
+    keys = supp["s_suppkey"].take(order).to_numpy()
+    names = np.asarray(supp["s_name"].take(order).to_pylist(), dtype=object)
+    ref = ray.put((keys, names))
+
+    class JoinPartial:
+        def __init__(self):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, sk)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            sname = self.names[pos]
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            tt = pa.table({"s_name": pa.array(sname.tolist()), "rev": rev})
+            g = tt.group_by("s_name").aggregate([("rev", "sum"), ("rev", "count")])
+            return g.rename_columns(["s_name", "p_rev", "p_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    parts = ds.map_batches(JoinPartial, batch_format="pyarrow", batch_size=65536, concurrency=2)
+    agg = parts.groupby("s_name").aggregate(
+        Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n")
+    )
+    df = agg.to_pandas()
+    df["revenue"] = _round(df["revenue"], 2)
+    return df
+
+
+# --------------------------------------------------------------------------
+# filters / maps / scalar functions
+# --------------------------------------------------------------------------
+
+
+def valid_docs_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], 70)), batch_format="pyarrow"
+    )
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def situation_label(sf_dir: str):
+    """Regex situation inference (M9): 'window' in text ⇒ revoked."""
+
+    def label(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring(t["text"], "window")
+        lab = pc.if_else(hit, pa.scalar("revoked"), pa.scalar("valid"))
+        return pa.table({"situation": lab})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return ds.map_batches(label, batch_format="pyarrow").groupby("situation").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def props_sum_by_type(sf_dir: str):
+    """JSON field navigation (§2.8) vectorized via Arrow regex extract."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        kv = pc.cast(pc.struct_field(k, "k"), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": kv})
+        g = tt.group_by("event_type").aggregate([("k", "sum")])
+        return g.rename_columns(["event_type", "p_k"])
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return parts.groupby("event_type").aggregate(Sum("p_k", alias_name="sum_k"))
+
+
+# --------------------------------------------------------------------------
+# sorts / top-k / union
+# --------------------------------------------------------------------------
+
+
+def top_events_by_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+def orders_priority_order(sf_dir: str):
+    """Deterministic crawl-order analog (O2): lexicographic priority sort."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return ds.sort(["o_orderdate", "o_orderpriority", "o_orderkey"]).limit(500)
+
+
+def union_sources(sf_dir: str):
+    a = _read(sf_dir, "documents", ["lang", "source"]).filter(expr="source == 'src0'")
+    b = _read(sf_dir, "documents", ["lang", "source"]).filter(expr="source == 'src1'")
+    return a.union(b).groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def token_stats_docs(sf_dir: str):
+    from ..functions.text import token_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: token_stats(t).select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def quality_by_lang(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(pc.split_pattern(t["text"], " ")).cast(pa.int64())
+        tt = pa.table({"lang": t["lang"], "n_chars": t["n_chars"], "n_tok": n_tok})
+        g = tt.group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_tok", "sum"), ("n_chars", "count")]
+        )
+        return g.rename_columns(["lang", "p_chars", "p_tok", "p_n"])
+
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("p_chars", alias_name="s_chars"),
+        Sum("p_tok", alias_name="s_tok"),
+        Sum("p_n", alias_name="n"),
+    )
+    df = agg.to_pandas()
+    df["avg_chars"] = _round(df["s_chars"] / df["n"], 2)
+    df["avg_tokens"] = _round(df["s_tok"] / df["n"], 2)
+    return df[["lang", "avg_chars", "avg_tokens", "n"]]
+
+
+def stopword_ratio_docs(sf_dir: str):
+    from ..functions.text import quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        q = quality_features(t)
+        r = pa.array(_round(q["stopword_ratio"].to_numpy(zero_copy_only=False), 4), pa.float64())
+        return pa.table({"doc_id": q["doc_id"], "stopword_ratio": r})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def lang_id_docs(sf_dir: str):
+    from ..functions.text import lang_id
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: lang_id(t).select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def fingerprint_docs(sf_dir: str):
+    from ..functions.text import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: fingerprint(t).select(["doc_id", "fp_exact", "fp_shingle_min"]),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def dedup_first_by_text(sf_dir: str):
+    """Exact dedup, reference semantics (first-wins by doc_id).  Hash-partition
+    on content_hash (8-byte shuffle key); text travels only inside its group."""
+    from ..functions.dedup import add_content_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id")
+        return pd.DataFrame(
+            {"text": [g["text"].iloc[0]], "first_doc_id": [g["doc_id"].iloc[0]],
+             "n_copies": [len(g)]}
+        )
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+
+def minhash_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates, verified with exact shingle Jaccard.
+
+    shingle→minhash→band→bucket groupby→verify (the canonical web-dedup
+    pipeline).  At the driver's scales the corpus has no near-dups, so the
+    verified set equals the identical-text set (the SQL oracle)."""
+    from ..functions.dedup import bucket_candidate_pairs, jaccard_shingles, minhash_signatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
+    cands = sigs.groupby(["band", "band_hash"]).map_groups(
+        bucket_candidate_pairs, batch_format="pandas"
+    )
+    # dedupe candidate pairs discovered in multiple bands
+    uniq = cands.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    texts = {
+        int(i): t
+        for i, t in zip(*_doc_texts(sf_dir))
+    }
+    text_ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_pairs("doc_a", "doc_b", "jaccard")
+            ta = [self.texts[int(x)] for x in df["doc_a"]]
+            tb = [self.texts[int(x)] for x in df["doc_b"]]
+            jac = jaccard_shingles(ta, tb)
+            out = df.assign(jaccard=_round(jac, 4))
+            return out[out["jaccard"] >= 0.95][["doc_a", "doc_b", "jaccard"]]
+
+    out = uniq.map_batches(Verify, batch_format="pandas", concurrency=2).to_pandas()
+    if out.empty:
+        out = _empty_pairs("doc_a", "doc_b", "jaccard")
+    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def _empty_pairs(a: str, b: str, value_col: str | None = None, value_dtype: str = "float64"):
+    cols = {a: pd.Series(dtype="int64"), b: pd.Series(dtype="int64")}
+    if value_col:
+        cols[value_col] = pd.Series(dtype=value_dtype)
+    return pd.DataFrame(cols)
+
+
+def _doc_texts(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup: band on 4×16-bit chunks, verify Hamming ≤ 3."""
+    from ..functions.dedup import hamming64, simhash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sh = ds.map_batches(
+        lambda t: simhash64(t).select(
+            ["doc_id", "simhash", "simhash_band0", "simhash_band1", "simhash_band2", "simhash_band3"]
+        ),
+        batch_format="pyarrow",
+    )
+    exploded = sh.map_batches(_explode_simhash_bands, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        hs = d["simhash"].to_numpy(dtype=np.uint64)
+        if len(ids) < 2:
+            return _empty_pairs("doc_a", "doc_b", value_col="hamming", value_dtype="int64")
+        ii, jj = np.triu_indices(len(ids), k=1)
+        hd = hamming64(hs[ii], hs[jj])
+        keep = hd <= 3
+        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": hd[keep]})
+
+    pairs = exploded.groupby(["band_idx", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    out = uniq.to_pandas()
+    if out.empty:
+        out = _empty_pairs("doc_a", "doc_b", value_col="hamming", value_dtype="int64")
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+
+
+def _explode_simhash_bands(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    parts = []
+    for bidx in range(4):
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "simhash": t["simhash"],
+                    "band_idx": pa.array(np.full(n, bidx, np.int32)),
+                    "band_val": t[f"simhash_band{bidx}"],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup (cos ≥ 0.99) via hyperplane-LSH buckets +
+    within-bucket numpy verification."""
+    from ..functions.ann import _as_matrix, normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..functions.dedup import hyperplane_bucket
+
+        vecs = normalize(_as_matrix(t["embedding"]))
+        b = hyperplane_bucket(vecs, n_bits=6)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(d) < 2:
+            return _empty_pairs("vec_a", "vec_b", "cos_sim")
+        V = normalize(np.vstack(d["embedding"].to_numpy()).astype(np.float64))
+        S = V @ V.T
+        ii, jj = np.triu_indices(len(d), k=1)
+        keep = S[ii, jj] >= 0.99
+        ids = d["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep],
+             "cos_sim": _round(S[ii, jj][keep], 4)}
+        )
+
+    out = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = _empty_pairs("vec_a", "vec_b", "cos_sim")
+    return out.astype({"vec_a": "int64", "vec_b": "int64"})
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs a broadcast query (vec_id 0): numpy matmul
+    per batch, per-batch partial top-k, tiny final merge."""
+    from ..functions.ann import BruteForceTopK, merge_topk, normalize
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_emb = None
+    for i, v in enumerate(qt["vec_id"].to_pylist()):
+        if v == 0:
+            q_emb = np.asarray(qt["embedding"][i].as_py(), dtype=np.float64)
+            break
+    q = normalize(q_emb[None, :])
+    ref = ray.put((np.array([0], dtype=np.int64), q))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k), batch_format="pandas"
+    )
+    df = merged.to_pandas()
+    df["cos_sim"] = _round(df["cos_sim"], 4)
+    return df[["vec_id", "cos_sim", "rank"]]
+
+
+# --------------------------------------------------------------------------
+# crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
+# --------------------------------------------------------------------------
+
+
+def crawl_seen_set(sf_dir: str):
+    """Run the full crawl at the scale matching sf_dir; return the final
+    URL-seen set with per-URL lineage (generation, host, status)."""
+    import glob
+    import os
+
+    from ..sources.corpus import corpus_dir_for_sf
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    out = f"/tmp/graft_crawl_query/{os.path.basename(corpus_dir)}"
+    run_crawl(
+        corpus_dir, out,
+        CrawlConfig(n_seen_shards=4, fetch_concurrency=4, decode_concurrency=2, checkpoint=False),
+    )
+    files = sorted(glob.glob(f"{out}/lineage/*.parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    return tbl.sort_by("url_hash")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_agg": q1_agg,
+    "counts_by_lang_source": counts_by_lang_source,
+    "last_event_per_user": last_event_per_user,
+    "order_pages": order_pages,
+    "events_minute_window": events_minute_window,
+    "supplier_revenue": supplier_revenue,
+    "valid_docs_by_lang": valid_docs_by_lang,
+    "situation_label": situation_label,
+    "props_sum_by_type": props_sum_by_type,
+    "top_events_by_value": top_events_by_value,
+    "orders_priority_order": orders_priority_order,
+    "union_sources": union_sources,
+    "token_stats_docs": token_stats_docs,
+    "quality_by_lang": quality_by_lang,
+    "stopword_ratio_docs": stopword_ratio_docs,
+    "lang_id_docs": lang_id_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "dedup_first_by_text": dedup_first_by_text,
+    "minhash_dup_pairs": minhash_dup_pairs,
+    "simhash_dup_pairs": simhash_dup_pairs,
+    "embedding_dup_pairs": embedding_dup_pairs,
+    "ann_topk": ann_topk,
+    "crawl_seen_set": crawl_seen_set,
+}
+
+_STOP_SQL = "('the','a','of','and','to','in')"
+
+ORACLE_SQL = {
+    "q1_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "counts_by_lang_source": "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source",
+    "last_event_per_user": "SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n FROM events GROUP BY user_id",
+    "order_pages": """
+        SELECT o_custkey, COUNT(*) AS n_orders, COUNT(*) // 10 + 1 AS pages
+        FROM orders GROUP BY o_custkey
+    """,
+    "events_minute_window": """
+        SELECT event_type, CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT) AS minute,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY event_type, minute
+    """,
+    "supplier_revenue": """
+        SELECT s_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name
+    """,
+    "valid_docs_by_lang": "SELECT lang, COUNT(*) AS n FROM documents WHERE n_chars >= 70 GROUP BY lang",
+    "situation_label": """
+        SELECT CASE WHEN text LIKE '%window%' THEN 'revoked' ELSE 'valid' END AS situation,
+               COUNT(*) AS n
+        FROM documents GROUP BY 1
+    """,
+    "props_sum_by_type": """
+        SELECT event_type, SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "top_events_by_value": "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+    "orders_priority_order": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+        ORDER BY o_orderdate, o_orderpriority, o_orderkey LIMIT 500
+    """,
+    "union_sources": """
+        SELECT lang, COUNT(*) AS n FROM (
+            SELECT lang FROM documents WHERE source = 'src0'
+            UNION ALL SELECT lang FROM documents WHERE source = 'src1'
+        ) GROUP BY lang
+    """,
+    "token_stats_docs": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    "quality_by_lang": """
+        SELECT lang, ROUND(AVG(n_chars), 2) AS avg_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens, COUNT(*) AS n
+        FROM documents GROUP BY lang
+    """,
+    "stopword_ratio_docs": f"""
+        SELECT doc_id,
+               ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents
+    """,
+    "dedup_first_by_text": """
+        SELECT text, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    # exact token-3-gram Jaccard over all candidate pairs (pairs sharing ≥1
+    # shingle) — the brute-force ground truth the MinHash+LSH pipeline must
+    # reproduce at threshold 0.95.  LSH miss probability at J=0.95 with
+    # 32 bands × 4 rows is (1-J^4)^32 ≈ 1e-23, so exact equality is expected.
+    "minhash_dup_pairs": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        shd AS (
+            SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+            FROM w a
+            JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+            FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+    """,
+    "embedding_dup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS raw
+            FROM embeddings
+        )
+        SELECT vec_id, ROUND(raw, 4) AS cos_sim,
+               CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank
+        FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    # simhash_dup_pairs, lang_id_docs, fingerprint_docs, crawl_seen_set:
+    # intentionally no SQL oracle (approximate / non-SQL-expressible); the
+    # driver records rows-only checks and pytest covers them with planted-dup
+    # fixtures / the reference-semantics simulator.
+}

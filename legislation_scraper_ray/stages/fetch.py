@@ -4,26 +4,39 @@ Reference analog: the retrying HTTP fetcher (S1,
 src/scraper/base/scraper.py:203-257 — 5 attempts, 5 s sleep, soft-error
 detection by body text and 429/503 status) and the session-stateful fetcher
 (S2, :120,129-132).  In this hermetic sandbox "the web" is the broadcast
-``web_graph`` + ``corpus`` tables: a fetch is a hash-map lookup, failures are
-driven by the graph's ``fail_mode`` column, and retry/backoff cost is accounted
-in *virtual time* so the scheduler semantics are real without wall-clock
-sleeps.
+``web_graph`` + ``corpus`` tables: a fetch is a keyed lookup, failures are
+driven by the graph's ``fail_mode`` column, and retry/backoff cost is
+simulated deterministically so the scheduler semantics are real without
+wall-clock sleeps.
 
-Broadcast pattern: the graph/corpus tables are ``ray.put`` once by the driver;
-every actor ``ray.get``s them in ``__init__`` (zero-copy shared-memory read —
-NOT re-shipped per batch) and builds its url→row index once.  At real scale the
-lookup side would be live HTTP; everything downstream is unchanged.
+Broadcast + lookup design (scale-conscious):
+
+- ``prepare_web`` runs ONCE on the driver: hash every graph URL, sort the
+  table by ``url_hash``, precompute ``image_idx`` (corpus row ordinal) and
+  ``fail_code``.  The sorted table is ``ray.put`` once.
+- each actor ``ray.get``s it in ``__init__`` — a zero-copy shared-memory view,
+  NOT re-shipped per batch — and keeps only numpy views; there is no per-actor
+  Python index build (a dict of 10^10 URLs would never fit; a sorted-hash
+  binary search shards naturally).
+- ``__call__`` is fully vectorized: np.searchsorted URL→row, vectorized retry
+  accounting, one Arrow ``take`` for graph columns and one for corpus payloads.
+
+At real scale the lookup side is live HTTP; everything downstream is unchanged.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
+
+from ..functions.hashing import hash64
 
 RETRY_SLEEP_S = 5.0  # mirrors the reference's 5 s retry sleep (base/scraper.py:213,242-249)
 MAX_ATTEMPTS = 5  # mirrors the reference's 5-attempt budget
 
+FAIL_NONE, FAIL_SOFT, FAIL_HARD = 0, 1, 2
 
 OUT_SCHEMA_EXTRA = [
     ("status", pa.string()),  # ok | error
@@ -46,71 +59,75 @@ OUT_SCHEMA_EXTRA = [
 ]
 
 
+def prepare_web(graph: pa.Table, corpus: pa.Table) -> pa.Table:
+    """Driver-side one-time prep: url_hash sort key + corpus ordinal + fail code."""
+    hashes = hash64(graph["url"])
+    img_ord = {im: i for i, im in enumerate(corpus["image_id"].to_pylist())}
+    image_idx = np.array(
+        [img_ord.get(im, -1) if im is not None else -1 for im in graph["image_id"].to_pylist()],
+        dtype=np.int64,
+    )
+    fm = graph["fail_mode"].to_pylist()
+    fail_code = np.array(
+        [
+            FAIL_NONE if m is None else (FAIL_HARD if m == "hard_error" else FAIL_SOFT)
+            for m in fm
+        ],
+        dtype=np.int8,
+    )
+    g = graph.append_column("url_hash", pa.array(hashes, pa.uint64()))
+    g = g.append_column("image_idx", pa.array(image_idx, pa.int64()))
+    g = g.append_column("fail_code", pa.array(fail_code, pa.int8()))
+    return g.sort_by("url_hash")
+
+
 class FetchActor:
     """map_batches callable class → one actor per pool slot.
 
-    ``__init__`` (once per actor): materialize the broadcast web/corpus index.
-    ``__call__`` (per batch): vectorized URL→row lookup, retry simulation,
+    ``__init__`` (once per actor): zero-copy views over the broadcast tables.
+    ``__call__`` (per batch): vectorized hash lookup, retry simulation,
     payload attach."""
 
     def __init__(self, graph_ref, corpus_ref):
-        graph: pa.Table = ray.get(graph_ref)
-        corpus: pa.Table = ray.get(corpus_ref)
-        self.graph = graph
-        self.corpus = corpus
-        urls = graph["url"].to_pylist()
-        self.url_index: dict[str, int] = {u: i for i, u in enumerate(urls)}
-        img_ids = corpus["image_id"].to_pylist()
-        self.img_index: dict[str, int] = {u: i for i, u in enumerate(img_ids)}
-        self.fail_mode = graph["fail_mode"].to_pylist()
-        self.graph_image = graph["image_id"].to_pylist()
+        self.graph: pa.Table = ray.get(graph_ref)
+        self.corpus: pa.Table = ray.get(corpus_ref)
+        self.g_hashes = self.graph["url_hash"].to_numpy()
+        self.g_fail = self.graph["fail_code"].to_numpy()
+        self.g_image_idx = self.graph["image_idx"].to_numpy()
         self.fetched = 0
-
-    def _attempts_for(self, idx: int, url_hash: int) -> tuple[int, str]:
-        """Simulated retry loop (semantics of base/scraper.py:213-257): soft
-        failures succeed after a deterministic 1–3 extra attempts; hard errors
-        exhaust the budget → error record."""
-        mode = self.fail_mode[idx]
-        if mode is None:
-            return 1, "ok"
-        if mode == "hard_error":
-            return MAX_ATTEMPTS, "error"
-        return 1 + (url_hash % 3 + 1), "ok"  # 2–4 attempts then success
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return _empty_out(batch)
-        urls = batch["url"].to_pylist()
-        hashes = batch["url_hash"].to_numpy(zero_copy_only=False)
-        statuses = np.empty(n, dtype=object)
-        attempts = np.zeros(n, dtype=np.int32)
-        gidx = np.full(n, -1, dtype=np.int64)
-        for i, u in enumerate(urls):
-            j = self.url_index.get(u, -1)
-            gidx[i] = j
-            if j < 0:
-                statuses[i] = "error"  # 404: URL not in the web
-                attempts[i] = 1
-            else:
-                a, s = self._attempts_for(j, int(hashes[i]))
-                attempts[i] = a
-                statuses[i] = s
-        ok = (statuses == "ok") & (gidx >= 0)
-        # graph-side columns via vectorized take (null row for misses/errors)
-        take_idx = pa.array([int(j) if m else None for j, m in zip(gidx, ok)], pa.int64())
-        g = self.graph.take(take_idx)
-        # corpus payload for doc rows
-        cidx = [
-            self.img_index.get(im, None) if m else None
-            for im, m in zip(g["image_id"].to_pylist(), ok)
-        ]
-        c = self.corpus.take(pa.array(cidx, pa.int64()))
+        h = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(self.g_hashes, h)
+        pos_c = np.minimum(pos, len(self.g_hashes) - 1)
+        found = self.g_hashes[pos_c] == h
+        fail = np.where(found, self.g_fail[pos_c], FAIL_NONE)
+        # retry simulation (semantics of base/scraper.py:213-257): soft failures
+        # succeed after a deterministic 1–3 extra attempts; hard errors exhaust
+        # the budget; unknown URLs are immediate 404s.
+        attempts = np.ones(n, dtype=np.int32)
+        attempts[fail == FAIL_SOFT] = 2 + (h[fail == FAIL_SOFT] % 3).astype(np.int32)
+        attempts[fail == FAIL_HARD] = MAX_ATTEMPTS
+        ok = found & (fail != FAIL_HARD)
+        status = np.where(ok, "ok", "error")
+
+        take_graph = pa.array(np.where(ok, pos_c, -1), pa.int64())
+        take_graph = pc.if_else(pc.not_equal(take_graph, -1), take_graph, pa.scalar(None, pa.int64()))
+        g = self.graph.take(take_graph)
+        img_idx = np.where(ok, self.g_image_idx[pos_c], -1)
+        take_corpus = pa.array(img_idx, pa.int64())
+        take_corpus = pc.if_else(
+            pc.not_equal(take_corpus, -1), take_corpus, pa.scalar(None, pa.int64())
+        )
+        c = self.corpus.take(take_corpus)
         self.fetched += int(ok.sum())
         cols = {name: batch[name] for name in batch.schema.names}
         cols.update(
             {
-                "status": pa.array(statuses.tolist(), pa.string()),
+                "status": pa.array(status.tolist(), pa.string()),
                 "attempts": pa.array(attempts, pa.int32()),
                 "kind": g["kind"],
                 "out_links": g["out_links"],

@@ -83,10 +83,9 @@ class CuckooFilter:
         for j in novel:
             self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]), int(uniq[j]))
         # expand back: a key is "new" only at its first occurrence in the batch
+        # (fancy indexing keeps first_idx ↔ present_uniq aligned in uniq order)
         was_present = np.ones(len(keys), dtype=bool)
-        first_occurrence = np.zeros(len(keys), dtype=bool)
-        first_occurrence[first_idx] = True
-        was_present[first_occurrence] = present_uniq
+        was_present[first_idx] = present_uniq
         return was_present
 
     def _insert_one(self, fp: int, i1: int, i2: int, key: int) -> None:
