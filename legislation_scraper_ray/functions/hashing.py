@@ -118,9 +118,12 @@ def extract_hosts(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized host extraction via Arrow regex."""
     import pyarrow.compute as pc
 
-    return _as_array(
+    parts = _as_array(
         pc.extract_regex(values_to_chunked(urls).combine_chunks(), r"^https?://(?P<host>[^/]+)")
-    ).field("host")
+    )
+    host = parts.field("host")
+    # struct-level nulls don't propagate to child fields — mask them explicitly
+    return pc.if_else(pc.is_valid(parts), host, pa.scalar(None, pa.string()))
 
 
 def _as_array(x):

@@ -96,6 +96,9 @@ class CrawlConfig:
     decode_concurrency: int = 4
     batch_size: int = 4096
     order: str = "bfs"  # bfs | strict
+    compute: str = "actors"  # actors (stateful pools, the at-scale path) |
+    # tasks (stateless task pools — same semantics since fetch/decode state is a
+    # zero-copy plasma view; avoids per-generation pool spin-up in short tests)
     max_generations: int = 64
     checkpoint: bool = True
     write_lineage: bool = True
@@ -291,14 +294,21 @@ def _bfs(
         # into scheduled_ts, so the hot host's single group block can be split
         # across the whole fetch pool (hot-host skew handling, SURVEY.md §4)
         frontier = frontier.repartition(n_blocks)
-        fetched = frontier.map_batches(
-            FetchActor,
-            fn_constructor_args=(graph_ref, corpus_ref),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-        )
+        if cfg.compute == "actors":
+            fetched = frontier.map_batches(
+                FetchActor,
+                fn_constructor_args=(graph_ref, corpus_ref),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=1,
+            )
+        else:
+            fetched = frontier.map_batches(
+                _make_fetch_fn(graph_ref, corpus_ref),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+            )
         fetched = fetched.map_batches(
             lambda b, g=gen: b.append_column(
                 "generation", pa.array(np.full(b.num_rows, g, np.int32))
@@ -346,14 +356,21 @@ def _bfs(
 
         if n_docs:
             docs = fetched.filter(expr="status == 'ok' and kind == 'doc'")
-            decoded = docs.map_batches(
-                DecodeActor,
-                fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
-                batch_format="pyarrow",
-                batch_size=min(cfg.batch_size, 1024),
-                concurrency=cfg.decode_concurrency,
-                num_cpus=1,
-            )
+            if cfg.compute == "actors":
+                decoded = docs.map_batches(
+                    DecodeActor,
+                    fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
+                    batch_format="pyarrow",
+                    batch_size=min(cfg.batch_size, 1024),
+                    concurrency=cfg.decode_concurrency,
+                    num_cpus=1,
+                )
+            else:
+                decoded = docs.map_batches(
+                    DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                    batch_format="pyarrow",
+                    batch_size=min(cfg.batch_size, 1024),
+                )
             doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
             decoded = decoded.map_batches(
                 lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
@@ -394,6 +411,16 @@ def _bfs(
         _save_checkpoint(
             ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation, final=exhausted
         )
+
+
+def _make_fetch_fn(graph_ref, corpus_ref):
+    """Task-pool fetch: builds a FetchActor per task — cheap because its state
+    is a zero-copy plasma view (no index construction)."""
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        return FetchActor(graph_ref, corpus_ref)(batch)
+
+    return fetch
 
 
 def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:

@@ -47,13 +47,28 @@ class CuckooFilter:
         self.table = np.zeros((self.n_buckets, 4), dtype=np.uint16)
         self.count = 0
         self.rng = np.random.default_rng(seed)
-        self.overflow: set[int] = set()  # keys whose eviction chain exceeded MAX_KICKS
+        # fingerprints displaced by a failed eviction chain: (bucket, fp) pairs
+        # (standard cuckoo stash — guarantees zero false negatives at overload)
+        self.stash: list[tuple[int, int]] = []
+
+    @staticmethod
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer — makes fp/bucket derivation robust to
+        arbitrary key distributions (e.g. small sequential integers whose high
+        48 bits are all zero)."""
+        x = x.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
 
     # ---- key → (fingerprint, bucket1, bucket2), all vectorized ----
     def _derive(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        keys = keys.astype(np.uint64, copy=False)
-        fp = ((keys >> np.uint64(48)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
-        i1 = (keys & self.mask).astype(np.uint64)
+        m = self._mix64(np.asarray(keys))
+        fp = ((m >> np.uint64(48)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+        i1 = (m & self.mask).astype(np.uint64)
         i2 = (i1 ^ ((fp.astype(np.uint64) * _MIX) & self.mask)).astype(np.uint64)
         return fp, i1, i2
 
@@ -65,10 +80,8 @@ class CuckooFilter:
         hit = (self.table[i1] == fp[:, None]).any(axis=1) | (
             self.table[i2] == fp[:, None]
         ).any(axis=1)
-        if self.overflow:
-            for j in np.nonzero(~hit)[0]:
-                if int(keys[j]) in self.overflow:
-                    hit[j] = True
+        for si, sfp in self.stash:
+            hit |= (fp == np.uint16(sfp)) & ((i1 == np.uint64(si)) | (i2 == np.uint64(si)))
         return hit
 
     def add_batch(self, keys: np.ndarray) -> np.ndarray:
@@ -96,12 +109,16 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        # evict
+        # evict — if the chain exceeds MAX_KICKS, the fingerprint left in hand
+        # (which belongs to some *other*, previously stored key) goes to the
+        # stash together with the bucket it was displaced from, so membership
+        # never produces a false negative even at overload.
         i = i1 if self.rng.integers(2) else i2
         cur = np.uint16(fp)
         for _ in range(self.MAX_KICKS):
             slot = int(self.rng.integers(4))
             cur, self.table[i, slot] = self.table[i, slot], cur
+            prev_bucket = i
             i = self._alt(cur, i)
             row = self.table[i]
             empty = np.nonzero(row == 0)[0]
@@ -109,7 +126,7 @@ class CuckooFilter:
                 row[empty[0]] = cur
                 self.count += 1
                 return
-        self.overflow.add(key)  # never lose a key (no false negatives), even at overload
+        self.stash.append((int(prev_bucket), int(cur)))
         self.count += 1
 
     @property
@@ -123,7 +140,7 @@ class CuckooFilter:
             buf,
             table=self.table,
             count=np.int64(self.count),
-            overflow=np.array(sorted(self.overflow), dtype=np.uint64),
+            stash=np.array(self.stash or np.empty((0, 2)), dtype=np.uint64).reshape(-1, 2),
             rng_state=np.frombuffer(
                 self.rng.bit_generator.state["state"]["state"].to_bytes(16, "little"), np.uint8
             ),
@@ -138,7 +155,7 @@ class CuckooFilter:
         obj.n_buckets = obj.table.shape[0]
         obj.mask = np.uint64(obj.n_buckets - 1)
         obj.count = int(z["count"])
-        obj.overflow = set(int(x) for x in z["overflow"])
+        obj.stash = [(int(a), int(b)) for a, b in z["stash"]]
         obj.rng = np.random.default_rng(42)
         st = obj.rng.bit_generator.state
         st["state"]["state"] = int.from_bytes(z["rng_state"].tobytes(), "little")

@@ -65,7 +65,8 @@ def test_cuckoo_mode_matches_exact(ray_session, t1_dir, tmp_path_factory):
 
     out_c = str(tmp_path_factory.mktemp("cuckoo"))
     res_c = run_crawl(
-        t1_dir, out_c, CrawlConfig(n_seen_shards=2, seen_mode="cuckoo", checkpoint=False)
+        t1_dir, out_c,
+        CrawlConfig(n_seen_shards=2, seen_mode="cuckoo", compute="tasks", checkpoint=False),
     )
     from legislation_scraper_ray.oracle.simulator import simulate
 
@@ -79,7 +80,7 @@ def test_resume_exactness(ray_session, t1_dir, tmp_path_factory):
 
     full = str(tmp_path_factory.mktemp("full"))
     part = str(tmp_path_factory.mktemp("part"))
-    cfg = dict(n_seen_shards=2, fetch_concurrency=2, decode_concurrency=2)
+    cfg = dict(n_seen_shards=2, compute="tasks")
     run_crawl(t1_dir, full, CrawlConfig(**cfg))
     run_crawl(t1_dir, part, CrawlConfig(**cfg, max_generations=1))
     run_crawl(t1_dir, part, CrawlConfig(**cfg), resume=True)

@@ -21,6 +21,7 @@ def strict_run(ray_session, t1_dir, tmp_path_factory):
         fetch_concurrency=2,
         decode_concurrency=2,
         order="strict",
+        compute="tasks",
         checkpoint=False,
     )
     return run_crawl(t1_dir, out, cfg), out
