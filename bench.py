@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Headline: the flagship crawl over the bench-scale synthetic corpus
+(~455k-URL frontier, 50k-image corpus, Zipf hot host) — pages fetched/sec and
+frontier-dedup ops/sec, per BASELINE.json.  Plus representative queries over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling`` runs the same job in two fresh subprocesses at num_cpus=4 and 16
+and reports throughput at both plus scaling efficiency (the sandbox stand-in
+for the N vs 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_agg",
+    "supplier_revenue",
+    "events_minute_window",
+    "dedup_first_by_text",
+    "minhash_dup_pairs",
+    "ann_topk",
+    "token_stats_docs",
+]
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from legislation_scraper_ray.sources.corpus import generate
+    from legislation_scraper_ray.state.seen import ShardedSeenSet
+
+    corpus_dir = generate("bench")
+
+    # untimed warmup: spawn the worker pool + import storm + page-cache the
+    # corpus before the timed run (one tiny crawl at t1 scale)
+    warm_dir = generate("t1")
+    run_crawl(
+        warm_dir,
+        "/tmp/graft_bench_warmup",
+        CrawlConfig(n_seen_shards=2, fetch_concurrency=4, decode_concurrency=2, checkpoint=False),
+    )
+
+    # ---- headline: the crawl ----
+    fetch_conc = max(2, NUM_CPUS // 2)
+    decode_conc = max(2, NUM_CPUS)
+    cfg = CrawlConfig(
+        n_seen_shards=max(4, NUM_CPUS // 4),
+        seen_mode="cuckoo",
+        seen_capacity_per_shard=1 << 21,
+        fetch_concurrency=fetch_conc,
+        decode_concurrency=decode_conc,
+        batch_size=8192,
+        checkpoint=False,
+        write_lineage=True,
+    )
+    t0 = time.perf_counter()
+    res = run_crawl(corpus_dir, "/tmp/graft_bench_crawl", cfg)
+    crawl_s = time.perf_counter() - t0
+    pages_per_sec = res.fetched_ok / crawl_s if crawl_s else 0.0
+
+    # ---- frontier-dedup ops/sec: pure seen-set throughput ----
+    import numpy as np
+
+    seen = ShardedSeenSet(n_shards=max(4, NUM_CPUS // 4), capacity_per_shard=1 << 22, mode="cuckoo")
+    rng = np.random.default_rng(7)
+    n_ops = 2_000_000
+    hashes = rng.integers(0, 2**63, size=n_ops, dtype=np.uint64)
+    t0 = time.perf_counter()
+    for lo in range(0, n_ops, 65536):
+        seen.check_and_add(hashes[lo : lo + 65536])
+    dedup_s = time.perf_counter() - t0
+    dedup_ops_per_sec = n_ops / dedup_s
+    seen.shutdown()
+
+    # ---- representative queries at $GRAFT_SF_DIR ----
+    from legislation_scraper_ray.pipelines.queries import QUERIES
+
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        out = QUERIES[name](SF_DIR)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        q_times[name] = round(time.perf_counter() - t0, 3)
+
+    total = crawl_s + sum(q_times.values())
+    result = {
+        "metric": "crawl+queries wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"crawl": round(crawl_s, 3), **q_times},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages_fetched": res.fetched_ok,
+        "pages_per_sec": round(pages_per_sec, 1),
+        "dedup_ops_per_sec": round(dedup_ops_per_sec, 1),
+        "docs_written": res.docs_written,
+        "dedup_dropped": res.dedup_dropped,
+        "generations": res.generations,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """N vs 4N parallelism on the same input (the sandbox stand-in for the
+    fixed-cluster N vs 4N node criterion).  Levels are 4 and 16: measured with
+    a pure-CPU burn, this box delivers 4.03x going 4->16 worker processes but
+    only 3.19x going 8->32 (SMT saturation), so 4->16 is the honest range in
+    which software scaling is observable at all."""
+    N_LO, N_HI = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(N_LO)  # warm OS page cache + corpus cache (untimed)
+    lo = run(N_LO)
+    hi = run(N_HI)
+    thr_lo = lo["pages_per_sec"]
+    thr_hi = hi["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (N_HI / N_LO)
+    return {
+        "metric": f"scaling efficiency (pages/sec, {N_LO}->{N_HI} cpus)",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"pages_per_sec_{N_LO}": thr_lo,
+        f"pages_per_sec_{N_HI}": thr_hi,
+        f"crawl_sec_{N_LO}": lo["queries"]["crawl"],
+        f"crawl_sec_{N_HI}": hi["queries"]["crawl"],
+        f"dedup_ops_per_sec_{N_LO}": lo["dedup_ops_per_sec"],
+        f"dedup_ops_per_sec_{N_HI}": hi["dedup_ops_per_sec"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

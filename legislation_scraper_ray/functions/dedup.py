@@ -98,6 +98,42 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "d
     )
 
 
+def mine_bucket_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized candidate-pair mining over one coarse hash partition of
+    (doc_id, band, band_hash) rows: lexsort by (band, band_hash), find runs of
+    equal bucket keys via np.diff, generate pairs only for the (rare) runs of
+    length ≥ 2.  No per-bucket task, no per-bucket pandas group."""
+    if not len(part_df):
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    band = part_df["band"].to_numpy()
+    bh = part_df["band_hash"].to_numpy(dtype=np.uint64)
+    ids = part_df["doc_id"].to_numpy()
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    new_run = np.empty(len(band), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    run_starts = np.nonzero(new_run)[0]
+    run_ends = np.append(run_starts[1:], len(band))
+    lens = run_ends - run_starts
+    multi = lens >= 2  # Python loop touches only the rare multi-member buckets
+    out_a, out_b = [], []
+    for s, e in zip(run_starts[multi], run_ends[multi]):
+        uniq = np.unique(ids[s:e])
+        if len(uniq) < 2:
+            continue
+        ii, jj = np.triu_indices(len(uniq), k=1)
+        out_a.append(uniq[ii])
+        out_b.append(uniq[jj])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    df = pd.DataFrame(
+        {"doc_a": np.concatenate(out_a).astype("int64"),
+         "doc_b": np.concatenate(out_b).astype("int64")}
+    )
+    return df.drop_duplicates(["doc_a", "doc_b"])
+
+
 def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Within one LSH bucket: emit all candidate (doc_a < doc_b) pairs."""
     ids = np.sort(group["doc_id"].unique())

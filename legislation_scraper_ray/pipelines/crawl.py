@@ -51,7 +51,7 @@ import ray.data as rd
 
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.decode import DecodeActor
-from ..stages.fetch import FetchActor, prepare_web
+from ..stages.fetch import FetchActor, prepare_web_cached
 from ..state.seen import SeenFilter, ShardedSeenSet
 
 DOC_COLUMNS = [
@@ -67,6 +67,8 @@ DOC_COLUMNS = [
     "phash_decoded",
     "decode_ok",
     "ocr_used",
+    "feat_mean_rgb",
+    "subject_ids",
     "psnr_db",
     "generation",
     "scheduled_ts",
@@ -94,6 +96,8 @@ class CrawlConfig:
     seen_capacity_per_shard: int = 1 << 20
     fetch_concurrency: int = 4
     decode_concurrency: int = 4
+    actor_num_cpus: float = 0.5  # fractional so actor-pool reservations leave
+    # CPUs for the fused task stages even at small num_cpus
     batch_size: int = 4096
     order: str = "bfs"  # bfs | strict
     compute: str = "actors"  # actors (stateful pools, the at-scale path) |
@@ -187,7 +191,7 @@ def run_crawl(
     t_start = time.perf_counter()
     graph, corpus, manifest = _load_tables(corpus_dir)
     delays_ms = manifest["robots_delay_ms"]
-    graph_ref = ray.put(prepare_web(graph, corpus))
+    graph_ref = ray.put(prepare_web_cached(corpus_dir, graph, corpus))
     corpus_ref = ray.put(corpus)
 
     ckpt_dir = os.path.join(out_dir, "checkpoint")
@@ -275,6 +279,7 @@ def _bfs(
             break
         if checkpoint:
             _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation)
+        t_iter0 = time.perf_counter()
         n_frontier = frontier_tbl.num_rows
         n_blocks = max(1, min(128, n_frontier // cfg.batch_size + 1))
         frontier = rd.from_arrow(frontier_tbl, override_num_blocks=n_blocks)
@@ -300,14 +305,33 @@ def _bfs(
                 fn_constructor_args=(graph_ref, corpus_ref),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=1,
+                # autoscaling pool (min 1): never reserves the whole CPU budget
+                # up front, so fused task stages can't be starved at small
+                # num_cpus (a fixed-size pool + shard actors can deadlock a
+                # 4-CPU session)
+                concurrency=(1, cfg.fetch_concurrency),
+                num_cpus=cfg.actor_num_cpus,
+            )
+            # decode chained in the SAME streaming execution: payload blocks are
+            # scanned once, no second actor-pool pass over the generation
+            fetched = fetched.map_batches(
+                DecodeActor,
+                fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
+                batch_format="pyarrow",
+                batch_size=min(cfg.batch_size, 2048),
+                concurrency=(1, cfg.decode_concurrency),
+                num_cpus=cfg.actor_num_cpus,
             )
         else:
             fetched = frontier.map_batches(
                 _make_fetch_fn(graph_ref, corpus_ref),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
+            )
+            fetched = fetched.map_batches(
+                DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                batch_format="pyarrow",
+                batch_size=min(cfg.batch_size, 2048),
             )
         fetched = fetched.map_batches(
             lambda b, g=gen: b.append_column(
@@ -316,7 +340,9 @@ def _bfs(
             batch_format="pyarrow",
         )
         # -------- generation barrier: pin this generation's blocks once --------
+        t_g0 = time.perf_counter()
         fetched = fetched.materialize()
+        t_fetch = time.perf_counter() - t_g0
 
         # All bookkeeping (lineage, errors, counters, host clocks) is computed
         # from the generation's *metadata* columns — zero-copy views of the
@@ -354,35 +380,28 @@ def _bfs(
             ):
                 clocks[h] = max(clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0)
 
+        t_meta = time.perf_counter() - t_g0 - t_fetch
+        t_g1 = time.perf_counter()
         if n_docs:
-            docs = fetched.filter(expr="status == 'ok' and kind == 'doc'")
-            if cfg.compute == "actors":
-                decoded = docs.map_batches(
-                    DecodeActor,
-                    fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
-                    batch_format="pyarrow",
-                    batch_size=min(cfg.batch_size, 1024),
-                    concurrency=cfg.decode_concurrency,
-                    num_cpus=1,
-                )
-            else:
-                decoded = docs.map_batches(
-                    DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                    batch_format="pyarrow",
-                    batch_size=min(cfg.batch_size, 1024),
-                )
             doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
-            decoded = decoded.map_batches(
+            docs = fetched.filter(expr="status == 'ok' and kind == 'doc'").map_batches(
                 lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
             )
-            decoded.write_parquet(
+            docs.write_parquet(
                 os.path.join(out_dir, "docs", f"gen={gen}"),
                 partition_cols=["year", "type", "situation"],
             )
 
-        # next frontier = exploded out_links of this generation's listings
+        t_decode = time.perf_counter() - t_g1
+        t_g2 = time.perf_counter()
+        # next frontier = exploded out_links of this generation's listings.
+        # Project to metadata columns FIRST so payload bytes never flow through
+        # the explode execution (links are a tiny fraction of block bytes).
         if n_listings:
-            listings = fetched.filter(expr="status == 'ok' and kind == 'listing'")
+            listings = fetched.select_columns(
+                ["status", "kind", "out_links", "host", "year", "situation", "type",
+                 "priority", "depth"]
+            ).filter(expr="status == 'ok' and kind == 'listing'")
             nxt = listings.map_batches(_explode_links, batch_format="pyarrow")
             frontier_tbl = _collect_frontier(nxt)
         else:
@@ -397,6 +416,11 @@ def _bfs(
                 "fetched_ok": n_after_seen - n_err,
                 "errors": n_err,
                 "docs_written": n_docs,
+                "t_fetch": round(t_fetch, 2),
+                "t_meta": round(t_meta, 2),
+                "t_decode_write": round(t_decode, 2),
+                "t_frontier": round(time.perf_counter() - t_g2, 2),
+                "t_iter": round(time.perf_counter() - t_iter0, 2),
             }
         )
         res.fetched_ok += n_after_seen - n_err

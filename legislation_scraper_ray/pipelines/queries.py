@@ -50,6 +50,20 @@ def _round(x, n: int):
     return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
 
 
+def _add_part(col: str, n_parts: int = 32):
+    """Vectorized coarse-partition column for the two-level grouped-apply
+    pattern: ``groupby(part).map_groups(inner)`` launches n_parts Ray groups
+    (hash-partitioned on the real key), and ``inner`` runs the per-key logic
+    vectorized in pandas/numpy — instead of one Ray task per tiny key group."""
+
+    def add(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        part = (v.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    return add
+
+
 # --------------------------------------------------------------------------
 # grouped aggregates (partial-aggregation pattern)
 # --------------------------------------------------------------------------
@@ -123,11 +137,17 @@ def events_minute_window(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    agg = parts.groupby(["event_type", "minute"]).aggregate(
-        Sum("p_sum", alias_name="sum_value"), Sum("p_n", alias_name="n")
-    )
-    df = agg.to_pandas()
+    parts = parts.map_batches(_add_part("minute"), batch_format="pyarrow")
+
+    def final(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby(["event_type", "minute"], sort=False).agg(
+            sum_value=("p_sum", "sum"), n=("p_n", "sum")
+        )
+        return g.reset_index()
+
+    df = parts.groupby("part").map_groups(final, batch_format="pandas").to_pandas()
     df["sum_value"] = _round(df["sum_value"], 2)
+    df["n"] = df["n"].astype("int64")
     return df[["event_type", "minute", "n", "sum_value"]]
 
 
@@ -313,16 +333,17 @@ def dedup_first_by_text(sf_dir: str):
     from ..functions.dedup import add_content_hash
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow").map_batches(
+        _add_part("content_hash"), batch_format="pyarrow"
+    )
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        return pd.DataFrame(
-            {"text": [g["text"].iloc[0]], "first_doc_id": [g["doc_id"].iloc[0]],
-             "n_copies": [len(g)]}
-        )
+    def first(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.sort_values("doc_id").groupby("content_hash", sort=False)
+        out = g.agg(text=("text", "first"), first_doc_id=("doc_id", "first"),
+                    n_copies=("doc_id", "size"))
+        return out.reset_index(drop=True)
 
-    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+    return hashed.groupby("part").map_groups(first, batch_format="pandas")
 
 
 def minhash_dup_pairs(sf_dir: str):
@@ -331,17 +352,18 @@ def minhash_dup_pairs(sf_dir: str):
     shingle→minhash→band→bucket groupby→verify (the canonical web-dedup
     pipeline).  At the driver's scales the corpus has no near-dups, so the
     verified set equals the identical-text set (the SQL oracle)."""
-    from ..functions.dedup import bucket_candidate_pairs, jaccard_shingles, minhash_signatures
+    from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, minhash_signatures
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
-    cands = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_candidate_pairs, batch_format="pandas"
-    )
-    # dedupe candidate pairs discovered in multiple bands
-    uniq = cands.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    # dedupe candidate pairs discovered in multiple bands/partitions (pair list
+    # is output-sized — small by construction)
+    uniq_df = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    if uniq_df.empty:
+        return _empty_pairs("doc_a", "doc_b", "jaccard")
+    uniq = rd.from_pandas(uniq_df)
     texts = {
         int(i): t
         for i, t in zip(*_doc_texts(sf_dir))
@@ -392,20 +414,27 @@ def simhash_dup_pairs(sf_dir: str):
     )
     exploded = sh.map_batches(_explode_simhash_bands, batch_format="pyarrow")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
-        hs = d["simhash"].to_numpy(dtype=np.uint64)
-        if len(ids) < 2:
+    def bucket_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, df in part_df.groupby(["band_idx", "band_val"], sort=False):
+            d = df.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(d) < 2:
+                continue
+            ids = d["doc_id"].to_numpy()
+            hs = d["simhash"].to_numpy(dtype=np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hd = hamming64(hs[ii], hs[jj])
+            keep = hd <= 3
+            if keep.any():
+                frames.append(pd.DataFrame(
+                    {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": hd[keep]}))
+        if not frames:
             return _empty_pairs("doc_a", "doc_b", value_col="hamming", value_dtype="int64")
-        ii, jj = np.triu_indices(len(ids), k=1)
-        hd = hamming64(hs[ii], hs[jj])
-        keep = hd <= 3
-        return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": hd[keep]})
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = exploded.groupby(["band_idx", "band_val"]).map_groups(bucket_pairs, batch_format="pandas")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
-    out = uniq.to_pandas()
+    exploded = exploded.map_batches(_add_part("band_val"), batch_format="pyarrow")
+    pairs = exploded.groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     if out.empty:
         out = _empty_pairs("doc_a", "doc_b", value_col="hamming", value_dtype="int64")
     return out.astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})

@@ -137,14 +137,19 @@ def phash64(pixels: np.ndarray) -> int:
     phash, so planted duplicate images share phash (FIXTURES.md F1)."""
     gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    ys = np.linspace(0, h, 9).astype(int)
-    xs = np.linspace(0, w, 9).astype(int)
-    cells = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    ys = np.unique(np.linspace(0, h, 9).astype(int)[:8])
+    xs = np.unique(np.linspace(0, w, 9).astype(int)[:8])
+    # block sums via two reduceats (fully vectorized 8×8 mean-pool)
+    row_sums = np.add.reduceat(gray, ys, axis=0)
+    cells = np.add.reduceat(row_sums, xs, axis=1)
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    areas = (ye - ys)[:, None] * (xe - xs)[None, :]
+    cells = cells / areas
+    if cells.shape != (8, 8):  # tiny images: pad by repeating edge cells
+        cells = np.pad(
+            cells, ((0, 8 - cells.shape[0]), (0, 8 - cells.shape[1])), mode="edge"
+        )
     bits = (cells > cells.mean()).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     return v - (1 << 64) if v >= (1 << 63) else v

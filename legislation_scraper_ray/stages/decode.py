@@ -36,31 +36,47 @@ class DecodeActor:
         self.decoded = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Handles mixed batches: rows without a payload (listings, errors)
+        pass through with null decode columns."""
         n = batch.num_rows
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
-        want_sum = batch["dec_sum"].to_numpy(zero_copy_only=False)
-        want_phash = batch["phash"].to_numpy(zero_copy_only=False)
-        psnr_db = batch["psnr_db"].to_numpy(zero_copy_only=False)
+        # to_pylist (exact Python ints), NOT to_numpy: null-bearing uint64/int64
+        # columns convert to float64 in numpy, silently corrupting values > 2^53
+        want_sum = batch["dec_sum"].to_pylist()
+        want_phash = batch["phash"].to_pylist()
+        psnr_db = batch["psnr_db"].to_pylist()
         captions = batch["caption"].to_pylist()
         ok = np.zeros(n, dtype=bool)
         rephash = np.zeros(n, dtype=np.int64)
         ocr_used = np.zeros(n, dtype=bool)
+        feat = np.zeros((n, 3), dtype=np.float32)  # mean-RGB feature (multimodal op)
+        has_payload = np.zeros(n, dtype=bool)
         for i in range(n):
             if blobs[i] is None:
                 continue
+            has_payload[i] = True
             px = decode_image(blobs[i], fmts[i])
             ph = phash64(px)
             rephash[i] = ph
+            feat[i] = px.mean(axis=(0, 1))
             ok[i] = (
-                int(px.astype(np.uint64).sum()) == int(want_sum[i])
+                int(px.sum(dtype=np.uint64)) == int(want_sum[i])
                 and ph == int(want_phash[i])
                 and (fmts[i] == "png" or psnr_db[i] >= 40.0)
             )
             if captions[i] is not None and len(captions[i]) <= self.ocr_threshold:
                 ocr_used[i] = True  # deterministic stand-in for the LLM/OCR branch
-        self.decoded += n
-        batch = batch.append_column("decode_ok", pa.array(ok))
-        batch = batch.append_column("phash_decoded", pa.array(rephash, pa.int64()))
-        batch = batch.append_column("ocr_used", pa.array(ocr_used))
+        self.decoded += int(has_payload.sum())
+        batch = batch.append_column("decode_ok", _masked(ok, has_payload))
+        batch = batch.append_column("phash_decoded", _masked(rephash, has_payload))
+        batch = batch.append_column("ocr_used", _masked(ocr_used, has_payload))
+        batch = batch.append_column(
+            "feat_mean_rgb",
+            pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 3),
+        )
         return batch
+
+
+def _masked(values: np.ndarray, valid: np.ndarray) -> pa.Array:
+    return pa.array(values, mask=~valid)

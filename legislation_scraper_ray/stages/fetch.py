@@ -59,6 +59,25 @@ OUT_SCHEMA_EXTRA = [
 ]
 
 
+def prepare_web_cached(corpus_dir: str, graph: pa.Table, corpus: pa.Table) -> pa.Table:
+    """prepare_web with an on-disk cache next to the corpus (the prep is
+    deterministic per corpus; re-deriving it is ~10 s of serial driver time
+    that would otherwise be charged to every crawl)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(corpus_dir, "prepared_web.parquet")
+    if os.path.exists(path):
+        return pq.read_table(path)
+    g = prepare_web(graph, corpus)
+    try:
+        pq.write_table(g, path)
+    except OSError:
+        pass  # read-only corpus dir: fall through uncached
+    return g
+
+
 def prepare_web(graph: pa.Table, corpus: pa.Table) -> pa.Table:
     """Driver-side one-time prep: url_hash sort key + corpus ordinal + fail code."""
     hashes = hash64(graph["url"])

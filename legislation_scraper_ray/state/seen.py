@@ -25,7 +25,7 @@ import ray
 from .cuckoo import CuckooFilter, ExactSet
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0.25)
 class SeenShard:
     """One membership shard. mode: 'cuckoo' (approximate, at-scale) | 'exact' (parity)."""
 
