@@ -185,8 +185,12 @@ def run_crawl(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    frontier_override: pa.Table | None = None,
 ) -> CrawlResult:
-    """Run (or resume) the crawl over a synthetic corpus directory."""
+    """Run (or resume) the crawl over a synthetic corpus directory.
+
+    ``frontier_override`` replaces the seed frontier (used by the sustained-
+    throughput benchmark to feed the whole URL set as one generation)."""
     cfg = cfg or CrawlConfig()
     t_start = time.perf_counter()
     graph, corpus, manifest = _load_tables(corpus_dir)
@@ -199,7 +203,7 @@ def run_crawl(
     res = CrawlResult(out_dir=out_dir)
     clocks: dict[str, float] = {}
     start_gen = 0
-    frontier_tbl = _seed_frontier(corpus_dir)
+    frontier_tbl = frontier_override if frontier_override is not None else _seed_frontier(corpus_dir)
 
     if resume:
         state = _load_checkpoint(ckpt_dir)
@@ -313,14 +317,16 @@ def _bfs(
                 num_cpus=cfg.actor_num_cpus,
             )
             # decode chained in the SAME streaming execution: payload blocks are
-            # scanned once, no second actor-pool pass over the generation
+            # scanned once.  Decode runs as a stateless TASK stage (its state —
+            # codec dispatch + ocr threshold — is trivial): task pools reach
+            # full parallelism instantly, whereas an actor pool ramps from 1
+            # and eats ~10s of every generation in spin-up.  The genuinely
+            # stateful stage (fetch: sessions, per-host politeness, broadcast
+            # index) stays an actor pool.
             fetched = fetched.map_batches(
-                DecodeActor,
-                fn_constructor_kwargs={"ocr_threshold": cfg.ocr_threshold},
+                DecodeActor(ocr_threshold=cfg.ocr_threshold),
                 batch_format="pyarrow",
                 batch_size=min(cfg.batch_size, 2048),
-                concurrency=(1, cfg.decode_concurrency),
-                num_cpus=cfg.actor_num_cpus,
             )
         else:
             fetched = frontier.map_batches(

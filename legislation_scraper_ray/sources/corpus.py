@@ -53,7 +53,7 @@ class ScaleSpec:
 SCALES: dict[str, ScaleSpec] = {
     "t1": ScaleSpec("t1", 2, (1990, 1991), 2, 2, 200, 180, 10, dup_link_frac=0.2),
     "t2": ScaleSpec("t2", 8, (1990, 1999), 4, 2, 5_000, 4_500, 20),
-    "bench": ScaleSpec("bench", 8, (1980, 1999), 4, 2, 450_000, 50_000, 100, img_dim=(32, 96)),
+    "bench": ScaleSpec("bench", 8, (1980, 1999), 4, 2, 450_000, 50_000, 100, img_dim=(48, 96)),
 }
 
 # sf_dir → corpus scale, so queries(sf_dir) pick a matching synthetic scale

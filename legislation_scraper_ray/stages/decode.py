@@ -50,7 +50,9 @@ class DecodeActor:
         ok = np.zeros(n, dtype=bool)
         rephash = np.zeros(n, dtype=np.int64)
         ocr_used = np.zeros(n, dtype=bool)
-        feat = np.zeros((n, 3), dtype=np.float32)  # mean-RGB feature (multimodal op)
+        # image feature vector: mean RGB (3) + std RGB (3) + 16-bin gray
+        # histogram — the deterministic stand-in for a CNN embedding
+        feat = np.zeros((n, 22), dtype=np.float32)
         has_payload = np.zeros(n, dtype=bool)
         for i in range(n):
             if blobs[i] is None:
@@ -59,7 +61,12 @@ class DecodeActor:
             px = decode_image(blobs[i], fmts[i])
             ph = phash64(px)
             rephash[i] = ph
-            feat[i] = px.mean(axis=(0, 1))
+            f = px.astype(np.float32)
+            feat[i, :3] = f.mean(axis=(0, 1))
+            feat[i, 3:6] = f.std(axis=(0, 1))
+            gray = f.mean(axis=2)
+            hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+            feat[i, 6:] = hist / max(gray.size, 1)
             ok[i] = (
                 int(px.sum(dtype=np.uint64)) == int(want_sum[i])
                 and ph == int(want_phash[i])
@@ -73,7 +80,7 @@ class DecodeActor:
         batch = batch.append_column("ocr_used", _masked(ocr_used, has_payload))
         batch = batch.append_column(
             "feat_mean_rgb",
-            pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 3),
+            pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 22),
         )
         return batch
 

@@ -1,0 +1,60 @@
+"""ANN correctness: brute-force top-k exactness + LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _embeddings(n=500, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in m], pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray
+
+    from legislation_scraper_ray.functions.ann import BruteForceTopK, merge_topk, normalize
+
+    tbl, m = _embeddings()
+    q = normalize(m[:3].astype(np.float64))
+    ref = ray.put((np.array([0, 1, 2], dtype=np.int64), q))
+    actor = BruteForceTopK(ref, k=5)
+    # simulate two batches + merge
+    out1 = actor(tbl.slice(0, 250)).to_pandas()
+    out2 = actor(tbl.slice(250, 250)).to_pandas()
+    merged = (
+        pd.concat([out1, out2]).groupby("query_id", group_keys=False).apply(merge_topk, k=5)
+    )
+    # ground truth
+    mn = normalize(m.astype(np.float64))
+    sims = q @ mn.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(len(mn)), -sims[qi]))[:5]
+        got = merged[merged["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == order).all()
+
+
+def test_lsh_bucket_recall_on_true_neighbors():
+    """LSH is for finding genuinely-near vectors: plant neighbors at
+    cos ≈ 0.98 and require high multi-probe recall (random Gaussian 'nearest'
+    pairs at cos ≈ 0.4 are NOT what LSH targets)."""
+    from legislation_scraper_ray.functions.ann import normalize, query_probe_buckets
+    from legislation_scraper_ray.functions.dedup import hyperplane_bucket
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((40, 32))
+    neighbors = base + 0.1 * rng.standard_normal((40, 32))  # cos ≈ 0.98
+    mn = normalize(np.vstack([base, neighbors, rng.standard_normal((1000, 32))]))
+    buckets = hyperplane_bucket(mn, n_bits=8)
+    hits = 0
+    for qi in range(40):
+        probes = query_probe_buckets(mn[qi], n_bits=8, n_probe=8)
+        hits += int(buckets[40 + qi] in probes)  # the planted neighbor's bucket
+    assert hits >= 30  # ≥75% multi-probe recall on true near-duplicates
