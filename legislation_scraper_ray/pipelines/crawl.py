@@ -403,7 +403,10 @@ def _bfs(
         # next frontier = exploded out_links of this generation's listings.
         # Project to metadata columns FIRST so payload bytes never flow through
         # the explode execution (links are a tiny fraction of block bytes).
-        if n_listings:
+        # Skip entirely when the loop is about to stop at max_generations AND
+        # no checkpoint needs the frontier (e.g. the sustained benchmark).
+        will_continue = (gen + 1 - start_gen) < cfg.max_generations
+        if n_listings and (will_continue or checkpoint):
             listings = fetched.select_columns(
                 ["status", "kind", "out_links", "host", "year", "situation", "type",
                  "priority", "depth"]
