@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -528,6 +528,88 @@ def ann_topk(sf_dir: str, k: int = 10):
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+
+
+# --------------------------------------------------------------------------
+# additional operator coverage: large-large join, sessionization, stats,
+# distinct (round-1 widening)
+# --------------------------------------------------------------------------
+
+
+def join_lineitem_orders(sf_dir: str):
+    """Large-large hash join (both sides scale with sf): lineitem ⨝ orders on
+    orderkey → revenue per order priority.  Uses Dataset.join (hash-partitioned
+    on the key); the join feeds a partial-aggregated groupby."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tt = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev})
+        g = tt.group_by("o_orderpriority").aggregate([("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["o_orderpriority", "p_rev", "p_n"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536).groupby(
+        "o_orderpriority"
+    ).aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n"))
+    df = agg.to_pandas()
+    df["revenue"] = _round(df["revenue"], 2)
+    return df
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min) per user — the stream-shaped operator the
+    reference's queue-drain loop approximates (SURVEY.md §2.9).  Partition by
+    user (two-level), sort by ts within partition, vectorized gap detection."""
+
+    def sessions(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["user_id", "ts"])
+        ts = part_df["ts"].astype("int64").to_numpy()
+        uid = part_df["user_id"].to_numpy()
+        new_sess = np.ones(len(part_df), dtype=bool)
+        if len(part_df) > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > 30 * 60 * 1_000_000)
+        sess_id = np.cumsum(new_sess) - 1
+        df = pd.DataFrame({"user_id": uid, "sess": sess_id, "ts": part_df["ts"].to_numpy()})
+        g = df.groupby(["user_id", "sess"], sort=False).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        return g.reset_index()[["user_id", "session_start", "n_events"]]
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+    out = parts.groupby("part").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def value_stats_by_type(sf_dir: str):
+    """Grouped statistics via Ray's built-in aggregates (Mean/Std/Min/Max)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="avg_value"),
+        Std("value", alias_name="std_value", ddof=1),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Count(alias_name="n"),
+    )
+    df = agg.to_pandas()
+    for c in ("avg_value", "std_value"):
+        df[c] = _round(df[c], 4)
+    return df[["event_type", "avg_value", "std_value", "min_value", "max_value", "n"]]
+
+
+def distinct_flag_status(sf_dir: str):
+    """Distinct combinations (set op §2.7): ds.unique on a composite key via
+    groupby-count projection."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n")).select_columns(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -580,6 +662,10 @@ QUERIES = {
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
+    "join_lineitem_orders": join_lineitem_orders,
+    "events_sessionize": events_sessionize,
+    "value_stats_by_type": value_stats_by_type,
+    "distinct_flag_status": distinct_flag_status,
     "crawl_seen_set": crawl_seen_set,
 }
 
@@ -692,6 +778,37 @@ ORACLE_SQL = {
                CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank
         FROM scored ORDER BY raw DESC, vec_id LIMIT 10
     """,
+    "join_lineitem_orders": """
+        SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "events_sessionize": """
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM gaps
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "value_stats_by_type": """
+        SELECT event_type, ROUND(AVG(value), 4) AS avg_value,
+               ROUND(STDDEV_SAMP(value), 4) AS std_value,
+               MIN(value) AS min_value, MAX(value) AS max_value, COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     # simhash_dup_pairs, lang_id_docs, fingerprint_docs, crawl_seen_set:
     # intentionally no SQL oracle (approximate / non-SQL-expressible); the
     # driver records rows-only checks and pytest covers them with planted-dup
