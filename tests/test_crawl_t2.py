@@ -1,0 +1,28 @@
+"""t2-scale (sf0.01-like) end-to-end: error sink exercised, simulator parity
+at 8 hosts × 10 years, cuckoo mode."""
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+
+@pytest.mark.slow
+def test_t2_bfs_parity_and_errors(ray_session, t2_dir, tmp_path_factory):
+    from legislation_scraper_ray.oracle.simulator import simulate
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("t2"))
+    res = run_crawl(
+        t2_dir, out,
+        CrawlConfig(n_seen_shards=4, seen_mode="cuckoo", compute="tasks", checkpoint=False),
+    )
+    sim = simulate(t2_dir)
+    lin = pads.dataset(f"{out}/lineage", partitioning="hive").to_table().to_pandas()
+    assert set(int(h) for h in lin["url_hash"]) == sim.seen_hashes
+    assert res.errors == len(sim.errors) > 0  # hard_error rows flow to the error sink
+    err = pads.dataset(f"{out}/errors", partitioning="hive").to_table().to_pandas()
+    assert len(err) == res.errors
+    assert (err["attempts"] == 5).all()  # exhausted retry budget (reference: 5 attempts)
+    docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table().to_pandas()
+    assert dict(zip(docs["url"], docs["caption"])) == sim.docs
+    assert docs["decode_ok"].all()
