@@ -393,10 +393,13 @@ def _bfs(
             docs = fetched.filter(expr="status == 'ok' and kind == 'doc'").map_batches(
                 lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
             )
-            docs.write_parquet(
-                os.path.join(out_dir, "docs", f"gen={gen}"),
-                partition_cols=["year", "type", "situation"],
-            )
+            docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
+            if os.path.exists(docs_dir):
+                # resume re-runs the generation from its checkpoint: clear any
+                # partial output first (write_parquet default mode APPENDS,
+                # which would duplicate docs from an interrupted write)
+                shutil.rmtree(docs_dir)
+            docs.write_parquet(docs_dir, partition_cols=["year", "type", "situation"])
 
         t_decode = time.perf_counter() - t_g1
         t_g2 = time.perf_counter()
