@@ -104,8 +104,12 @@ class CrawlConfig:
     # tasks (stateless task pools — same semantics since fetch/decode state is a
     # zero-copy plasma view; avoids per-generation pool spin-up in short tests)
     max_generations: int = 64
+    frontier_budget: int | None = None  # max URLs fetched per generation: the
+    # priority-frontier pop (sort(priority).limit(k)); the remainder carries
+    # over to the next generation.  SURVEY.md §2.6 engine extension.
     checkpoint: bool = True
     write_lineage: bool = True
+    collect_stats: bool = False  # keep ds.stats() of each generation's pipeline
     ocr_threshold: int = 0
     keep_payloads: bool = False  # write decoded payload bytes into the doc sink
 
@@ -122,6 +126,7 @@ class CrawlResult:
     dedup_ops: int = 0
     wall_s: float = 0.0
     per_generation: list[dict] = field(default_factory=list)
+    stats: list[str] = field(default_factory=list)
 
 
 def _load_tables(corpus_dir: str):
@@ -284,6 +289,15 @@ def _bfs(
         if checkpoint:
             _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation)
         t_iter0 = time.perf_counter()
+        carryover: pa.Table | None = None
+        if cfg.frontier_budget and frontier_tbl.num_rows > cfg.frontier_budget:
+            order = pc.sort_indices(
+                frontier_tbl,
+                sort_keys=[("priority", "ascending"), ("url", "ascending")],
+            )
+            frontier_tbl = frontier_tbl.take(order)
+            carryover = frontier_tbl.slice(cfg.frontier_budget)
+            frontier_tbl = frontier_tbl.slice(0, cfg.frontier_budget)
         n_frontier = frontier_tbl.num_rows
         n_blocks = max(1, min(128, n_frontier // cfg.batch_size + 1))
         frontier = rd.from_arrow(frontier_tbl, override_num_blocks=n_blocks)
@@ -349,6 +363,8 @@ def _bfs(
         t_g0 = time.perf_counter()
         fetched = fetched.materialize()
         t_fetch = time.perf_counter() - t_g0
+        if cfg.collect_stats:
+            res.stats.append(fetched.stats())
 
         # All bookkeeping (lineage, errors, counters, host clocks) is computed
         # from the generation's *metadata* columns — zero-copy views of the
@@ -418,6 +434,12 @@ def _bfs(
             frontier_tbl = _collect_frontier(nxt)
         else:
             frontier_tbl = None
+        if carryover is not None and carryover.num_rows:
+            frontier_tbl = (
+                pa.concat_tables([frontier_tbl, carryover]).combine_chunks()
+                if frontier_tbl is not None
+                else carryover
+            )
 
         res.per_generation.append(
             {
