@@ -100,6 +100,8 @@ class CrawlConfig:
     # CPUs for the fused task stages even at small num_cpus
     batch_size: int = 4096
     order: str = "bfs"  # bfs | strict
+    politeness_mode: str = "virtual"  # virtual (scheduled_ts accounting only)
+    # | sleep (fetch actors pace against the wall clock — live-crawl mode)
     compute: str = "actors"  # actors (stateful pools, the at-scale path) |
     # tasks (stateless task pools — same semantics since fetch/decode state is a
     # zero-copy plasma view; avoids per-generation pool spin-up in short tests)
@@ -203,6 +205,7 @@ def run_crawl(
     graph_ref = ray.put(prepare_web_cached(corpus_dir, graph, corpus))
     corpus_ref = ray.put(corpus)
 
+    crawl_epoch = time.time()
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     seen = ShardedSeenSet(cfg.n_seen_shards, cfg.seen_capacity_per_shard, cfg.seen_mode)
     res = CrawlResult(out_dir=out_dir)
@@ -251,11 +254,13 @@ def run_crawl(
             _bfs(
                 unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
+                crawl_epoch=crawl_epoch,
             )
     else:
         _bfs(
             frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
             ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
+            crawl_epoch=crawl_epoch,
         )
 
     stats = seen.stats()
@@ -281,6 +286,7 @@ def _bfs(
     res: CrawlResult,
     start_gen: int,
     checkpoint: bool,
+    crawl_epoch: float = 0.0,
 ) -> None:
     gen = start_gen
     while frontier_tbl is not None and frontier_tbl.num_rows > 0:
@@ -320,7 +326,7 @@ def _bfs(
         if cfg.compute == "actors":
             fetched = frontier.map_batches(
                 FetchActor,
-                fn_constructor_args=(graph_ref, corpus_ref),
+                fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 # autoscaling pool (min 1): never reserves the whole CPU budget
@@ -344,7 +350,7 @@ def _bfs(
             )
         else:
             fetched = frontier.map_batches(
-                _make_fetch_fn(graph_ref, corpus_ref),
+                _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
@@ -471,12 +477,12 @@ def _bfs(
         )
 
 
-def _make_fetch_fn(graph_ref, corpus_ref):
+def _make_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
     """Task-pool fetch: builds a FetchActor per task — cheap because its state
     is a zero-copy plasma view (no index construction)."""
 
     def fetch(batch: pa.Table) -> pa.Table:
-        return FetchActor(graph_ref, corpus_ref)(batch)
+        return FetchActor(graph_ref, corpus_ref, politeness_mode, t0)(batch)
 
     return fetch
 

@@ -107,18 +107,29 @@ class FetchActor:
     ``__call__`` (per batch): vectorized hash lookup, retry simulation,
     payload attach."""
 
-    def __init__(self, graph_ref, corpus_ref):
+    def __init__(self, graph_ref, corpus_ref, politeness_mode: str = "virtual", t0: float = 0.0):
         self.graph: pa.Table = ray.get(graph_ref)
         self.corpus: pa.Table = ray.get(corpus_ref)
         self.g_hashes = self.graph["url_hash"].to_numpy()
         self.g_fail = self.graph["fail_code"].to_numpy()
         self.g_image_idx = self.graph["image_idx"].to_numpy()
+        self.politeness_mode = politeness_mode
+        self.t0 = t0  # crawl epoch (time.time()) for sleep-mode pacing
         self.fetched = 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return _empty_out(batch)
+        if self.politeness_mode == "sleep" and "scheduled_ts" in batch.schema.names:
+            # live-crawl pacing: wait until this batch's latest assigned start
+            # time (virtual schedule ↔ wall clock, batch granularity)
+            import time as _time
+
+            target = pc.max(batch["scheduled_ts"]).as_py() or 0.0
+            wait = self.t0 + target - _time.time()
+            if wait > 0:
+                _time.sleep(min(wait, 60.0))
         h = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pos = np.searchsorted(self.g_hashes, h)
         pos_c = np.minimum(pos, len(self.g_hashes) - 1)
