@@ -88,12 +88,25 @@ def add_lsh_bucket(batch: pa.Table, vec_col: str = "embedding", n_bits: int = 8)
 
 
 def query_probe_buckets(q: np.ndarray, n_bits: int = 8, n_probe: int = 8, seed: int = 42) -> np.ndarray:
-    """Multi-probe: the query's bucket plus the buckets at Hamming distance 1
-    on the lowest-margin hyperplanes (standard multi-probe LSH)."""
+    """Multi-probe LSH: enumerate bucket perturbations (bit-flip subsets of
+    the lowest-margin hyperplanes) ranked by total flipped margin, take the
+    ``n_probe`` cheapest — standard multi-probe, not just Hamming-1."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((q.shape[0], n_bits))
     proj = q @ planes
     base = int(((proj > 0) * (1 << np.arange(n_bits))).sum())
-    order = np.argsort(np.abs(proj))  # least confident bits first
-    buckets = [base] + [base ^ (1 << int(b)) for b in order[: n_probe - 1]]
-    return np.array(buckets, dtype=np.int64)
+    margins = np.abs(proj)
+    # enumerate subsets of the m lowest-margin bits (bounded blow-up)
+    m = min(n_bits, 12)
+    order = np.argsort(margins)[:m]
+    sub_costs = []
+    for mask in range(1 << m):
+        flip = 0
+        cost = 0.0
+        for j in range(m):
+            if mask >> j & 1:
+                flip ^= 1 << int(order[j])
+                cost += margins[order[j]]
+        sub_costs.append((cost, base ^ flip))
+    sub_costs.sort()
+    return np.array([b for _, b in sub_costs[:n_probe]], dtype=np.int64)

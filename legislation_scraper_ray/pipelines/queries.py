@@ -610,6 +610,54 @@ def distinct_flag_status(sf_dir: str):
     )
 
 
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
+    """LSH-bucketed ANN (the scale path): corpus bucketed once by random
+    hyperplanes; the query scans only its multi-probe buckets.  Approximate —
+    verified in pytest against the brute-force baseline (recall@10), exposed
+    rows-only to the driver."""
+    from ..functions.ann import (
+        BruteForceTopK,
+        _as_matrix,
+        merge_topk,
+        normalize,
+        query_probe_buckets,
+    )
+    from ..functions.dedup import hyperplane_bucket
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_emb = None
+    for i, v in enumerate(qt["vec_id"].to_pylist()):
+        if v == 0:
+            q_emb = np.asarray(qt["embedding"][i].as_py(), dtype=np.float64)
+            break
+    qn = normalize(q_emb[None, :])[0]
+    probes = set(int(b) for b in query_probe_buckets(qn, n_bits=n_bits, n_probe=n_probe))
+    probes_ref = ray.put(probes)
+    ref = ray.put((np.array([0], dtype=np.int64), qn[None, :]))
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        pset = ray.get(probes_ref)
+        vecs = normalize(_as_matrix(t["embedding"]))
+        b = hyperplane_bucket(vecs, n_bits=n_bits)
+        keep = np.isin(b, list(pset))
+        return t.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cand = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
+    partials = cand.map_batches(
+        BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        batch_size=4096, concurrency=2,
+    )
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k), batch_format="pandas"
+    )
+    df = merged.to_pandas()
+    df["cos_sim"] = _round(df["cos_sim"], 4)
+    return df[["vec_id", "cos_sim", "rank"]]
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -662,6 +710,7 @@ QUERIES = {
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
+    "ann_topk_lsh": ann_topk_lsh,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "value_stats_by_type": value_stats_by_type,

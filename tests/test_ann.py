@@ -58,3 +58,17 @@ def test_lsh_bucket_recall_on_true_neighbors():
         probes = query_probe_buckets(mn[qi], n_bits=8, n_probe=8)
         hits += int(buckets[40 + qi] in probes)  # the planted neighbor's bucket
     assert hits >= 30  # ≥75% multi-probe recall on true near-duplicates
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    """The LSH-bucketed ANN query must recover most of the brute-force top-10
+    on the real test table (approximate by design; rows-only to the driver)."""
+    from legislation_scraper_ray.pipelines.queries import ann_topk, ann_topk_lsh
+
+    bf = ann_topk("/root/testdata/sf0.001")
+    lsh = ann_topk_lsh("/root/testdata/sf0.001", n_probe=32)
+    assert len(lsh) == 10
+    overlap = len(set(bf["vec_id"]) & set(lsh["vec_id"]))
+    assert overlap >= 6  # recall@10 ≥ 0.6 with 32/64 probed buckets
+    # vec_id 0 itself (cos=1) must always be found
+    assert 0 in set(lsh["vec_id"])
