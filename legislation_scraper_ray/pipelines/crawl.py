@@ -329,11 +329,11 @@ def _bfs(
                 fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
-                # autoscaling pool (min 1): never reserves the whole CPU budget
-                # up front, so fused task stages can't be starved at small
-                # num_cpus (a fixed-size pool + shard actors can deadlock a
-                # 4-CPU session)
-                concurrency=(1, cfg.fetch_concurrency),
+                # autoscaling pool: min = 1/4 of max warms a few actors up
+                # front (cuts ramp-up skew) while never reserving the whole CPU
+                # budget — a fixed-size pool + shard actors can deadlock a
+                # 4-CPU session by starving the fused task stages
+                concurrency=(max(1, cfg.fetch_concurrency // 4), cfg.fetch_concurrency),
                 num_cpus=cfg.actor_num_cpus,
             )
             # decode chained in the SAME streaming execution: payload blocks are
