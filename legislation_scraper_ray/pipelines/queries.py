@@ -197,7 +197,13 @@ def supplier_revenue(sf_dir: str):
 
 
 def valid_docs_by_lang(sf_dir: str):
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    """Filter pushed down to the parquet read (row-group pruning: rows never
+    leave storage) + residual vectorized filter for exactness."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "n_chars"],
+        filter=(pc.field("n_chars") >= 70),
+    )
     ds = ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_chars"], 70)), batch_format="pyarrow"
     )

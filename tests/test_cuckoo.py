@@ -63,3 +63,18 @@ def test_exact_set_roundtrip():
     ex2 = ExactSet.deserialize(ex.serialize())
     assert ex2.contains_batch(keys).all()
     assert ex2.count == ex.count
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=500))
+@settings(max_examples=30, deadline=None)
+def test_property_add_subset_contains(keys):
+    """Property: every added key is contained afterwards (no false negatives),
+    for arbitrary key distributions including adversarial duplicates."""
+    cf = CuckooFilter(capacity=1024)
+    arr = np.array(keys, dtype=np.uint64)
+    cf.add_batch(arr)
+    assert cf.contains_batch(arr).all()
