@@ -11,7 +11,6 @@ is bucketed once via ``groupby(bucket)``; a query only scans its probe buckets.
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd

@@ -7,7 +7,6 @@ src/scraper/federal_legislation/scrape.py:178), search-URL formatting (M1,
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
