@@ -664,6 +664,29 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+
+
+def dup_clusters(sf_dir: str):
+    """Duplicate-document clusters: MinHash near-dup pairs → connected
+    components (min-label propagation) → (doc_id, cluster_id, cluster_size).
+    Rows-only to the driver (transitive closure isn't cheap ANSI SQL); pytest
+    verifies against an exact union-find."""
+    from ..functions.cluster import label_propagation
+
+    pairs = minhash_dup_pairs(sf_dir)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64"),
+             "cluster_size": pd.Series(dtype="int64")}
+        )
+    comp = label_propagation(pa.Table.from_pandas(pairs[["doc_a", "doc_b"]])).to_pandas()
+    sizes = comp.groupby("cluster_id")["doc_id"].transform("size")
+    comp["cluster_size"] = sizes.astype("int64")
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -717,6 +740,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
+    "dup_clusters": dup_clusters,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "value_stats_by_type": value_stats_by_type,
