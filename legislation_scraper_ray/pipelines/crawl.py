@@ -401,6 +401,31 @@ def _bfs(
             lin_dir = os.path.join(out_dir, "lineage")
             os.makedirs(lin_dir, exist_ok=True)
             pq.write_table(meta, os.path.join(lin_dir, f"gen-{gen}.parquet"))
+            # per-(host, generation) fetch/dedup metrics (north_rule: every
+            # partition emits lineage AND metrics records)
+            mtr = meta.group_by("host").aggregate(
+                [("url_hash", "count"), ("attempts", "sum"), ("attempts", "max"),
+                 ("scheduled_ts", "max")]
+            )
+            mtr = mtr.rename_columns(
+                ["host", "n_fetched", "sum_attempts", "max_attempts", "max_scheduled_ts"]
+            )
+            errs_by_host = (
+                meta.filter(pc.equal(status, "error")).group_by("host").aggregate(
+                    [("url_hash", "count")]
+                ).rename_columns(["host", "n_errors"])
+            )
+            err_map = dict(zip(errs_by_host["host"].to_pylist(), errs_by_host["n_errors"].to_pylist()))
+            mtr = mtr.append_column(
+                "n_errors",
+                pa.array([err_map.get(h, 0) for h in mtr["host"].to_pylist()], pa.int64()),
+            )
+            mtr = mtr.append_column(
+                "generation", pa.array(np.full(mtr.num_rows, gen, np.int32))
+            )
+            mtr_dir = os.path.join(out_dir, "metrics")
+            os.makedirs(mtr_dir, exist_ok=True)
+            pq.write_table(mtr, os.path.join(mtr_dir, f"gen-{gen}.parquet"))
         if n_after_seen:
             sched = meta.group_by("host").aggregate([("scheduled_ts", "max")])
             for h, ts in zip(

@@ -26,3 +26,27 @@ def test_t2_bfs_parity_and_errors(ray_session, t2_dir, tmp_path_factory):
     docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table().to_pandas()
     assert dict(zip(docs["url"], docs["caption"])) == sim.docs
     assert docs["decode_ok"].all()
+
+
+def test_metrics_records(ray_session, t2_dir, tmp_path_factory):
+    """Per-(host, generation) metrics records reconcile with lineage."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("metrics"))
+    res = run_crawl(
+        t2_dir, out, CrawlConfig(n_seen_shards=2, compute="tasks", checkpoint=False)
+    )
+    mtr = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{out}/metrics/*.parquet"))]
+    )
+    lin = pads.dataset(f"{out}/lineage", partitioning="hive").to_table().to_pandas()
+    assert mtr["n_fetched"].sum() == len(lin)
+    assert mtr["n_errors"].sum() == res.errors
+    agg = lin.groupby(["host", "generation"]).size()
+    for _, row in mtr.iterrows():
+        assert agg[(row["host"], row["generation"])] == row["n_fetched"]
