@@ -36,6 +36,29 @@ def normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
 
 
+def pack_matrix(m: np.ndarray) -> pa.Array:
+    """(n, d) float matrix → fixed-size-binary Arrow column (d·4 bytes/row).
+
+    Acero hash joins reject list-typed non-key fields; a fixed-width binary
+    blob joins fine and round-trips the float32 source losslessly.  Zero-copy
+    on both sides (one contiguous buffer, no per-row Python)."""
+    n, d = m.shape
+    m32 = np.ascontiguousarray(m, dtype=np.float32)
+    return pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(d * 4), n, [None, pa.py_buffer(m32.tobytes())]
+    )
+
+
+def unpack_matrix(col) -> np.ndarray:
+    """Inverse of ``pack_matrix``: fixed-size-binary column → (n, d) float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.byte_width // 4
+    flat = np.frombuffer(col.buffers()[1], dtype=np.float32)
+    flat = flat[col.offset * d : (col.offset + len(col)) * d]
+    return flat.reshape(len(col), d).astype(np.float64)
+
+
 class BruteForceTopK:
     """map_batches stage: per-batch cosine top-k partials vs broadcast queries.
 

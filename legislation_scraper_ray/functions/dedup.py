@@ -54,23 +54,31 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text", id_col: str = "d
     """→ (doc_id, band, band_hash) rows: LSH-banded MinHash signatures.
 
     Vectorized: word hashes → trigram shingle hashes → for each permutation
-    ``(a·x + b) mod p`` → per-doc min via ``np.minimum.at``.  Docs with < 3
-    tokens get a signature from their word hashes instead."""
+    ``(a·x + b) mod p`` → per-doc min via ``np.minimum.at``.
+
+    Constraint: docs with < 3 tokens have no 3-gram shingles and are EXCLUDED
+    from the candidate set (they'd need an equality branch to dedupe; the
+    exact-Jaccard oracle only shingles >=3-token docs, and exact dedup already
+    catches identical short docs)."""
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    n = batch.num_rows
     flat, parents, counts = _flat_tokens(texts)
+    short = counts < 3
+    if short.any():
+        keep = ~short
+        batch = batch.filter(pa.array(keep))
+        keep_tok = keep[parents]
+        flat = flat.filter(pa.array(keep_tok)) if len(flat) else flat
+        # re-map parent indices onto the compacted doc axis
+        new_idx = np.cumsum(keep) - 1
+        parents = new_idx[parents[keep_tok]]
+        counts = counts[keep]
+    n = batch.num_rows
     wh = hash64(flat)
     sh, sp = _trigram_hashes(wh, parents)
     if len(sh) == 0:
         sh, sp = wh, parents
-    else:
-        short = counts < 3  # fall back to word hashes for tiny docs
-        if short.any():
-            extra_mask = short[parents]
-            sh = np.concatenate([sh, wh[extra_mask]])
-            sp = np.concatenate([sp, parents[extra_mask]])
     a, b = _perm_params()
     sig = np.full((n, N_PERM), np.iinfo(np.uint64).max, dtype=np.uint64)
     # (S, P) permuted hashes, reduced per doc. Chunk over permutations to bound memory.
@@ -209,3 +217,28 @@ def hyperplane_bucket(vectors: np.ndarray, n_bits: int = 12, seed: int = 42) -> 
     planes = rng.standard_normal((vectors.shape[1], n_bits)).astype(vectors.dtype)
     bits = (vectors @ planes) > 0
     return (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int64)
+
+
+def adaptive_bits(n_vectors: int, target_bucket: float = 2.0, lo: int = 8, hi: int = 24) -> int:
+    """Scale the hyperplane count to the corpus so expected bucket population
+    stays ~``target_bucket`` (buckets = 2^bits grows with n).  For near-dup
+    MINING the target must be O(1): candidate generation is all-pairs within a
+    bucket, so expected candidates ≈ n·target·bands/2 — a large target (or r1's
+    FIXED 64 buckets) makes candidate count quadratic in the corpus.  True
+    near-dups still collide because banding (``hyperplane_bands``) gives each
+    pair ``n_bands`` independent chances at ~0.98^bits per-band probability."""
+    return int(np.clip(np.ceil(np.log2(max(n_vectors, 1) / target_bucket)), lo, hi))
+
+
+def hyperplane_bands(vectors: np.ndarray, n_bands: int = 8, n_bits: int = 8,
+                     seed: int = 42) -> np.ndarray:
+    """(n, n_bands) int64 bucket ids — ``n_bands`` independent hyperplane sets
+    in ONE matmul.  Banding recovers the recall a single deeper code loses:
+    P(pair in no band) = (1 - p^bits)^bands with p = 1 - θ/π; at cos ≥ 0.99
+    (θ ≈ 0.065 rad, p ≈ 0.979) and 8 bands × 16 bits the miss rate is < 1e-4,
+    and near-identical dups (cos → 1) are missed with probability → 0."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((vectors.shape[1], n_bands * n_bits)).astype(vectors.dtype)
+    bits = (vectors @ planes) > 0  # (n, bands*bits)
+    bits = bits.reshape(len(vectors), n_bands, n_bits)
+    return (bits * (1 << np.arange(n_bits))).sum(axis=2).astype(np.int64)

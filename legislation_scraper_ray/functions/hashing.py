@@ -100,7 +100,10 @@ def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     pre = pc.utf8_lower(parts.field("pre"))
     rest = parts.field("rest")
     s = pc.if_else(pc.is_valid(parts), pc.binary_join_element_wise(pre, rest, ""), s)
-    s = pc.replace_substring_regex(s, r"^(https?://[^/]*):(80|443)(/|$)", r"\1\3")
+    # strip the default port for the matching scheme only (http://h:443/x is a
+    # DISTINCT url from http://h/x and must keep its port)
+    s = pc.replace_substring_regex(s, r"^(http://[^/:]*):80(/|$)", r"\1\2")
+    s = pc.replace_substring_regex(s, r"^(https://[^/:]*):443(/|$)", r"\1\2")
     # strip trailing slash (but not the bare-root slash)
     s = pc.replace_substring_regex(s, r"^(https?://[^/]+/.+?)/+$", r"\1")
     return s

@@ -175,6 +175,12 @@ def supplier_revenue(sf_dir: str):
             sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(self.keys, sk)
             pos = np.minimum(pos, len(self.keys) - 1)
+            # inner-join semantics: drop rows whose suppkey has no dim match
+            # (searchsorted alone would silently attribute them to a neighbor)
+            found = self.keys[pos] == sk
+            if not found.all():
+                t = t.filter(pa.array(found))
+                pos = pos[found]
             sname = self.names[pos]
             rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
             tt = pa.table({"s_name": pa.array(sname.tolist()), "rev": rev})
@@ -356,43 +362,67 @@ def minhash_dup_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, verified with exact shingle Jaccard.
 
     shingle→minhash→band→bucket groupby→verify (the canonical web-dedup
-    pipeline).  At the driver's scales the corpus has no near-dups, so the
-    verified set equals the identical-text set (the SQL oracle)."""
+    pipeline).  The verify step joins the (output-sized) candidate-pair set
+    back to ``documents`` on doc_id — two hash-partitioned Dataset joins — so
+    no stage ever holds more than O(pairs) text (the r1 version broadcast the
+    WHOLE corpus text dict to the verify actors: a 100 TB scale-killer).
+    At the driver's scales the corpus has no near-dups below 1.0, so the
+    verified set equals the identical-text set (the SQL oracle).
+    Docs with < 3 tokens carry no shingles and are excluded on both sides."""
     from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, minhash_signatures
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
     sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
     cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
-    # dedupe candidate pairs discovered in multiple bands/partitions (pair list
-    # is output-sized — small by construction)
-    uniq_df = cands.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if uniq_df.empty:
+    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+    if paired is None:
         return _empty_pairs("doc_a", "doc_b", "jaccard")
-    uniq = rd.from_pandas(uniq_df)
-    texts = {
-        int(i): t
-        for i, t in zip(*_doc_texts(sf_dir))
-    }
-    text_ref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("doc_a", "doc_b", "jaccard")
+        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
+        out = df.assign(jaccard=_round(jac, 4))
+        return out[out["jaccard"] >= 0.95][["doc_a", "doc_b", "jaccard"]]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return _empty_pairs("doc_a", "doc_b", "jaccard")
-            ta = [self.texts[int(x)] for x in df["doc_a"]]
-            tb = [self.texts[int(x)] for x in df["doc_b"]]
-            jac = jaccard_shingles(ta, tb)
-            out = df.assign(jaccard=_round(jac, 4))
-            return out[out["jaccard"] >= 0.95][["doc_a", "doc_b", "jaccard"]]
-
-    out = uniq.map_batches(Verify, batch_format="pandas", concurrency=2).to_pandas()
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
     if out.empty:
         out = _empty_pairs("doc_a", "doc_b", "jaccard")
     return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
+                        payload_col: str, num_partitions: int = 8) -> rd.Dataset | None:
+    """Attach per-doc payloads to candidate (doc_a, doc_b) pairs WITHOUT
+    broadcasting the corpus: dedupe pairs, then two hash-partitioned
+    ``Dataset.join``s against the payload table on each side's id.  Peak state
+    per worker is O(pairs) + one hash partition of the payload.  Returns None
+    when there are no candidates (join on an empty side)."""
+    uniq = (
+        cands.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()  # ids only, output-sized — cheap to pin
+    )
+    if uniq.count() == 0:
+        return None
+    j1 = uniq.join(payload, join_type="inner", num_partitions=num_partitions,
+                   on=("doc_a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            "payload_a": t[payload_col]}),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(payload, join_type="inner", num_partitions=num_partitions,
+                 on=("doc_b",), right_on=(id_col,))
+    return j2.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            f"{payload_col}_a": t["payload_a"],
+                            f"{payload_col}_b": t[payload_col]}),
+        batch_format="pyarrow",
+    )
 
 
 def _empty_pairs(a: str, b: str, value_col: str | None = None, value_dtype: str = "float64"):
@@ -402,9 +432,15 @@ def _empty_pairs(a: str, b: str, value_col: str | None = None, value_dtype: str 
     return pd.DataFrame(cols)
 
 
-def _doc_texts(sf_dir: str):
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+def _query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
+    """Pushed-down single-row lookup: the parquet filter prunes row groups so
+    the driver never reads the full embeddings table (VERDICT r1 item 7)."""
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
 
 
 def simhash_dup_pairs(sf_dir: str):
@@ -463,37 +499,62 @@ def _explode_simhash_bands(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def embedding_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup (cos ≥ 0.99) via hyperplane-LSH buckets +
-    within-bucket numpy verification."""
+def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
+    """Embedding-cosine near-dup (cos ≥ 0.99) via banded hyperplane LSH.
+
+    Scale shape (r2): ``n_bits`` adapts to the corpus size (bounded expected
+    bucket population) and candidate mining carries ONLY (vec_id, band, bucket)
+    rows — never the embeddings.  Verification joins the output-sized candidate
+    pairs back to the embeddings table (two hash-partitioned joins), so no
+    stage is quadratic in the corpus and no broadcast holds it."""
     from ..functions.ann import _as_matrix, normalize
+    from ..functions.dedup import adaptive_bits, hyperplane_bands, mine_bucket_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_bits = adaptive_bits(ds.count())
 
     def bucketize(t: pa.Table) -> pa.Table:
-        from ..functions.dedup import hyperplane_bucket
-
         vecs = normalize(_as_matrix(t["embedding"]))
-        b = hyperplane_bucket(vecs, n_bits=6)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(d) < 2:
-            return _empty_pairs("vec_a", "vec_b", "cos_sim")
-        V = normalize(np.vstack(d["embedding"].to_numpy()).astype(np.float64))
-        S = V @ V.T
-        ii, jj = np.triu_indices(len(d), k=1)
-        keep = S[ii, jj] >= 0.99
-        ids = d["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {"vec_a": ids[ii][keep], "vec_b": ids[jj][keep],
-             "cos_sim": _round(S[ii, jj][keep], 4)}
+        b = hyperplane_bands(vecs, n_bands=n_bands, n_bits=n_bits)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), t.num_rows), pa.int32()),
+                "band_hash": pa.array(b.reshape(-1).astype(np.uint64), pa.uint64()),
+            }
         )
 
-    out = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas").to_pandas()
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+    buckets = buckets.map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    cands = buckets.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    # pack list<float> → fixed-size binary: Acero joins reject list payloads
+    from ..functions.ann import pack_matrix, unpack_matrix
+
+    packed = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "emb": pack_matrix(_as_matrix(t["embedding"]))}),
+        batch_format="pyarrow",
+    )
+    paired = _pairs_join_payload(cands, packed, "vec_id", "emb")
+    if paired is None:
+        return _empty_pairs("vec_a", "vec_b", "cos_sim")
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        A = normalize(unpack_matrix(t["emb_a"]))
+        B = normalize(unpack_matrix(t["emb_b"]))
+        cs = (A * B).sum(axis=1)
+        keep = cs >= 0.99
+        return pa.table(
+            {"vec_a": pa.array(t["doc_a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "vec_b": pa.array(t["doc_b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+             "cos_sim": pa.array(_round(cs[keep], 4), pa.float64())}
+        )
+
+    out = paired.map_batches(verify, batch_format="pyarrow").to_pandas()
     if out.empty:
         out = _empty_pairs("vec_a", "vec_b", "cos_sim")
     return out.astype({"vec_a": "int64", "vec_b": "int64"})
@@ -509,12 +570,7 @@ def ann_topk(sf_dir: str, k: int = 10):
     per batch, per-batch partial top-k, tiny final merge."""
     from ..functions.ann import BruteForceTopK, merge_topk, normalize
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q_emb = None
-    for i, v in enumerate(qt["vec_id"].to_pylist()):
-        if v == 0:
-            q_emb = np.asarray(qt["embedding"][i].as_py(), dtype=np.float64)
-            break
+    q_emb = _query_vector(sf_dir, 0)
     q = normalize(q_emb[None, :])
     ref = ray.put((np.array([0], dtype=np.int64), q))
 
@@ -632,12 +688,7 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
     )
     from ..functions.dedup import hyperplane_bucket
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q_emb = None
-    for i, v in enumerate(qt["vec_id"].to_pylist()):
-        if v == 0:
-            q_emb = np.asarray(qt["embedding"][i].as_py(), dtype=np.float64)
-            break
+    q_emb = _query_vector(sf_dir, 0)
     qn = normalize(q_emb[None, :])[0]
     probes = set(int(b) for b in query_probe_buckets(qn, n_bits=n_bits, n_probe=n_probe))
     probes_ref = ray.put(probes)
@@ -783,7 +834,8 @@ ORACLE_SQL = {
         FROM documents GROUP BY 1
     """,
     "props_sum_by_type": """
-        SELECT event_type, SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k
+        SELECT event_type,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
     """,
     "top_events_by_value": "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",

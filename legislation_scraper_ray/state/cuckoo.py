@@ -135,15 +135,20 @@ class CuckooFilter:
 
     # ---- snapshot/restore for checkpoint-resume (north_rule) ----
     def serialize(self) -> bytes:
+        # full PCG64 generator state ('state' AND 'inc' — shards are seeded
+        # 42+i, so restoring only 'state' onto a default_rng(42) would resume
+        # with a different random stream than the one snapshotted, making a
+        # resumed run's eviction/stash layout diverge from an uninterrupted one)
+        st = self.rng.bit_generator.state
         buf = io.BytesIO()
         np.savez_compressed(
             buf,
             table=self.table,
             count=np.int64(self.count),
             stash=np.array(self.stash or np.empty((0, 2)), dtype=np.uint64).reshape(-1, 2),
-            rng_state=np.frombuffer(
-                self.rng.bit_generator.state["state"]["state"].to_bytes(16, "little"), np.uint8
-            ),
+            rng_state=np.frombuffer(st["state"]["state"].to_bytes(16, "little"), np.uint8),
+            rng_inc=np.frombuffer(st["state"]["inc"].to_bytes(16, "little"), np.uint8),
+            rng_extra=np.array([st["has_uint32"], st["uinteger"]], dtype=np.uint64),
         )
         return buf.getvalue()
 
@@ -156,9 +161,11 @@ class CuckooFilter:
         obj.mask = np.uint64(obj.n_buckets - 1)
         obj.count = int(z["count"])
         obj.stash = [(int(a), int(b)) for a, b in z["stash"]]
-        obj.rng = np.random.default_rng(42)
+        obj.rng = np.random.default_rng(0)
         st = obj.rng.bit_generator.state
         st["state"]["state"] = int.from_bytes(z["rng_state"].tobytes(), "little")
+        st["state"]["inc"] = int.from_bytes(z["rng_inc"].tobytes(), "little")
+        st["has_uint32"], st["uinteger"] = (int(x) for x in z["rng_extra"])
         obj.rng.bit_generator.state = st
         return obj
 

@@ -77,3 +77,58 @@ def test_jaccard_shingles_bounds():
     assert jaccard_shingles(["a b c d"], ["x y z w"])[0] == 0.0
     j = jaccard_shingles(["a b c d e f"], ["a b c d e CHANGED"])[0]
     assert 0.3 < j < 0.9
+
+
+def test_adaptive_bits_scales_with_corpus():
+    from legislation_scraper_ray.functions.dedup import adaptive_bits
+
+    small, big = adaptive_bits(2_000), adaptive_bits(20_000)
+    assert big > small
+    assert adaptive_bits(10**10) == 24  # clamped ceiling
+
+
+def test_banded_lsh_bucket_population_bounded_at_10x():
+    """Candidate volume must stay ~O(n) when the corpus grows 10× (the r1
+    fixed-64-bucket layout went quadratic)."""
+    from legislation_scraper_ray.functions.dedup import adaptive_bits, hyperplane_bands
+
+    rng = np.random.default_rng(7)
+    per_vec = {}
+    for n in (2_000, 20_000):
+        v = rng.standard_normal((n, 64))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        b = hyperplane_bands(v, n_bands=8, n_bits=adaptive_bits(n))
+        cand_pairs = 0
+        for band in range(8):
+            _, counts = np.unique(b[:, band], return_counts=True)
+            cand_pairs += int((counts * (counts - 1) // 2).sum())
+        per_vec[n] = cand_pairs / n
+        assert cand_pairs < 16 * n  # O(1) candidates per vector
+    # growing the corpus 10× must NOT grow the per-vector candidate load
+    assert per_vec[20_000] <= per_vec[2_000] * 1.5
+
+
+def test_banded_lsh_finds_planted_near_dups():
+    from legislation_scraper_ray.functions.dedup import adaptive_bits, hyperplane_bands
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((500, 64))
+    dup = base[:20] + rng.standard_normal((20, 64)) * 0.004  # cos ≈ 0.9999
+    v = np.vstack([base, dup])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    b = hyperplane_bands(v, n_bands=8, n_bits=adaptive_bits(len(v)))
+    share = (b[:20] == b[500:]).any(axis=1)  # planted pair collides in ≥1 band
+    assert share.all()
+
+
+def test_pack_unpack_matrix_roundtrip():
+    from legislation_scraper_ray.functions.ann import pack_matrix, unpack_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((17, 8)).astype(np.float32)
+    col = pack_matrix(m)
+    back = unpack_matrix(pa.chunked_array([col]))
+    np.testing.assert_array_equal(back.astype(np.float32), m)
+    # sliced column (non-zero offset) must unpack the right rows
+    back2 = unpack_matrix(col.slice(5, 7))
+    np.testing.assert_array_equal(back2.astype(np.float32), m[5:12])
