@@ -79,24 +79,24 @@ def prepare_web_cached(corpus_dir: str, graph: pa.Table, corpus: pa.Table) -> pa
 
 
 def prepare_web(graph: pa.Table, corpus: pa.Table) -> pa.Table:
-    """Driver-side one-time prep: url_hash sort key + corpus ordinal + fail code."""
+    """Driver-side one-time prep: url_hash sort key + corpus ordinal + fail code.
+
+    Fully vectorized (r2): ``pc.index_in`` maps image_id → corpus ordinal and
+    fail_mode → code — the r1 Python dict/list comprehensions were
+    row-at-a-time over the largest table in the system."""
     hashes = hash64(graph["url"])
-    img_ord = {im: i for i, im in enumerate(corpus["image_id"].to_pylist())}
-    image_idx = np.array(
-        [img_ord.get(im, -1) if im is not None else -1 for im in graph["image_id"].to_pylist()],
-        dtype=np.int64,
-    )
-    fm = graph["fail_mode"].to_pylist()
-    fail_code = np.array(
-        [
-            FAIL_NONE if m is None else (FAIL_HARD if m == "hard_error" else FAIL_SOFT)
-            for m in fm
-        ],
-        dtype=np.int8,
+    idx = pc.index_in(graph["image_id"], value_set=corpus["image_id"])
+    image_idx = pc.fill_null(idx.cast(pa.int64()), -1)
+    fm = graph["fail_mode"]
+    fail_code = pc.if_else(
+        pc.is_null(fm),
+        pa.scalar(FAIL_NONE, pa.int8()),
+        pc.if_else(pc.equal(fm, "hard_error"),
+                   pa.scalar(FAIL_HARD, pa.int8()), pa.scalar(FAIL_SOFT, pa.int8())),
     )
     g = graph.append_column("url_hash", pa.array(hashes, pa.uint64()))
-    g = g.append_column("image_idx", pa.array(image_idx, pa.int64()))
-    g = g.append_column("fail_code", pa.array(fail_code, pa.int8()))
+    g = g.append_column("image_idx", image_idx)
+    g = g.append_column("fail_code", fail_code)
     return g.sort_by("url_hash")
 
 
