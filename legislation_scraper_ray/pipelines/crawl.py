@@ -32,6 +32,17 @@ frontier, so a resumed run replays ``check_and_add`` idempotently and skips
 completed generations exactly (vs the reference's lossy resume-at-last-year-1,
 src/database/saver.py:48-61).  Lineage records (url_hash, generation, host,
 scheduled_ts, status, attempts) are written per generation.
+
+Streaming-frontier design (r2): the frontier never lands on the driver — it is
+a materialized Dataset whose blocks live in the object store; the checkpoint
+persists it with ``write_parquet``.  The only synchronization a generation
+needs is the FETCH of its listings (BFS data dependency: out_links feed the
+next frontier); doc decode + partitioned write — the bulk of per-generation
+work — runs asynchronously in a writer thread and is joined only before the
+next checkpoint (so "checkpoint at g+1" still implies "docs ≤ g durable") and
+at crawl end.  Driver-side per-generation state is O(hosts): a per-batch
+(host, status, kind) partial aggregate feeds counters, metrics records and the
+politeness host clocks.
 """
 
 from __future__ import annotations
@@ -39,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -222,7 +234,9 @@ def run_crawl(
             clocks = state["clocks"]
             seen.restore([_read_blob(p) for p in state["shard_files"]])
             fpath = state["frontier_file"]
-            frontier_tbl = pq.read_table(fpath) if os.path.exists(fpath) else None
+            frontier_tbl = (
+                rd.read_parquet(fpath).materialize() if os.path.exists(fpath) else None
+            )
             res.per_generation = state.get("per_generation", [])
             for g in res.per_generation:
                 res.fetched_ok += g["fetched_ok"]
@@ -237,6 +251,8 @@ def run_crawl(
         # Reference order: host-major (sources strictly sequential,
         # main.py:359-365), then one (year, situation, type) unit at a time in
         # declared order (src/scraper/base/scraper.py:479-485).
+        if isinstance(frontier_tbl, rd.Dataset):  # resumed frontier → table
+            frontier_tbl = pa.concat_tables(ray.get(frontier_tbl.to_arrow_refs()))
         units = (
             frontier_tbl.group_by(["host", "priority"])
             .aggregate([])
@@ -273,8 +289,85 @@ def run_crawl(
     return res
 
 
+class _AsyncWriter:
+    """Bounded background writer pool for the doc decode+write path.
+
+    The BFS loop only *needs* fetch output (listings → next frontier); doc
+    decode + partitioned write is pure sink work, so it overlaps the next
+    generation's schedule/fetch — up to ``max_inflight`` generations' writes
+    run concurrently (bounding how many generations of payload blocks stay
+    pinned in the object store).  ``join`` re-raises any failure and is called
+    before each checkpoint save (durability ordering) and at crawl end."""
+
+    def __init__(self, max_inflight: int = 2):
+        self._threads: list[threading.Thread] = []
+        self._err: BaseException | None = None
+        self.max_inflight = max_inflight
+
+    def launch(self, fn) -> None:
+        self._threads = [t for t in self._threads if t.is_alive()]
+        while len(self._threads) >= self.max_inflight:
+            self._threads.pop(0).join()
+        self._raise()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # re-raised on join
+                self._err = e
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def join(self) -> None:
+        while self._threads:
+            self._threads.pop(0).join()
+        self._raise()
+
+    def _raise(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+def _collect_gen_stats(fetched: rd.Dataset) -> "pd.DataFrame":
+    """O(hosts)-sized per-generation bookkeeping: a per-batch
+    (host, status, kind) partial aggregate, combined on the driver.  Replaces
+    the r1 full-lineage driver collect (O(frontier) rows → O(hosts) rows)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        # error rows carry a NULL kind (no graph row matched) — fill it, or the
+        # pandas combine groupby silently drops those groups (dropna default)
+        t = t.set_column(
+            t.schema.get_field_index("kind"), "kind", pc.fill_null(t["kind"], "none")
+        )
+        g = t.group_by(["host", "status", "kind"]).aggregate(
+            [("url_hash", "count"), ("attempts", "sum"), ("attempts", "max"),
+             ("scheduled_ts", "max")]
+        )
+        return g.rename_columns(
+            ["host", "status", "kind", "n", "sum_attempts", "max_attempts", "max_ts"]
+        )
+
+    parts = (
+        fetched.select_columns(["host", "status", "kind", "attempts", "scheduled_ts", "url_hash"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        return parts
+    return (
+        parts.groupby(["host", "status", "kind"], sort=False)
+        .agg(n=("n", "sum"), sum_attempts=("sum_attempts", "sum"),
+             max_attempts=("max_attempts", "max"), max_ts=("max_ts", "max"))
+        .reset_index()
+    )
+
+
 def _bfs(
-    frontier_tbl: pa.Table | None,
+    frontier_tbl: pa.Table | rd.Dataset | None,
     cfg: CrawlConfig,
     seen: ShardedSeenSet,
     graph_ref,
@@ -288,218 +381,247 @@ def _bfs(
     checkpoint: bool,
     crawl_epoch: float = 0.0,
 ) -> None:
+    import pandas as pd
+
     gen = start_gen
-    while frontier_tbl is not None and frontier_tbl.num_rows > 0:
-        if gen - start_gen >= cfg.max_generations:
-            break
-        if checkpoint:
-            _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation)
-        t_iter0 = time.perf_counter()
-        carryover: pa.Table | None = None
-        if cfg.frontier_budget and frontier_tbl.num_rows > cfg.frontier_budget:
-            order = pc.sort_indices(
-                frontier_tbl,
-                sort_keys=[("priority", "ascending"), ("url", "ascending")],
-            )
-            frontier_tbl = frontier_tbl.take(order)
-            carryover = frontier_tbl.slice(cfg.frontier_budget)
-            frontier_tbl = frontier_tbl.slice(0, cfg.frontier_budget)
+    writer = _AsyncWriter()
+    # normalize the incoming frontier (seed table / resumed Dataset) to a
+    # materialized Dataset + row count; None means exhausted
+    if isinstance(frontier_tbl, pa.Table):
         n_frontier = frontier_tbl.num_rows
-        n_blocks = max(1, min(128, n_frontier // cfg.batch_size + 1))
-        frontier = rd.from_arrow(frontier_tbl, override_num_blocks=n_blocks)
+        frontier_ds = (
+            rd.from_arrow(
+                frontier_tbl,
+                override_num_blocks=max(
+                    1, min(256, n_frontier // max(cfg.batch_size // 2, 1) + 1)
+                ),
+            ).materialize()
+            if n_frontier
+            else None
+        )
+    else:
+        frontier_ds = frontier_tbl
+        n_frontier = frontier_ds.count() if frontier_ds is not None else 0
 
-        frontier = frontier.map_batches(
-            canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-        )
-        frontier = frontier.map_batches(
-            SeenFilter(seen.shards, seen.n_shards),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
-        frontier = frontier.groupby("host").map_groups(
-            _make_schedule_fn(delays_ms, clocks), batch_format="pyarrow"
-        )
-        # salted re-split after the per-host groupby: politeness is already baked
-        # into scheduled_ts, so the hot host's single group block can be split
-        # across the whole fetch pool (hot-host skew handling, SURVEY.md §4)
-        frontier = frontier.repartition(n_blocks)
-        if cfg.compute == "actors":
-            fetched = frontier.map_batches(
-                FetchActor,
-                fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
-                batch_format="pyarrow",
-                batch_size=cfg.batch_size,
-                # autoscaling pool: min = 1/4 of max warms a few actors up
-                # front (cuts ramp-up skew) while never reserving the whole CPU
-                # budget — a fixed-size pool + shard actors can deadlock a
-                # 4-CPU session by starving the fused task stages
-                concurrency=(max(1, cfg.fetch_concurrency // 4), cfg.fetch_concurrency),
-                num_cpus=cfg.actor_num_cpus,
+    try:
+        while frontier_ds is not None and n_frontier > 0:
+            if gen - start_gen >= cfg.max_generations:
+                break
+            if checkpoint:
+                # docs of gen-1 must be durable before the checkpoint that
+                # promises "resume at gen" skips them
+                writer.join()
+                _save_checkpoint(ckpt_dir, gen, frontier_ds, seen, clocks, res.per_generation)
+            t_iter0 = time.perf_counter()
+            carryover: rd.Dataset | None = None
+            n_carry = 0
+            if cfg.frontier_budget and n_frontier > cfg.frontier_budget:
+                # priority-frontier pop, fully distributed: sort + index split
+                srt = frontier_ds.sort(["priority", "url"]).materialize()
+                frontier_ds, carryover = srt.split_at_indices([cfg.frontier_budget])
+                n_carry = n_frontier - cfg.frontier_budget
+                n_frontier = cfg.frontier_budget
+            # block target = half the fetch batch: fine enough that the doc
+            # decode stage (1 task per block) load-balances across the pool
+            n_blocks = max(1, min(256, n_frontier // max(cfg.batch_size // 2, 1) + 1))
+
+            frontier = frontier_ds.map_batches(
+                canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
             )
-            # decode chained in the SAME streaming execution: payload blocks are
-            # scanned once.  Decode runs as a stateless TASK stage (its state —
-            # codec dispatch + ocr threshold — is trivial): task pools reach
-            # full parallelism instantly, whereas an actor pool ramps from 1
-            # and eats ~10s of every generation in spin-up.  The genuinely
-            # stateful stage (fetch: sessions, per-host politeness, broadcast
-            # index) stays an actor pool.
-            fetched = fetched.map_batches(
-                DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                batch_format="pyarrow",
-                batch_size=min(cfg.batch_size, 2048),
-            )
-        else:
-            fetched = frontier.map_batches(
-                _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
+            frontier = frontier.map_batches(
+                SeenFilter(seen.shards, seen.n_shards),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
+            frontier = frontier.groupby("host").map_groups(
+                _make_schedule_fn(delays_ms, clocks), batch_format="pyarrow"
+            )
+            # salted re-split after the per-host groupby: politeness is already
+            # baked into scheduled_ts, so the hot host's single group block can
+            # be split across the whole fetch pool (hot-host skew handling)
+            frontier = frontier.repartition(n_blocks)
+            if cfg.compute == "actors":
+                fetched = frontier.map_batches(
+                    FetchActor,
+                    fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    # autoscaling pool: min = 1/4 of max warms a few actors up
+                    # front (cuts ramp-up skew) while never reserving the whole
+                    # CPU budget — a fixed-size pool + shard actors can deadlock
+                    # a 4-CPU session by starving the fused task stages
+                    concurrency=(max(1, cfg.fetch_concurrency // 4), cfg.fetch_concurrency),
+                    num_cpus=cfg.actor_num_cpus,
+                )
+            else:
+                fetched = frontier.map_batches(
+                    _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
             fetched = fetched.map_batches(
-                DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                lambda b, g=gen: b.append_column(
+                    "generation", pa.array(np.full(b.num_rows, g, np.int32))
+                ),
                 batch_format="pyarrow",
-                batch_size=min(cfg.batch_size, 2048),
             )
-        fetched = fetched.map_batches(
-            lambda b, g=gen: b.append_column(
-                "generation", pa.array(np.full(b.num_rows, g, np.int32))
-            ),
-            batch_format="pyarrow",
-        )
-        # -------- generation barrier: pin this generation's blocks once --------
-        t_g0 = time.perf_counter()
-        fetched = fetched.materialize()
-        t_fetch = time.perf_counter() - t_g0
-        if cfg.collect_stats:
-            res.stats.append(fetched.stats())
+            # ---- fetch barrier: the ONLY sync point a generation requires ----
+            t_g0 = time.perf_counter()
+            fetched = fetched.materialize()
+            t_fetch = time.perf_counter() - t_g0
+            if cfg.collect_stats:
+                res.stats.append(fetched.stats())
 
-        # All bookkeeping (lineage, errors, counters, host clocks) is computed
-        # from the generation's *metadata* columns — zero-copy views of the
-        # materialized blocks, no extra Dataset executions.  Payload columns
-        # stay in the object store and only flow through decode→write.
-        meta = pa.concat_tables(
-            [ray.get(r).select(LINEAGE_COLUMNS) for r in fetched.to_arrow_refs()]
-        ).combine_chunks()
-        n_after_seen = meta.num_rows
-        dropped = n_frontier - n_after_seen
-        status = meta["status"]
-        kind = meta["kind"]
-        n_err = int(pc.sum(pc.equal(status, "error")).as_py() or 0)
-        n_docs = int(
-            pc.sum(pc.and_(pc.equal(status, "ok"), pc.equal(kind, "doc"))).as_py() or 0
-        )
-        n_listings = int(
-            pc.sum(pc.and_(pc.equal(status, "ok"), pc.equal(kind, "listing"))).as_py() or 0
-        )
-        if n_err:
-            err_dir = os.path.join(out_dir, "errors")
-            os.makedirs(err_dir, exist_ok=True)
-            pq.write_table(
-                meta.filter(pc.equal(status, "error")),
-                os.path.join(err_dir, f"gen-{gen}.parquet"),
-            )
-        if cfg.write_lineage and n_after_seen:
-            lin_dir = os.path.join(out_dir, "lineage")
-            os.makedirs(lin_dir, exist_ok=True)
-            pq.write_table(meta, os.path.join(lin_dir, f"gen-{gen}.parquet"))
-            # per-(host, generation) fetch/dedup metrics (north_rule: every
-            # partition emits lineage AND metrics records)
-            mtr = meta.group_by("host").aggregate(
-                [("url_hash", "count"), ("attempts", "sum"), ("attempts", "max"),
-                 ("scheduled_ts", "max")]
-            )
-            mtr = mtr.rename_columns(
-                ["host", "n_fetched", "sum_attempts", "max_attempts", "max_scheduled_ts"]
-            )
-            errs_by_host = (
-                meta.filter(pc.equal(status, "error")).group_by("host").aggregate(
-                    [("url_hash", "count")]
-                ).rename_columns(["host", "n_errors"])
-            )
-            err_map = dict(zip(errs_by_host["host"].to_pylist(), errs_by_host["n_errors"].to_pylist()))
-            mtr = mtr.append_column(
-                "n_errors",
-                pa.array([err_map.get(h, 0) for h in mtr["host"].to_pylist()], pa.int64()),
-            )
-            mtr = mtr.append_column(
-                "generation", pa.array(np.full(mtr.num_rows, gen, np.int32))
-            )
-            mtr_dir = os.path.join(out_dir, "metrics")
-            os.makedirs(mtr_dir, exist_ok=True)
-            pq.write_table(mtr, os.path.join(mtr_dir, f"gen-{gen}.parquet"))
-        if n_after_seen:
-            sched = meta.group_by("host").aggregate([("scheduled_ts", "max")])
-            for h, ts in zip(
-                sched["host"].to_pylist(), sched["scheduled_ts_max"].to_pylist()
-            ):
-                clocks[h] = max(clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0)
+            stats = _collect_gen_stats(fetched)
+            n_after_seen = int(stats["n"].sum()) if len(stats) else 0
+            dropped = n_frontier - n_after_seen
+            err_rows = stats[stats["status"] == "error"] if len(stats) else stats
+            ok_rows = stats[stats["status"] == "ok"] if len(stats) else stats
+            n_err = int(err_rows["n"].sum()) if len(stats) else 0
+            n_docs = int(ok_rows[ok_rows["kind"] == "doc"]["n"].sum()) if len(stats) else 0
+            n_listings = int(ok_rows[ok_rows["kind"] == "listing"]["n"].sum()) if len(stats) else 0
 
-        t_meta = time.perf_counter() - t_g0 - t_fetch
-        t_g1 = time.perf_counter()
-        if n_docs:
-            doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
-            docs = fetched.filter(expr="status == 'ok' and kind == 'doc'").map_batches(
-                lambda b: _project_docs(b, doc_cols), batch_format="pyarrow"
-            )
-            docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
-            if os.path.exists(docs_dir):
-                # resume re-runs the generation from its checkpoint: clear any
-                # partial output first (write_parquet default mode APPENDS,
-                # which would duplicate docs from an interrupted write)
-                shutil.rmtree(docs_dir)
-            docs.write_parquet(docs_dir, partition_cols=["year", "type", "situation"])
+            if n_err:
+                # error sink (S9): error rows are failure-rate-sized — a driver
+                # collect of just those rows keeps the flat per-gen file layout
+                err_dir = os.path.join(out_dir, "errors")
+                os.makedirs(err_dir, exist_ok=True)
+                err_tbl = pa.concat_tables(
+                    ray.get(
+                        fetched.select_columns(LINEAGE_COLUMNS)
+                        .map_batches(_status_kind_filter("error", None), batch_format="pyarrow")
+                        .to_arrow_refs()
+                    )
+                )
+                pq.write_table(err_tbl, os.path.join(err_dir, f"gen-{gen}.parquet"))
+            if cfg.write_lineage and n_after_seen:
+                # lineage sink: full rows — written distributed (hive dir per
+                # generation; cleared first since write_parquet appends)
+                lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
+                if os.path.exists(lin_dir):
+                    shutil.rmtree(lin_dir)
+                fetched.select_columns(LINEAGE_COLUMNS).write_parquet(lin_dir)
+                # per-(host, generation) fetch/dedup metrics (north_rule: every
+                # partition emits lineage AND metrics records) — O(hosts) rows
+                by_host = stats.groupby("host", sort=False).agg(
+                    n_fetched=("n", "sum"), sum_attempts=("sum_attempts", "sum"),
+                    max_attempts=("max_attempts", "max"), max_scheduled_ts=("max_ts", "max"),
+                ).reset_index()
+                errs = err_rows.groupby("host", sort=False)["n"].sum() if n_err else None
+                by_host["n_errors"] = (
+                    by_host["host"].map(errs).fillna(0).astype("int64") if errs is not None else 0
+                )
+                by_host["n_errors"] = by_host["n_errors"].astype("int64")
+                by_host["generation"] = np.int32(gen)
+                mtr_dir = os.path.join(out_dir, "metrics")
+                os.makedirs(mtr_dir, exist_ok=True)
+                pq.write_table(
+                    pa.Table.from_pandas(by_host, preserve_index=False),
+                    os.path.join(mtr_dir, f"gen-{gen}.parquet"),
+                )
+            if n_after_seen:
+                for h, ts in zip(stats["host"], stats["max_ts"]):
+                    clocks[h] = max(
+                        clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0
+                    )
 
-        t_decode = time.perf_counter() - t_g1
-        t_g2 = time.perf_counter()
-        # next frontier = exploded out_links of this generation's listings.
-        # Project to metadata columns FIRST so payload bytes never flow through
-        # the explode execution (links are a tiny fraction of block bytes).
-        # Skip entirely when the loop is about to stop at max_generations AND
-        # no checkpoint needs the frontier (e.g. the sustained benchmark).
-        will_continue = (gen + 1 - start_gen) < cfg.max_generations
-        if n_listings and (will_continue or checkpoint):
-            listings = fetched.select_columns(
-                ["status", "kind", "out_links", "host", "year", "situation", "type",
-                 "priority", "depth"]
-            ).filter(expr="status == 'ok' and kind == 'listing'")
-            nxt = listings.map_batches(_explode_links, batch_format="pyarrow")
-            frontier_tbl = _collect_frontier(nxt)
-        else:
-            frontier_tbl = None
-        if carryover is not None and carryover.num_rows:
-            frontier_tbl = (
-                pa.concat_tables([frontier_tbl, carryover]).combine_chunks()
-                if frontier_tbl is not None
-                else carryover
-            )
+            t_meta = time.perf_counter() - t_g0 - t_fetch
+            t_g1 = time.perf_counter()
+            # next frontier = exploded out_links of this generation's listings:
+            # metadata columns only (payloads never flow through the explode),
+            # materialized into the OBJECT STORE — never collected to the driver.
+            will_continue = (gen + 1 - start_gen) < cfg.max_generations
+            nxt: rd.Dataset | None = None
+            n_next = 0
+            if n_listings and (will_continue or checkpoint):
+                listings = fetched.select_columns(
+                    ["status", "kind", "out_links", "host", "year", "situation", "type",
+                     "priority", "depth"]
+                ).map_batches(_status_kind_filter("ok", "listing"), batch_format="pyarrow")
+                nxt = listings.map_batches(_explode_links, batch_format="pyarrow").materialize()
+                n_next = nxt.count()
+            if carryover is not None and n_carry:
+                nxt = nxt.union(carryover).materialize() if nxt is not None else carryover
+                n_next += n_carry
+            t_frontier = time.perf_counter() - t_g1
 
-        res.per_generation.append(
-            {
-                "generation": gen,
-                "frontier": n_frontier,
-                "after_seen": n_after_seen,
-                "dedup_dropped": dropped,
-                "fetched_ok": n_after_seen - n_err,
-                "errors": n_err,
-                "docs_written": n_docs,
-                "t_fetch": round(t_fetch, 2),
-                "t_meta": round(t_meta, 2),
-                "t_decode_write": round(t_decode, 2),
-                "t_frontier": round(time.perf_counter() - t_g2, 2),
-                "t_iter": round(time.perf_counter() - t_iter0, 2),
-            }
-        )
-        res.fetched_ok += n_after_seen - n_err
-        res.errors += n_err
-        res.dedup_dropped += dropped
-        res.docs_written += n_docs
-        res.generations = gen + 1
-        gen += 1
+            # docs: decode + partitioned write, OFF the critical path
+            t_g2 = time.perf_counter()
+            if n_docs:
+                doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
+                docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
+                if os.path.exists(docs_dir):
+                    # resume re-runs the generation from its checkpoint: clear
+                    # any partial output first (write_parquet APPENDS)
+                    shutil.rmtree(docs_dir)
+                docs = (
+                    fetched.map_batches(
+                        _status_kind_filter("ok", "doc"), batch_format="pyarrow"
+                    )
+                    .map_batches(
+                        DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                        batch_format="pyarrow",
+                        batch_size=min(cfg.batch_size, 2048),
+                    )
+                    .map_batches(
+                        lambda b, cols=doc_cols: _project_docs(b, cols),
+                        batch_format="pyarrow",
+                    )
+                )
+                def _write_docs(ds=docs, d=docs_dir, collect=cfg.collect_stats):
+                    ds.write_parquet(d, partition_cols=["year", "type", "situation"])
+                    if collect:
+                        res.stats.append(ds.stats())
+
+                writer.launch(_write_docs)
+            t_docs_launch = time.perf_counter() - t_g2
+
+            res.per_generation.append(
+                {
+                    "generation": gen,
+                    "frontier": n_frontier,
+                    "after_seen": n_after_seen,
+                    "dedup_dropped": dropped,
+                    "fetched_ok": n_after_seen - n_err,
+                    "errors": n_err,
+                    "docs_written": n_docs,
+                    "t_fetch": round(t_fetch, 2),
+                    "t_meta": round(t_meta, 2),
+                    "t_decode_write": round(t_docs_launch, 2),
+                    "t_frontier": round(t_frontier, 2),
+                    "t_iter": round(time.perf_counter() - t_iter0, 2),
+                }
+            )
+            res.fetched_ok += n_after_seen - n_err
+            res.errors += n_err
+            res.dedup_dropped += dropped
+            res.docs_written += n_docs
+            res.generations = gen + 1
+            gen += 1
+            frontier_ds, n_frontier = nxt, n_next
+    finally:
+        writer.join()
 
     if checkpoint:
-        exhausted = frontier_tbl is None or frontier_tbl.num_rows == 0
+        exhausted = frontier_ds is None or n_frontier == 0
         _save_checkpoint(
-            ckpt_dir, gen, frontier_tbl, seen, clocks, res.per_generation, final=exhausted
+            ckpt_dir, gen, frontier_ds if n_frontier else None, seen, clocks,
+            res.per_generation, final=exhausted,
         )
+
+
+def _status_kind_filter(status: str, kind: str | None):
+    """Vectorized Arrow row filter — ``Dataset.filter(expr=...)`` evaluates
+    row-at-a-time in Python (measured 4+ s per 8k-row payload block); a
+    ``Table.filter`` with a compute mask is a C++ kernel."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["status"], status)
+        if kind is not None:
+            mask = pc.and_(mask, pc.equal(t["kind"], kind))
+        return t.filter(pc.fill_null(mask, False))
+
+    return f
 
 
 def _make_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
@@ -522,21 +644,14 @@ def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:
     return pa.table(out)
 
 
-def _collect_frontier(ds: rd.Dataset) -> pa.Table | None:
-    """Next generation's frontier: metadata-only rows (no payloads) — small
-    relative to the payload stream, so an Arrow collect at the barrier is the
-    per-generation driver state, exactly what gets checkpointed."""
-    tbls = [ray.get(ref) for ref in ds.to_arrow_refs()]
-    tbls = [t for t in tbls if t.num_rows]
-    if not tbls:
-        return None
-    return pa.concat_tables(tbls).combine_chunks()
-
-
 # ---------------- checkpoint helpers ----------------
 
 
-def _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, per_generation, final=False):
+def _save_checkpoint(ckpt_dir, gen, frontier, seen, clocks, per_generation, final=False):
+    """``frontier`` is a (materialized) Dataset or None — persisted as a
+    parquet DIRECTORY (distributed write; cleared first since write_parquet
+    appends).  The manifest is only flipped to point at it afterwards, so an
+    interrupted checkpoint write leaves the previous manifest intact."""
     os.makedirs(ckpt_dir, exist_ok=True)
     shard_files = []
     for i, blob in enumerate(seen.snapshot()):
@@ -544,9 +659,11 @@ def _save_checkpoint(ckpt_dir, gen, frontier_tbl, seen, clocks, per_generation, 
         with open(p, "wb") as f:
             f.write(blob)
         shard_files.append(p)
-    fpath = os.path.join(ckpt_dir, f"frontier_gen{gen}.parquet")
-    if frontier_tbl is not None and frontier_tbl.num_rows:
-        pq.write_table(frontier_tbl, fpath)
+    fpath = os.path.join(ckpt_dir, f"frontier_gen{gen}")
+    if frontier is not None:
+        if os.path.exists(fpath):
+            shutil.rmtree(fpath)
+        frontier.write_parquet(fpath)
     state = {
         "next_generation": gen,
         "frontier_file": fpath,

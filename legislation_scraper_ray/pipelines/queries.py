@@ -746,11 +746,12 @@ def dup_clusters(sf_dir: str):
 def crawl_seen_set(sf_dir: str):
     """Run the full crawl at the scale matching sf_dir; return the final
     URL-seen set with per-URL lineage (generation, host, status)."""
-    import glob
     import os
 
+    import pyarrow.dataset as pads
+
     from ..sources.corpus import corpus_dir_for_sf
-    from .crawl import CrawlConfig, run_crawl
+    from .crawl import LINEAGE_COLUMNS, CrawlConfig, run_crawl
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
     out = f"/tmp/graft_crawl_query/{os.path.basename(corpus_dir)}"
@@ -758,8 +759,7 @@ def crawl_seen_set(sf_dir: str):
         corpus_dir, out,
         CrawlConfig(n_seen_shards=4, fetch_concurrency=4, decode_concurrency=2, checkpoint=False),
     )
-    files = sorted(glob.glob(f"{out}/lineage/*.parquet"))
-    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = pads.dataset(f"{out}/lineage", partitioning="hive").to_table(columns=LINEAGE_COLUMNS)
     return tbl.sort_by("url_hash")
 
 
