@@ -42,6 +42,17 @@ def _canon(url: str) -> str:
     return canonicalize_urls(pa.array([url]))[0].as_py()
 
 
+def _resolve(base: str, u: str) -> str:
+    """Relative-link resolution — the reference's urljoin absolute-ization
+    (src/scraper/state_legislation/alagoas.py:96-99).  No-op for absolute
+    links, so HTML-shaped corpora are unaffected."""
+    if "://" in u:
+        return u
+    from urllib.parse import urljoin
+
+    return urljoin(base, u)
+
+
 def simulate(corpus_dir: str) -> SimResult:
     graph = pq.read_table(f"{corpus_dir}/web_graph.parquet")
     corpus = pq.read_table(f"{corpus_dir}/corpus.parquet")
@@ -80,7 +91,7 @@ def simulate(corpus_dir: str) -> SimResult:
         if page1 is None:
             wave += 1
             continue
-        links1 = page1["out_links"]
+        links1 = [_resolve(seed["url"], u) for u in page1["out_links"]]
         other_pages = [u for u in links1 if by_url.get(_canon(u), {}).get("kind") == "listing"]
         doc_links = [u for u in links1 if u not in other_pages]
         wave += 1
@@ -91,7 +102,7 @@ def simulate(corpus_dir: str) -> SimResult:
                 page_rows.append(r)
         wave += 1
         for r in page_rows:  # accumulate doc links in page order
-            doc_links.extend(r["out_links"])
+            doc_links.extend(_resolve(r["url"], u) for u in r["out_links"])
         for u in doc_links:  # wave 2: all docs of the unit
             fetch(u, wave)
         wave += 1

@@ -205,17 +205,60 @@ def run_crawl(
     cfg: CrawlConfig | None = None,
     resume: bool = False,
     frontier_override: pa.Table | None = None,
+    sources: list | None = None,
 ) -> CrawlResult:
     """Run (or resume) the crawl over a synthetic corpus directory.
 
     ``frontier_override`` replaces the seed frontier (used by the sustained-
-    throughput benchmark to feed the whole URL set as one generation)."""
+    throughput benchmark to feed the whole URL set as one generation).
+
+    ``sources``: a list of Source implementations (sources/base.py) to crawl
+    as ONE union frontier — each source's corpus/graph is loaded and merged
+    (image ordinals re-offset, politeness budgets unioned), seed rows carry a
+    ``source`` column, and listing/doc parsing dispatches to each source's
+    ``parse_listing`` / ``parse_doc`` (the reference's 27-subclass template
+    dispatch, src/scraper/base/scraper.py:434-456, as batch-level UDFs).
+    Without ``sources`` the single ``corpus_dir`` is crawled with the default
+    (synthetic-source) parse steps — the zero-dispatch fast path."""
     cfg = cfg or CrawlConfig()
     t_start = time.perf_counter()
-    graph, corpus, manifest = _load_tables(corpus_dir)
-    delays_ms = manifest["robots_delay_ms"]
-    graph_ref = ray.put(prepare_web_cached(corpus_dir, graph, corpus))
-    corpus_ref = ray.put(corpus)
+    parse_listing_fn = parse_doc_fn = None
+    if sources:
+        prepared, corpora = [], []
+        delays_ms: dict[str, int] = {}
+        offset = 0
+        for s in sources:
+            g, c, _m = _load_tables(s.corpus_dir)
+            delays_ms.update(s.politeness())
+            p = prepare_web_cached(s.corpus_dir, g, c)
+            if offset:
+                idx = p["image_idx"]
+                idx = pc.if_else(
+                    pc.equal(idx, -1), idx, pc.add(idx, pa.scalar(offset, pa.int64()))
+                )
+                p = p.set_column(
+                    p.schema.get_field_index("image_idx"), "image_idx", idx.cast(pa.int64())
+                )
+            prepared.append(p)
+            corpora.append(c)
+            offset += c.num_rows
+        graph_ref = ray.put(pa.concat_tables(prepared).sort_by("url_hash"))
+        corpus_ref = ray.put(pa.concat_tables(corpora))
+        seed_tbls = []
+        for s in sources:
+            t = s.seeds()
+            seed_tbls.append(
+                t.append_column("source", pa.array([s.name] * t.num_rows, pa.string()))
+            )
+        frontier_default = pa.concat_tables(seed_tbls)
+        parse_listing_fn = _make_dispatch(sources, "parse_listing")
+        parse_doc_fn = _make_dispatch(sources, "parse_doc")
+    else:
+        graph, corpus, manifest = _load_tables(corpus_dir)
+        delays_ms = manifest["robots_delay_ms"]
+        graph_ref = ray.put(prepare_web_cached(corpus_dir, graph, corpus))
+        corpus_ref = ray.put(corpus)
+        frontier_default = _seed_frontier(corpus_dir)
 
     crawl_epoch = time.time()
     ckpt_dir = os.path.join(out_dir, "checkpoint")
@@ -223,7 +266,7 @@ def run_crawl(
     res = CrawlResult(out_dir=out_dir)
     clocks: dict[str, float] = {}
     start_gen = 0
-    frontier_tbl = frontier_override if frontier_override is not None else _seed_frontier(corpus_dir)
+    frontier_tbl = frontier_override if frontier_override is not None else frontier_default
 
     if resume:
         state = _load_checkpoint(ckpt_dir)
@@ -270,13 +313,15 @@ def run_crawl(
             _bfs(
                 unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
-                crawl_epoch=crawl_epoch,
+                crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
+                parse_doc_fn=parse_doc_fn,
             )
     else:
         _bfs(
             frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
             ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
-            crawl_epoch=crawl_epoch,
+            crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
+            parse_doc_fn=parse_doc_fn,
         )
 
     stats = seen.stats()
@@ -380,6 +425,8 @@ def _bfs(
     start_gen: int,
     checkpoint: bool,
     crawl_epoch: float = 0.0,
+    parse_listing_fn=None,
+    parse_doc_fn=None,
 ) -> None:
     import pandas as pd
 
@@ -534,11 +581,16 @@ def _bfs(
             nxt: rd.Dataset | None = None
             n_next = 0
             if n_listings and (will_continue or checkpoint):
-                listings = fetched.select_columns(
-                    ["status", "kind", "out_links", "host", "year", "situation", "type",
-                     "priority", "depth"]
-                ).map_batches(_status_kind_filter("ok", "listing"), batch_format="pyarrow")
-                nxt = listings.map_batches(_explode_links, batch_format="pyarrow").materialize()
+                meta_cols = ["status", "kind", "out_links", "host", "year", "situation",
+                             "type", "priority", "depth"]
+                if parse_listing_fn is not None:
+                    meta_cols.append("source")
+                listings = fetched.select_columns(meta_cols).map_batches(
+                    _status_kind_filter("ok", "listing"), batch_format="pyarrow"
+                )
+                nxt = listings.map_batches(
+                    parse_listing_fn or _explode_links, batch_format="pyarrow"
+                ).materialize()
                 n_next = nxt.count()
             if carryover is not None and n_carry:
                 nxt = nxt.union(carryover).materialize() if nxt is not None else carryover
@@ -548,16 +600,23 @@ def _bfs(
             # docs: decode + partitioned write, OFF the critical path
             t_g2 = time.perf_counter()
             if n_docs:
-                doc_cols = [c for c in DOC_COLUMNS] + (["bytes"] if cfg.keep_payloads else [])
+                doc_cols = (
+                    [c for c in DOC_COLUMNS]
+                    + (["bytes"] if cfg.keep_payloads else [])
+                    + (["source"] if parse_doc_fn is not None else [])
+                )
                 docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
                 if os.path.exists(docs_dir):
                     # resume re-runs the generation from its checkpoint: clear
                     # any partial output first (write_parquet APPENDS)
                     shutil.rmtree(docs_dir)
+                docs = fetched.map_batches(
+                    _status_kind_filter("ok", "doc"), batch_format="pyarrow"
+                )
+                if parse_doc_fn is not None:
+                    docs = docs.map_batches(parse_doc_fn, batch_format="pyarrow")
                 docs = (
-                    fetched.map_batches(
-                        _status_kind_filter("ok", "doc"), batch_format="pyarrow"
-                    )
+                    docs
                     .map_batches(
                         DecodeActor(ocr_threshold=cfg.ocr_threshold),
                         batch_format="pyarrow",
@@ -608,6 +667,36 @@ def _bfs(
             ckpt_dir, gen, frontier_ds if n_frontier else None, seen, clocks,
             res.per_generation, final=exhausted,
         )
+
+
+def _make_dispatch(sources: list, method: str):
+    """Per-source UDF dispatch inside one map_batches (SURVEY.md M4): split the
+    batch by its ``source`` column, apply each source's vectorized parse
+    method to its sub-table, concat.  The reference expresses this as 27
+    scraper subclasses behind a registry (main.py:59-357); here it is a batch
+    partition + per-partition kernel — no per-row dispatch."""
+    by_name = {s.name: s for s in sources}
+
+    def dispatch(batch: pa.Table) -> pa.Table:
+        outs = []
+        for name, src in by_name.items():
+            sub = batch.filter(pc.equal(batch["source"], name))
+            if sub.num_rows:
+                o = getattr(src, method)(sub)
+                if "source" not in o.schema.names:
+                    o = o.append_column(
+                        "source", pa.array([name] * o.num_rows, pa.string())
+                    )
+                outs.append(o)
+        if not outs:  # empty batch: preserve the output schema
+            first = next(iter(by_name.values()))
+            o = getattr(first, method)(batch.slice(0, 0))
+            if "source" not in o.schema.names:
+                o = o.append_column("source", pa.array([], pa.string()))
+            return o
+        return pa.concat_tables(outs)
+
+    return dispatch
 
 
 def _status_kind_filter(status: str, kind: str | None):

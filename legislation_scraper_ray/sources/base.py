@@ -87,8 +87,79 @@ class SyntheticCorpusSource:
             return json.load(f)["robots_delay_ms"]
 
 
+@dataclass
+class RestApiSource:
+    """Second registered source shape: offset/limit REST pagination with
+    RELATIVE out-links and URL-encoded document situation (corpus generator:
+    sources/corpus.py ``generate_rest``).
+
+    Exercises the per-source parse dispatch the reference implements as 27
+    scraper subclasses (template methods src/scraper/base/scraper.py:434-456;
+    offset/limit API analog src/scraper/conama/scrape.py:123-130):
+
+    - ``parse_listing`` resolves relative links against the page's host (the
+      reference's urljoin, state_legislation/alagoas.py:96-99) — without it,
+      every child URL misses the web graph and the crawl dies at generation 1;
+    - ``parse_doc`` recovers ``situation`` from the ``/item/{sit}/{id}`` URL
+      path (the graph stores 'unknown'; the reference parses situation out of
+      the detail page, state_legislation/parana.py:536-543)."""
+
+    corpus_dir: str
+    name: str = "rest"
+
+    def seeds(self) -> pa.Table:
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        seeds = pq.read_table(os.path.join(self.corpus_dir, "seeds.parquet"))
+        return seeds.append_column("depth", pa.array(np.zeros(seeds.num_rows, np.int32)))
+
+    def parse_listing(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..pipelines.crawl import _explode_links
+
+        out = _explode_links(batch)
+        url, host = out["url"], out["host"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        if isinstance(host, pa.ChunkedArray):
+            host = host.combine_chunks()
+        rel = pc.starts_with(url, "/")
+        absolute = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(pa.scalar("https://"), host, ""), url, ""
+        )
+        resolved = pc.if_else(rel, absolute, url)
+        return out.set_column(out.schema.get_field_index("url"), "url", resolved)
+
+    def parse_doc(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sit_col = batch["doc_situation"]
+        if isinstance(sit_col, pa.ChunkedArray):
+            sit_col = sit_col.combine_chunks()
+        ex = pc.extract_regex(batch["url"], r"/item/(?P<sit>[^/]+)/")
+        sit = pc.struct_field(ex, "sit")
+        # struct-level nulls don't propagate to children — mask explicitly
+        sit = pc.if_else(pc.is_valid(ex), sit, sit_col)
+        fixed = pc.if_else(pc.equal(sit_col, "unknown"), sit, sit_col)
+        return batch.set_column(
+            batch.schema.get_field_index("doc_situation"), "doc_situation", fixed
+        )
+
+    def politeness(self) -> dict[str, int]:
+        import json
+        import os
+
+        with open(os.path.join(self.corpus_dir, "manifest.json")) as f:
+            return json.load(f)["robots_delay_ms"]
+
+
 REGISTRY: dict[str, Callable[..., Source]] = {
     "synthetic": SyntheticCorpusSource,
+    "rest": RestApiSource,
 }
 
 

@@ -298,6 +298,177 @@ def generate(scale: str, root: str | None = None, force: bool = False) -> str:
     return out
 
 
+def generate_rest(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Second synthetic source shape: offset/limit REST-style pagination
+    (reference analog: the CONAMA JSON API, src/scraper/conama/scrape.py:123-130),
+    exercising per-source parse dispatch (SURVEY.md M4):
+
+    - hosts ``api{i}.legis.example`` (disjoint from the HTML-shaped source);
+    - listing URLs ``/items?year=&sit=&type=&offset=&limit=``;
+    - doc URLs ``/item/{situation}/{id}``;
+    - ``out_links`` are stored RELATIVE (``/item/...``) — the reference resolves
+      with urljoin (state_legislation/alagoas.py:96-99); the engine must do it
+      in ``RestApiSource.parse_listing`` or every child URL misses the graph;
+    - doc rows carry ``situation='unknown'`` in the graph — the true situation
+      is only recoverable from the URL path by ``parse_doc`` (the reference
+      parses it out of the detail page, state_legislation/parana.py:536-543).
+    """
+    spec = SCALES[scale]
+    out = os.path.join(root or CACHE_ROOT, f"{scale}-rest")
+    manifest = os.path.join(out, "manifest.json")
+    if os.path.exists(manifest) and not force:
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(4242)
+
+    corpus = _make_images(spec, rng)
+    image_ids = [f"rimg_{i:08d}" for i in range(spec.n_images)]
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(image_ids, pa.string()),
+                "bytes": pa.array(corpus["bytes"], pa.binary()),
+                "w": pa.array(corpus["w"], pa.int32()),
+                "h": pa.array(corpus["h"], pa.int32()),
+                "fmt": pa.array(corpus["fmt"], pa.string()),
+                "caption": pa.array(corpus["caption"], pa.string()),
+                "phash": pa.array(corpus["phash"], pa.int64()),
+                "dec_sum": pa.array(corpus["dec_sum"], pa.uint64()),
+                "psnr_db": pa.array(corpus["psnr_db"], pa.float64()),
+                "dup_of": pa.array(corpus["dup_of"], pa.int64()),
+            }
+        ),
+        os.path.join(out, "corpus.parquet"),
+    )
+
+    hosts = [f"api{i}.legis.example" for i in range(spec.n_hosts)]
+    zipf_w = 1.0 / np.arange(1, spec.n_hosts + 1)
+    zipf_w /= zipf_w.sum()
+    docs_per_host = np.maximum((zipf_w * spec.n_doc_urls).astype(int), 1)
+    docs_per_host[0] += spec.n_doc_urls - docs_per_host.sum()
+
+    years = list(range(spec.years[0], spec.years[1] + 1))
+    sits = SITUATIONS[: spec.n_situations]
+    typs = TYPES[: spec.n_types]
+    n_cells = len(years) * len(sits) * len(typs)
+    limit = spec.per_page
+
+    g_urls, g_hosts, g_kind, g_out, g_img, g_year, g_sit, g_typ = [], [], [], [], [], [], [], []
+    g_subjects: list[list[int] | None] = []
+    seed_rows = []
+    doc_counter = 0
+    year0 = spec.years[0]
+    for hi, host in enumerate(hosts):
+        cell_docs = rng.multinomial(int(docs_per_host[hi]), np.full(n_cells, 1.0 / n_cells))
+        ci = 0
+        for year in years:
+            for si, sit in enumerate(sits):
+                for ti, typ in enumerate(typs):
+                    nd = int(cell_docs[ci])
+                    ci += 1
+                    base_q = f"year={year}&sit={sit}&type={typ}"
+                    n_pages = max((nd + limit - 1) // limit, 1)
+                    page_urls = [
+                        f"https://{host}/items?{base_q}&offset={p * limit}&limit={limit}"
+                        for p in range(n_pages)
+                    ]
+                    seed_rows.append(
+                        {"url": page_urls[0], "host": host, "year": year,
+                         "situation": sit, "type": typ,
+                         "priority": float((year - year0) * 100 + si * 10 + ti)}
+                    )
+                    rel_docs = [
+                        f"/item/{sit}/{doc_counter + d}" for d in range(nd)
+                    ]
+                    for p, purl in enumerate(page_urls):
+                        links = rel_docs[p * limit : (p + 1) * limit]
+                        if p == 0 and n_pages > 1:
+                            # count-probe fan-out: page 1 links the other pages,
+                            # also RELATIVE (path + query)
+                            links = [
+                                f"/items?{base_q}&offset={q * limit}&limit={limit}"
+                                for q in range(1, n_pages)
+                            ] + links
+                        g_urls.append(purl)
+                        g_hosts.append(host)
+                        g_kind.append("listing")
+                        g_out.append(links)
+                        g_img.append(None)
+                        g_year.append(year)
+                        g_sit.append(sit)
+                        g_typ.append(typ)
+                        g_subjects.append(None)
+                    for d in range(nd):
+                        g_urls.append(f"https://{host}/item/{sit}/{doc_counter + d}")
+                        g_hosts.append(host)
+                        g_kind.append("doc")
+                        g_out.append([])
+                        g_img.append(image_ids[(doc_counter + d) % spec.n_images])
+                        g_year.append(year)
+                        g_sit.append("unknown")  # parse_doc must recover it from the URL
+                        g_typ.append(typ)
+                        g_subjects.append(
+                            rng.integers(0, 50, size=int(rng.integers(1, 4))).tolist()
+                        )
+                    doc_counter += nd
+
+    n_g = len(g_urls)
+    fail = np.full(n_g, None, dtype=object)
+    fr = rng.random(n_g)
+    fail[fr < spec.fail_frac * 0.4] = "soft_429"
+    fail[(fr >= spec.fail_frac * 0.4) & (fr < spec.fail_frac * 0.7)] = "soft_503"
+    fail[(fr >= spec.fail_frac * 0.7) & (fr < spec.fail_frac * 0.9)] = "body_error"
+    fail[(fr >= spec.fail_frac * 0.9) & (fr < spec.fail_frac)] = "hard_error"
+    robots = {h: int(d) for h, d in zip(hosts, rng.integers(0, 30, size=len(hosts)))}
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(g_urls, pa.string()),
+                "host": pa.array(g_hosts, pa.string()),
+                "kind": pa.array(g_kind, pa.string()),
+                "out_links": pa.array(g_out, pa.list_(pa.string())),
+                "image_id": pa.array(g_img, pa.string()),
+                "year": pa.array(g_year, pa.int32()),
+                "situation": pa.array(g_sit, pa.string()),
+                "type": pa.array(g_typ, pa.string()),
+                "subject_ids": pa.array(g_subjects, pa.list_(pa.int32())),
+                "robots_delay_ms": pa.array([robots[h] for h in g_hosts], pa.int32()),
+                "fail_mode": pa.array(fail.tolist(), pa.string()),
+            }
+        ),
+        os.path.join(out, "web_graph.parquet"),
+    )
+    seeds_tbl = pa.table(
+        {
+            "url": pa.array([r["url"] for r in seed_rows], pa.string()),
+            "host": pa.array([r["host"] for r in seed_rows], pa.string()),
+            "year": pa.array([r["year"] for r in seed_rows], pa.int32()),
+            "situation": pa.array([r["situation"] for r in seed_rows], pa.string()),
+            "type": pa.array([r["type"] for r in seed_rows], pa.string()),
+            "priority": pa.array([r["priority"] for r in seed_rows], pa.float32()),
+        }
+    )
+    pq.write_table(seeds_tbl, os.path.join(out, "seeds.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "subject_id": pa.array(range(50), pa.int32()),
+                "subject": pa.array([f"assunto_{i:02d}" for i in range(50)], pa.string()),
+            }
+        ),
+        os.path.join(out, "subjects.parquet"),
+    )
+    with open(manifest, "w") as f:
+        json.dump(
+            {"scale": f"{scale}-rest", "seed": 4242, "n_doc_urls": spec.n_doc_urls,
+             "n_images": spec.n_images, "n_graph_rows": n_g,
+             "n_seeds": len(seed_rows), "robots_delay_ms": robots},
+            f, indent=2,
+        )
+    return out
+
+
 def corpus_dir_for_sf(sf_dir: str) -> str:
     """Map a driver sf dir (…/sf0.01) to the matching synthetic-corpus scale dir."""
     name = os.path.basename(os.path.normpath(sf_dir))

@@ -74,3 +74,74 @@ def test_ocr_branch(ray_session, t1_dir, tmp_path_factory):
     )
     docs2 = pads.dataset(f"{out2}/docs", partitioning="hive").to_table().to_pandas()
     assert not docs2["ocr_used"].any()
+
+
+@pytest.fixture(scope="module")
+def t1r_dir():
+    from legislation_scraper_ray.sources.corpus import generate_rest
+
+    return generate_rest("t1")
+
+
+def test_rest_source_crawl_parity(ray_session, t1r_dir, tmp_path_factory):
+    """REST-shaped source alone: parse_listing must resolve relative links and
+    parse_doc must recover situation from the URL, or nothing past gen 0 is
+    fetched / docs land in an 'unknown' partition."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from legislation_scraper_ray.oracle.simulator import simulate
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from legislation_scraper_ray.sources.base import RestApiSource
+
+    out = str(tmp_path_factory.mktemp("rest"))
+    res = run_crawl(
+        None, out,
+        CrawlConfig(n_seen_shards=2, seen_mode="exact", compute="tasks", checkpoint=False),
+        sources=[RestApiSource(t1r_dir)],
+    )
+    sim = simulate(t1r_dir)
+    lin = pads.dataset(f"{out}/lineage", partitioning="hive").to_table().to_pandas()
+    assert set(int(h) for h in lin["url_hash"]) == sim.seen_hashes
+    docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table().to_pandas()
+    assert dict(zip(docs["url"], docs["caption"])) == sim.docs
+    # parse_doc recovered the situation from the URL path
+    assert set(docs["situation"].astype(str).unique()) <= {"valid", "revoked"}
+    assert res.docs_written == len(sim.docs)
+    eng_err = set(lin[lin["status"] == "error"]["url_hash"].astype(np.uint64).tolist())
+    from legislation_scraper_ray.functions.hashing import fnv1a64_bytes
+
+    assert eng_err == {fnv1a64_bytes(u.encode()) for u in sim.errors}
+
+
+def test_two_source_union_crawl(ray_session, t1_dir, t1r_dir, tmp_path_factory):
+    """Union frontier over both registered sources with per-source parse
+    dispatch: final seen/doc/error sets equal the union of the two per-source
+    simulators, and each host's rows carry its own source label."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from legislation_scraper_ray.functions.hashing import fnv1a64_bytes
+    from legislation_scraper_ray.oracle.simulator import simulate
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from legislation_scraper_ray.sources.base import RestApiSource, SyntheticCorpusSource
+
+    out = str(tmp_path_factory.mktemp("union2"))
+    res = run_crawl(
+        None, out,
+        CrawlConfig(n_seen_shards=2, seen_mode="exact", compute="tasks", checkpoint=False),
+        sources=[SyntheticCorpusSource(t1_dir), RestApiSource(t1r_dir)],
+    )
+    sim_a, sim_b = simulate(t1_dir), simulate(t1r_dir)
+    lin = pads.dataset(f"{out}/lineage", partitioning="hive").to_table().to_pandas()
+    assert set(int(h) for h in lin["url_hash"]) == sim_a.seen_hashes | sim_b.seen_hashes
+    docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table().to_pandas()
+    assert dict(zip(docs["url"], docs["caption"])) == {**sim_a.docs, **sim_b.docs}
+    # per-source split: rest hosts are api*, synthetic hosts are host*
+    assert (docs[docs["source"] == "rest"]["host"].str.startswith("api")).all()
+    assert (docs[docs["source"] == "synthetic"]["host"].str.startswith("host")).all()
+    assert set(docs["source"].unique()) == {"synthetic", "rest"}
+    eng_err = set(lin[lin["status"] == "error"]["url_hash"].astype(np.uint64).tolist())
+    sim_err = {fnv1a64_bytes(u.encode()) for u in sim_a.errors + sim_b.errors}
+    assert eng_err == sim_err
+    assert res.docs_written == len(sim_a.docs) + len(sim_b.docs)
