@@ -117,6 +117,12 @@ class CrawlConfig:
     compute: str = "actors"  # actors (stateful pools, the at-scale path) |
     # tasks (stateless task pools — same semantics since fetch/decode state is a
     # zero-copy plasma view; avoids per-generation pool spin-up in short tests)
+    host_affinity: bool = False  # S6 sequential-protocol mode: every host's
+    # frontier rows are routed to ONE fetch unit per generation and processed
+    # in scheduled order (the reference's ViewState/JSF postback chains —
+    # espirito_santo.py:69-127, maranhao.py:45-110 — require strictly ordered
+    # per-host requests).  Parallelism = host count; lineage gains
+    # (fetch_seq, fetch_pid) so the ordering is auditable.
     max_generations: int = 64
     frontier_budget: int | None = None  # max URLs fetched per generation: the
     # priority-frontier pop (sort(priority).limit(k)); the remainder carries
@@ -483,11 +489,21 @@ def _bfs(
             frontier = frontier.groupby("host").map_groups(
                 _make_schedule_fn(delays_ms, clocks), batch_format="pyarrow"
             )
+            if cfg.host_affinity:
+                # S6: one fetch unit per host, rows processed in scheduled
+                # order within it — no re-split (splitting would break the
+                # per-host request chain a stateful postback protocol needs)
+                fetched = frontier.groupby("host").map_groups(
+                    _make_host_fetch_fn(
+                        graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch
+                    ),
+                    batch_format="pyarrow",
+                )
             # salted re-split after the per-host groupby: politeness is already
             # baked into scheduled_ts, so the hot host's single group block can
             # be split across the whole fetch pool (hot-host skew handling)
-            frontier = frontier.repartition(n_blocks)
-            if cfg.compute == "actors":
+            elif cfg.compute == "actors":
+                frontier = frontier.repartition(n_blocks)
                 fetched = frontier.map_batches(
                     FetchActor,
                     fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
@@ -501,6 +517,7 @@ def _bfs(
                     num_cpus=cfg.actor_num_cpus,
                 )
             else:
+                frontier = frontier.repartition(n_blocks)
                 fetched = frontier.map_batches(
                     _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
                     batch_format="pyarrow",
@@ -547,7 +564,10 @@ def _bfs(
                 lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
                 if os.path.exists(lin_dir):
                     shutil.rmtree(lin_dir)
-                fetched.select_columns(LINEAGE_COLUMNS).write_parquet(lin_dir)
+                lin_cols = LINEAGE_COLUMNS + (
+                    ["fetch_seq", "fetch_pid"] if cfg.host_affinity else []
+                )
+                fetched.select_columns(lin_cols).write_parquet(lin_dir)
                 # per-(host, generation) fetch/dedup metrics (north_rule: every
                 # partition emits lineage AND metrics records) — O(hosts) rows
                 by_host = stats.groupby("host", sort=False).agg(
@@ -721,6 +741,29 @@ def _make_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
         return FetchActor(graph_ref, corpus_ref, politeness_mode, t0)(batch)
 
     return fetch
+
+
+def _make_host_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
+    """S6 sequential-protocol fetch: one ``groupby(host)`` group = one fetch
+    unit; rows are processed strictly in scheduled order and stamped with a
+    dense per-host sequence + the worker pid, so tests (and operators) can
+    audit that a host's request chain never interleaved across workers."""
+
+    def fetch_host(group: pa.Table) -> pa.Table:
+        import os
+
+        order = pc.sort_indices(
+            group, sort_keys=[("scheduled_ts", "ascending"), ("url_hash", "ascending")]
+        )
+        group = group.take(order)
+        out = FetchActor(graph_ref, corpus_ref, politeness_mode, t0)(group)
+        n = out.num_rows
+        out = out.append_column("fetch_seq", pa.array(np.arange(n, dtype=np.int64)))
+        return out.append_column(
+            "fetch_pid", pa.array(np.full(n, os.getpid(), np.int64))
+        )
+
+    return fetch_host
 
 
 def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:
