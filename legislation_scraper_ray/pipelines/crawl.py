@@ -623,7 +623,7 @@ def _bfs(
                 doc_cols = (
                     [c for c in DOC_COLUMNS]
                     + (["bytes"] if cfg.keep_payloads else [])
-                    + (["source"] if parse_doc_fn is not None else [])
+                    + (["source", "extras"] if parse_doc_fn is not None else [])
                 )
                 docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
                 if os.path.exists(docs_dir):
@@ -713,10 +713,30 @@ def _make_dispatch(sources: list, method: str):
             o = getattr(first, method)(batch.slice(0, 0))
             if "source" not in o.schema.names:
                 o = o.append_column("source", pa.array([], pa.string()))
-            return o
+            return _ensure_extras(o) if method == "parse_doc" else o
+        if method == "parse_doc":
+            # per-source extras (map<string,string>) are optional in the
+            # protocol; normalize so mixed-source batches concat cleanly
+            outs = [_ensure_extras(o) for o in outs]
         return pa.concat_tables(outs)
 
     return dispatch
+
+
+EXTRAS_TYPE = pa.map_(pa.string(), pa.string())
+
+
+def _ensure_extras(t: pa.Table) -> pa.Table:
+    """Guarantee the dynamic per-source ``extras`` map column (SURVEY §1.4 —
+    the reference dict-merges per-source fields into each record,
+    federal_legislation/scrape.py:355-360).  Sources that emit none get nulls."""
+    if "extras" in t.schema.names:
+        col = t["extras"]
+        if col.type != EXTRAS_TYPE:
+            col = col.cast(EXTRAS_TYPE) if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col]).cast(EXTRAS_TYPE)
+            t = t.set_column(t.schema.get_field_index("extras"), "extras", col)
+        return t
+    return t.append_column("extras", pa.nulls(t.num_rows, EXTRAS_TYPE))
 
 
 def _status_kind_filter(status: str, kind: str | None):

@@ -135,19 +135,37 @@ class RestApiSource:
         return out.set_column(out.schema.get_field_index("url"), "url", resolved)
 
     def parse_doc(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
         import pyarrow.compute as pc
 
         sit_col = batch["doc_situation"]
         if isinstance(sit_col, pa.ChunkedArray):
             sit_col = sit_col.combine_chunks()
-        ex = pc.extract_regex(batch["url"], r"/item/(?P<sit>[^/]+)/")
+        ex = pc.extract_regex(batch["url"], r"/item/(?P<sit>[^/]+)/(?P<id>\d+)")
         sit = pc.struct_field(ex, "sit")
         # struct-level nulls don't propagate to children — mask explicitly
         sit = pc.if_else(pc.is_valid(ex), sit, sit_col)
         fixed = pc.if_else(pc.equal(sit_col, "unknown"), sit, sit_col)
-        return batch.set_column(
+        batch = batch.set_column(
             batch.schema.get_field_index("doc_situation"), "doc_situation", fixed
         )
+        # dynamic per-source extras (reference: dict-merged per-source fields,
+        # federal_legislation/scrape.py:355-360 → map column per SURVEY §1.4)
+        n = batch.num_rows
+        item_id = pc.struct_field(ex, "id")
+        item_id = pc.if_else(pc.is_valid(ex), item_id, pa.scalar("", pa.string()))
+        if isinstance(item_id, pa.ChunkedArray):
+            item_id = item_id.combine_chunks()
+        keys = pa.array(["item_id", "raw_situation"] * n, pa.string())
+        items_np = np.empty(2 * n, dtype=object)
+        items_np[0::2] = item_id.to_numpy(zero_copy_only=False)
+        items_np[1::2] = sit_col.to_numpy(zero_copy_only=False)
+        extras = pa.MapArray.from_arrays(
+            pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32), pa.int32()),
+            keys,
+            pa.array(items_np.tolist(), pa.string()),
+        )
+        return batch.append_column("extras", extras)
 
     def politeness(self) -> dict[str, int]:
         import json

@@ -145,3 +145,28 @@ def test_two_source_union_crawl(ray_session, t1_dir, t1r_dir, tmp_path_factory):
     sim_err = {fnv1a64_bytes(u.encode()) for u in sim_a.errors + sim_b.errors}
     assert eng_err == sim_err
     assert res.docs_written == len(sim_a.docs) + len(sim_b.docs)
+
+
+def test_extras_map_column(ray_session, t1_dir, t1r_dir, tmp_path_factory):
+    """Dynamic per-source extras: sources may attach a map<string,string> of
+    source-specific fields; the engine null-fills it for sources that don't."""
+    import pyarrow.dataset as pads
+
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from legislation_scraper_ray.sources.base import RestApiSource, SyntheticCorpusSource
+
+    out = str(tmp_path_factory.mktemp("extras"))
+    run_crawl(
+        None, out,
+        CrawlConfig(n_seen_shards=2, seen_mode="exact", compute="tasks", checkpoint=False),
+        sources=[SyntheticCorpusSource(t1_dir), RestApiSource(t1r_dir)],
+    )
+    docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table().to_pandas()
+    rest = docs[docs["source"] == "rest"]
+    syn = docs[docs["source"] == "synthetic"]
+    assert len(rest) and len(syn)
+    assert syn["extras"].isna().all()  # no extras declared → nulls
+    for ex, url in zip(rest["extras"], rest["url"]):
+        d = dict(ex)
+        assert d["raw_situation"] == "unknown"
+        assert url.endswith("/" + d["item_id"])
