@@ -185,14 +185,15 @@ class ExactSet:
         return np.fromiter((int(k) in s for k in keys), dtype=bool, count=len(keys))
 
     def add_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized set semantics matching CuckooFilter.add_batch: a key is
+        'new' only at its first occurrence within the batch."""
         keys = np.asarray(keys, dtype=np.uint64)
-        s = self._set
-        out = np.empty(len(keys), dtype=bool)
-        for j, k in enumerate(keys):
-            k = int(k)
-            out[j] = k in s
-            s.add(k)
-        return out
+        uniq, first_idx = np.unique(keys, return_index=True)
+        present_uniq = self.contains_batch(uniq)
+        self._set.update(int(k) for k in uniq[~present_uniq])
+        was_present = np.ones(len(keys), dtype=bool)
+        was_present[first_idx] = present_uniq
+        return was_present
 
     @property
     def count(self) -> int:
