@@ -738,6 +738,50 @@ def dup_clusters(sf_dir: str):
     return comp.sort_values("doc_id").reset_index(drop=True)
 
 
+def embedding_norms(sf_dir: str):
+    """Vectorized per-row L2 norm over the embedding column (the building
+    block of every cosine op; exercises list<float> → matrix kernels)."""
+    from ..functions.ann import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"])
+        return pa.table(
+            {"vec_id": t["vec_id"],
+             "l2_norm": pa.array(_round(np.linalg.norm(m, axis=1), 4), pa.float64())}
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow", batch_size=8192)
+
+
+def image_dup_by_phash(sf_dir: str):
+    """Image-payload exact near-dup: group the crawl corpus by perceptual hash
+    (identical pixels ⇒ identical phash by construction).  Returns one row per
+    duplicated phash with copy count and the first image id.  Rows-only to the
+    driver (the image corpus has no DuckDB view); pytest verifies against the
+    corpus generator's planted ``dup_of`` ground truth."""
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "phash"])
+    grouped = ds.groupby("phash").aggregate(Count(alias_name="n_copies"))
+
+    def dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_copies"], 2))
+
+    mins = (
+        rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "phash"])
+        .groupby("phash")
+        .aggregate(Min("image_id", alias_name="first_image_id"))
+    )
+    out = grouped.map_batches(dups, batch_format="pyarrow").join(
+        mins, join_type="inner", num_partitions=4, on=("phash",)
+    )
+    df = out.to_pandas().sort_values("phash").reset_index(drop=True)
+    return df[["phash", "n_copies", "first_image_id"]]
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -792,6 +836,8 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
     "dup_clusters": dup_clusters,
+    "embedding_norms": embedding_norms,
+    "image_dup_by_phash": image_dup_by_phash,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "value_stats_by_type": value_stats_by_type,
@@ -908,6 +954,11 @@ ORACLE_SQL = {
         SELECT vec_id, ROUND(raw, 4) AS cos_sim,
                CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank
         FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS l2_norm
+        FROM embeddings
     """,
     "join_lineitem_orders": """
         SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
