@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--seen-mode", default="cuckoo", choices=["cuckoo", "exact"])
     c.add_argument("--politeness", default="virtual", choices=["virtual", "sleep"])
     c.add_argument("--frontier-budget", type=int, default=None)
+    c.add_argument("--host-affinity", action="store_true",
+                   help="S6 sequential-protocol mode: one fetch unit per host")
+    c.add_argument("--sources", default=None,
+                   help="comma-separated registered source names (e.g. "
+                        "synthetic,rest) crawled as one union frontier; each "
+                        "uses its own generated corpus at --scale")
     c.add_argument("--num-cpus", type=int, default=8)
 
     k = sub.add_parser("consolidate", help="dedup + normalize crawl output")
@@ -72,8 +78,17 @@ def main(argv: list[str] | None = None) -> int:
                 seen_mode=args.seen_mode,
                 politeness_mode=args.politeness,
                 frontier_budget=args.frontier_budget,
+                host_affinity=args.host_affinity,
             )
-            res = run_crawl(corpus_dir, args.out, cfg, resume=args.resume)
+            sources = None
+            if args.sources:
+                from .sources.base import REGISTRY
+                from .sources.corpus import generate_rest
+
+                scale = args.scale or "t1"
+                dirs = {"synthetic": lambda: generate(scale), "rest": lambda: generate_rest(scale)}
+                sources = [REGISTRY[n](dirs[n]()) for n in args.sources.split(",")]
+            res = run_crawl(corpus_dir, args.out, cfg, resume=args.resume, sources=sources)
             print(json.dumps({k: v for k, v in res.__dict__.items() if k != "stats"},
                              default=str))
         elif args.cmd == "consolidate":
