@@ -131,11 +131,15 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def phash64(pixels: np.ndarray) -> int:
+def phash64(pixels: np.ndarray, gray: np.ndarray | None = None) -> int:
     """Deterministic 64-bit perceptual-style hash: grayscale → 8×8 mean-pool →
     above-mean bitmap → int64 (two's complement).  Identical pixels ⇒ identical
-    phash, so planted duplicate images share phash (FIXTURES.md F1)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    phash, so planted duplicate images share phash (FIXTURES.md F1).
+
+    ``gray`` lets callers that already computed the float64 channel mean skip
+    recomputing it (must equal ``pixels.astype(float64).mean(axis=2)``)."""
+    if gray is None:
+        gray = pixels.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = np.unique(np.linspace(0, h, 9).astype(int)[:8])
     xs = np.unique(np.linspace(0, w, 9).astype(int)[:8])

@@ -59,16 +59,23 @@ class DecodeActor:
                 continue
             has_payload[i] = True
             px = decode_image(blobs[i], fmts[i])
-            ph = phash64(px)
-            rephash[i] = ph
-            f = px.astype(np.float32)
-            feat[i, :3] = f.mean(axis=(0, 1))
-            feat[i, 3:6] = f.std(axis=(0, 1))
+            # one float64 gray is shared by phash + histogram; mean/std come
+            # from two channel reductions (sum, sum-of-squares) instead of the
+            # four passes + np.histogram/linspace overhead of the naive form
+            f = px.astype(np.float64)
             gray = f.mean(axis=2)
-            hist, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
-            feat[i, 6:] = hist / max(gray.size, 1)
+            ph = phash64(px, gray=gray)
+            rephash[i] = ph
+            npix = px.shape[0] * px.shape[1]
+            s1 = f.sum(axis=(0, 1))
+            s2 = (f * f).sum(axis=(0, 1))
+            mean = s1 / npix
+            feat[i, :3] = mean
+            feat[i, 3:6] = np.sqrt(np.maximum(s2 / npix - mean * mean, 0.0))
+            bucket = np.minimum((gray * (1.0 / 16.0)).astype(np.int64), 15)
+            feat[i, 6:] = np.bincount(bucket.ravel(), minlength=16) / max(npix, 1)
             ok[i] = (
-                int(px.sum(dtype=np.uint64)) == int(want_sum[i])
+                int(s1.sum()) == int(want_sum[i])  # exact: integer-valued sums < 2^53
                 and ph == int(want_phash[i])
                 and (fmts[i] == "png" or psnr_db[i] >= 40.0)
             )
