@@ -64,6 +64,7 @@ import ray.data as rd
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.decode import DecodeActor
 from ..stages.fetch import FetchActor, prepare_web_cached
+from ..state.politeness import PolitenessSlotShard, SlotAssigner, host_shard_of
 from ..state.seen import SeenFilter, ShardedSeenSet
 
 DOC_COLUMNS = [
@@ -162,25 +163,15 @@ def _seed_frontier(corpus_dir: str) -> pa.Table:
     return seeds.append_column("depth", pa.array(np.zeros(seeds.num_rows, np.int32)))
 
 
-def _make_schedule_fn(delays_ms: dict[str, int], clocks: dict[str, float]):
-    """Per-host politeness scheduler as a groupby(host).map_groups fn.
-
-    Sorts the host's frontier slice by priority and assigns virtual start
-    times spaced ≥ the host's robots delay, continuing from the host's clock
-    (carried across generations by the driver — a dict of n_hosts floats)."""
-
-    def schedule(group: pa.Table) -> pa.Table:
-        host = group["host"][0].as_py()
-        delay = delays_ms.get(host, 0) / 1000.0
-        order = pc.sort_indices(
-            group, sort_keys=[("priority", "ascending"), ("url_hash", "ascending")]
-        )
-        group = group.take(order)
-        t0 = clocks.get(host, 0.0)
-        ts = t0 + delay * np.arange(1, group.num_rows + 1)
-        return group.append_column("scheduled_ts", pa.array(ts, pa.float64()))
-
-    return schedule
+def _make_slot_shards(delays_ms: dict[str, int], clocks: dict[str, float], n_shards: int):
+    """Spawn the sharded politeness slot actors (state/politeness.py), seeding
+    each shard with the clocks of the hosts it owns (checkpoint resume)."""
+    Shard = ray.remote(num_cpus=0)(PolitenessSlotShard)
+    shards = []
+    for i in range(n_shards):
+        owned = {h: c for h, c in clocks.items() if host_shard_of(h, n_shards) == i}
+        shards.append(Shard.remote(delays_ms, owned))
+    return shards
 
 
 def _explode_links(batch: pa.Table) -> pa.Table:
@@ -295,6 +286,9 @@ def run_crawl(
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # sharded politeness slot actors own the per-host virtual clocks for the
+    # whole crawl (seeded from the checkpoint's clocks on resume)
+    slot_shards = _make_slot_shards(delays_ms, clocks, max(1, cfg.n_seen_shards))
 
     if cfg.order == "strict":
         # Reference order: host-major (sources strictly sequential,
@@ -320,16 +314,18 @@ def run_crawl(
                 unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
                 crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
-                parse_doc_fn=parse_doc_fn,
+                parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
             )
     else:
         _bfs(
             frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
             ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
             crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
-            parse_doc_fn=parse_doc_fn,
+            parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
         )
 
+    for sh in slot_shards:
+        ray.kill(sh)
     stats = seen.stats()
     res.seen_total = sum(s["count"] for s in stats)
     res.dedup_ops = sum(s["ops"] for s in stats)
@@ -382,39 +378,50 @@ class _AsyncWriter:
             raise err
 
 
-def _collect_gen_stats(fetched: rd.Dataset) -> "pd.DataFrame":
-    """O(hosts)-sized per-generation bookkeeping: a per-batch
-    (host, status, kind) partial aggregate, combined on the driver.  Replaces
-    the r1 full-lineage driver collect (O(frontier) rows → O(hosts) rows)."""
+def _partial_stats(t: pa.Table) -> "pd.DataFrame":
+    """(host, status, kind) partial aggregate of lineage-shaped rows —
+    O(hosts) output regardless of input size."""
+    # error rows carry a NULL kind (no graph row matched) — fill it, or the
+    # pandas combine groupby silently drops those groups (dropna default)
+    t = t.set_column(
+        t.schema.get_field_index("kind"), "kind", pc.fill_null(t["kind"], "none")
+    )
+    g = t.group_by(["host", "status", "kind"]).aggregate(
+        [("attempts", "count"), ("attempts", "sum"), ("attempts", "max"),
+         ("scheduled_ts", "max")]
+    )
+    return g.rename_columns(
+        ["host", "status", "kind", "n", "sum_attempts", "max_attempts", "max_ts"]
+    ).to_pandas()
+
+
+def _combine_stats(parts: "pd.DataFrame | None") -> "pd.DataFrame":
     import pandas as pd
 
-    def partial(t: pa.Table) -> pa.Table:
-        # error rows carry a NULL kind (no graph row matched) — fill it, or the
-        # pandas combine groupby silently drops those groups (dropna default)
-        t = t.set_column(
-            t.schema.get_field_index("kind"), "kind", pc.fill_null(t["kind"], "none")
+    if parts is None or not len(parts):
+        return pd.DataFrame(
+            columns=["host", "status", "kind", "n", "sum_attempts", "max_attempts", "max_ts"]
         )
-        g = t.group_by(["host", "status", "kind"]).aggregate(
-            [("url_hash", "count"), ("attempts", "sum"), ("attempts", "max"),
-             ("scheduled_ts", "max")]
-        )
-        return g.rename_columns(
-            ["host", "status", "kind", "n", "sum_attempts", "max_attempts", "max_ts"]
-        )
-
-    parts = (
-        fetched.select_columns(["host", "status", "kind", "attempts", "scheduled_ts", "url_hash"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
-    if not len(parts):
-        return parts
     return (
         parts.groupby(["host", "status", "kind"], sort=False)
         .agg(n=("n", "sum"), sum_attempts=("sum_attempts", "sum"),
              max_attempts=("max_attempts", "max"), max_ts=("max_ts", "max"))
         .reset_index()
     )
+
+
+def _collect_gen_stats(fetched: rd.Dataset) -> "pd.DataFrame":
+    """O(hosts)-sized per-generation bookkeeping via a Ray pass (fallback when
+    lineage isn't written; the lineage-backed driver read is the fast path)."""
+    parts = (
+        fetched.select_columns(["host", "status", "kind", "attempts", "scheduled_ts", "url_hash"])
+        .map_batches(
+            lambda t: pa.Table.from_pandas(_partial_stats(t), preserve_index=False),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return _combine_stats(parts)
 
 
 def _bfs(
@@ -433,6 +440,7 @@ def _bfs(
     crawl_epoch: float = 0.0,
     parse_listing_fn=None,
     parse_doc_fn=None,
+    slot_shards: list | None = None,
 ) -> None:
     import pandas as pd
 
@@ -478,7 +486,12 @@ def _bfs(
             # decode stage (1 task per block) load-balances across the pool
             n_blocks = max(1, min(256, n_frontier // max(cfg.batch_size // 2, 1) + 1))
 
-            frontier = frontier_ds.map_batches(
+            # split the (metadata-only) frontier into fetch-grained blocks up
+            # front — the explode that produced it yields few, large blocks
+            # (one listing block fans out ~page_size×), which would cap the
+            # whole chain's parallelism at the listing block count
+            frontier = frontier_ds.repartition(n_blocks)
+            frontier = frontier.map_batches(
                 canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
             )
             frontier = frontier.map_batches(
@@ -486,8 +499,13 @@ def _bfs(
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
-            frontier = frontier.groupby("host").map_groups(
-                _make_schedule_fn(delays_ms, clocks), batch_format="pyarrow"
+            # politeness scheduling: per-host slot reservation against the
+            # sharded slot actors — a map stage (tiny RPC per batch), NOT the
+            # r1 groupby(host) all-to-all whose fixed cost capped scaling
+            frontier = frontier.map_batches(
+                SlotAssigner(slot_shards, len(slot_shards), delays_ms),
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
             )
             if cfg.host_affinity:
                 # S6: one fetch unit per host, rows processed in scheduled
@@ -499,11 +517,7 @@ def _bfs(
                     ),
                     batch_format="pyarrow",
                 )
-            # salted re-split after the per-host groupby: politeness is already
-            # baked into scheduled_ts, so the hot host's single group block can
-            # be split across the whole fetch pool (hot-host skew handling)
             elif cfg.compute == "actors":
-                frontier = frontier.repartition(n_blocks)
                 fetched = frontier.map_batches(
                     FetchActor,
                     fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
@@ -517,7 +531,6 @@ def _bfs(
                     num_cpus=cfg.actor_num_cpus,
                 )
             else:
-                frontier = frontier.repartition(n_blocks)
                 fetched = frontier.map_batches(
                     _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
                     batch_format="pyarrow",
@@ -536,7 +549,33 @@ def _bfs(
             if cfg.collect_stats:
                 res.stats.append(fetched.stats())
 
-            stats = _collect_gen_stats(fetched)
+            # ---- lineage sink + derived bookkeeping ----
+            # ONE distributed write per generation (hive dir, cleared first
+            # since write_parquet appends); counters / metrics / error sink /
+            # host clocks all derive from the WRITTEN lineage files with a
+            # driver-side pyarrow read of 6 small columns — no extra Ray
+            # executions (the r1 stats+errors passes cost ~1-2 s of fixed
+            # per-generation launch overhead that did not scale).
+            lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
+            if cfg.write_lineage:
+                if os.path.exists(lin_dir):
+                    shutil.rmtree(lin_dir)
+                lin_cols = LINEAGE_COLUMNS + (
+                    ["fetch_seq", "fetch_pid"] if cfg.host_affinity else []
+                )
+                fetched.select_columns(lin_cols).write_parquet(lin_dir)
+                import pyarrow.dataset as pads
+
+                lin = (
+                    pads.dataset(lin_dir).to_table(
+                        columns=["host", "status", "kind", "attempts", "scheduled_ts"]
+                    )
+                    if os.path.exists(lin_dir)
+                    else None
+                )
+                stats = _combine_stats(_partial_stats(lin)) if lin is not None else _combine_stats(None)
+            else:
+                stats = _collect_gen_stats(fetched)
             n_after_seen = int(stats["n"].sum()) if len(stats) else 0
             dropped = n_frontier - n_after_seen
             err_rows = stats[stats["status"] == "error"] if len(stats) else stats
@@ -546,28 +585,27 @@ def _bfs(
             n_listings = int(ok_rows[ok_rows["kind"] == "listing"]["n"].sum()) if len(stats) else 0
 
             if n_err:
-                # error sink (S9): error rows are failure-rate-sized — a driver
-                # collect of just those rows keeps the flat per-gen file layout
+                # error sink (S9): error rows are failure-rate-sized; filter
+                # them out of the on-disk lineage driver-side
                 err_dir = os.path.join(out_dir, "errors")
                 os.makedirs(err_dir, exist_ok=True)
-                err_tbl = pa.concat_tables(
-                    ray.get(
-                        fetched.select_columns(LINEAGE_COLUMNS)
-                        .map_batches(_status_kind_filter("error", None), batch_format="pyarrow")
-                        .to_arrow_refs()
+                import pyarrow.dataset as pads
+
+                if cfg.write_lineage:
+                    err_tbl = pads.dataset(lin_dir).to_table(
+                        columns=LINEAGE_COLUMNS,
+                        filter=pads.field("status") == "error",
                     )
-                )
+                else:
+                    err_tbl = pa.concat_tables(
+                        ray.get(
+                            fetched.select_columns(LINEAGE_COLUMNS)
+                            .map_batches(_status_kind_filter("error", None), batch_format="pyarrow")
+                            .to_arrow_refs()
+                        )
+                    )
                 pq.write_table(err_tbl, os.path.join(err_dir, f"gen-{gen}.parquet"))
             if cfg.write_lineage and n_after_seen:
-                # lineage sink: full rows — written distributed (hive dir per
-                # generation; cleared first since write_parquet appends)
-                lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
-                if os.path.exists(lin_dir):
-                    shutil.rmtree(lin_dir)
-                lin_cols = LINEAGE_COLUMNS + (
-                    ["fetch_seq", "fetch_pid"] if cfg.host_affinity else []
-                )
-                fetched.select_columns(lin_cols).write_parquet(lin_dir)
                 # per-(host, generation) fetch/dedup metrics (north_rule: every
                 # partition emits lineage AND metrics records) — O(hosts) rows
                 by_host = stats.groupby("host", sort=False).agg(
