@@ -182,7 +182,13 @@ def _explode_links(batch: pa.Table) -> pa.Table:
         links = links.combine_chunks()
     parents = pc.list_parent_indices(links)
     flat = pc.list_flatten(links)
-    taken = batch.take(parents)
+    # Take ONLY the scalar columns we re-emit.  Including `out_links` in the
+    # take would copy each parent's full link list once PER CHILD link —
+    # O(fanout²) string copies; measured >100 s for a 1280×356-link block vs
+    # ~1 s without the list column (pyarrow's list-take goes per-element).
+    taken = batch.select(
+        ["host", "year", "situation", "type", "priority", "depth"]
+    ).take(parents)
     return pa.table(
         {
             "url": flat,

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -131,25 +132,30 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
-def phash64(pixels: np.ndarray, gray: np.ndarray | None = None) -> int:
+def phash64(pixels: np.ndarray, gray3: np.ndarray | None = None) -> int:
     """Deterministic 64-bit perceptual-style hash: grayscale → 8×8 mean-pool →
     above-mean bitmap → int64 (two's complement).  Identical pixels ⇒ identical
     phash, so planted duplicate images share phash (FIXTURES.md F1).
 
-    ``gray`` lets callers that already computed the float64 channel mean skip
-    recomputing it (must equal ``pixels.astype(float64).mean(axis=2)``)."""
-    if gray is None:
-        gray = pixels.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    ys = np.unique(np.linspace(0, h, 9).astype(int)[:8])
-    xs = np.unique(np.linspace(0, w, 9).astype(int)[:8])
-    # block sums via two reduceats (fully vectorized 8×8 mean-pool)
-    row_sums = np.add.reduceat(gray, ys, axis=0)
+    All intermediate math is INTEGER (``gray3`` = per-pixel channel sum,
+    ≤ 765): a float64 gray plane would be 8 bytes/px × several temporaries,
+    which blows the per-core cache and saturates DRAM bandwidth when ~30
+    decode tasks run concurrently (measured 10×+ per-row CPU inflation).  The
+    pooled cell means divide by 3×area at the end, so the bit pattern is
+    identical whether the gray plane is the channel mean or the channel sum.
+
+    ``gray3`` lets callers that already computed the int32 channel sum skip
+    recomputing it (must equal ``pixels.sum(axis=2, dtype=int32)``)."""
+    if gray3 is None:
+        gray3 = pixels.sum(axis=2, dtype=np.int32)
+    h, w = gray3.shape
+    ys, xs, areas3 = _pool_geometry(h, w)
+    # block sums via two reduceats (fully vectorized 8×8 mean-pool); the row
+    # pass stays int32 (≤ 765×h), the tiny 8×w intermediate goes int64 so the
+    # column pass cannot overflow on huge images
+    row_sums = np.add.reduceat(gray3, ys, axis=0).astype(np.int64)
     cells = np.add.reduceat(row_sums, xs, axis=1)
-    ye = np.append(ys[1:], h)
-    xe = np.append(xs[1:], w)
-    areas = (ye - ys)[:, None] * (xe - xs)[None, :]
-    cells = cells / areas
+    cells = cells / areas3
     if cells.shape != (8, 8):  # tiny images: pad by repeating edge cells
         cells = np.pad(
             cells, ((0, 8 - cells.shape[0]), (0, 8 - cells.shape[1])), mode="edge"
@@ -157,3 +163,16 @@ def phash64(pixels: np.ndarray, gray: np.ndarray | None = None) -> int:
     bits = (cells > cells.mean()).flatten()
     v = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@lru_cache(maxsize=8192)
+def _pool_geometry(h: int, w: int):
+    """Cached 8×8 mean-pool geometry for an (h, w) image: the linspace/unique
+    per call was ~120 µs/row — more than the pooling itself — and image
+    dimensions repeat heavily across a corpus."""
+    ys = np.unique(np.linspace(0, h, 9).astype(int)[:8])
+    xs = np.unique(np.linspace(0, w, 9).astype(int)[:8])
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    areas3 = 3.0 * ((ye - ys)[:, None] * (xe - xs)[None, :])
+    return ys, xs, areas3

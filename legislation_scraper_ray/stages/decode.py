@@ -21,6 +21,9 @@ import pyarrow as pa
 
 from ..sources.codec import decode_image, phash64
 
+# 256-entry LUT for exact per-channel sum-of-squares (uint16: 255² = 65025)
+_SQ_LUT = np.arange(256, dtype=np.uint16) ** 2
+
 
 class DecodeActor:
     """map_batches callable: decode + verify + caption extract.
@@ -54,33 +57,66 @@ class DecodeActor:
         # histogram — the deterministic stand-in for a CNN embedding
         feat = np.zeros((n, 22), dtype=np.float32)
         has_payload = np.zeros(n, dtype=bool)
-        for i in range(n):
-            if blobs[i] is None:
-                continue
-            has_payload[i] = True
-            px = decode_image(blobs[i], fmts[i])
-            # one float64 gray is shared by phash + histogram; mean/std come
-            # from two channel reductions (sum, sum-of-squares) instead of the
-            # four passes + np.histogram/linspace overhead of the naive form
-            f = px.astype(np.float64)
-            gray = f.mean(axis=2)
-            ph = phash64(px, gray=gray)
-            rephash[i] = ph
-            npix = px.shape[0] * px.shape[1]
-            s1 = f.sum(axis=(0, 1))
-            s2 = (f * f).sum(axis=(0, 1))
-            mean = s1 / npix
-            feat[i, :3] = mean
-            feat[i, 3:6] = np.sqrt(np.maximum(s2 / npix - mean * mean, 0.0))
-            bucket = np.minimum((gray * (1.0 / 16.0)).astype(np.int64), 15)
-            feat[i, 6:] = np.bincount(bucket.ravel(), minlength=16) / max(npix, 1)
-            ok[i] = (
-                int(s1.sum()) == int(want_sum[i])  # exact: integer-valued sums < 2^53
-                and ph == int(want_phash[i])
-                and (fmts[i] == "png" or psnr_db[i] >= 40.0)
+        # All image math is integer and chunk-segmented.  Two measured failure
+        # modes shaped this:
+        #   1. float64 per-row temporaries (astype + mean + f*f) moved
+        #      ~900 KB/row; with ~30 decode tasks in flight the DRAM bus
+        #      saturates — 10–15× per-row CPU inflation vs single-thread.
+        #   2. per-row numpy reductions with dtype upcast cost ~86 µs/call in
+        #      dispatch overhead (4 calls/row dominated the profile).
+        # So: decode rows into a small flat uint8 buffer (~128k pixels, stays
+        # cache-resident) and run ONE segmented reduceat per reduction across
+        # the whole chunk — integer dtypes, amortized dispatch.
+        idxs = [i for i in range(n) if blobs[i] is not None]
+        pos = 0
+        while pos < len(idxs):
+            chunk, px_list, sizes, tot = [], [], [], 0
+            while pos < len(idxs) and (not chunk or tot < 131_072):
+                i = idxs[pos]
+                px = decode_image(blobs[i], fmts[i])
+                chunk.append(i)
+                px_list.append(px)
+                sizes.append(px.shape[0] * px.shape[1])
+                tot += sizes[-1]
+                pos += 1
+            k = len(chunk)
+            flat = np.concatenate([p.reshape(-1, 3) for p in px_list], axis=0)
+            npix = np.asarray(sizes, dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(npix[:-1])]).astype(np.intp)
+            s1 = np.add.reduceat(flat, offs, axis=0, dtype=np.int64)  # (k, 3)
+            s2 = np.add.reduceat(_SQ_LUT[flat], offs, axis=0, dtype=np.int64)
+            # per-pixel channel sum (≤765): shared by phash + gray histogram
+            gray3 = flat.sum(axis=1, dtype=np.int32)
+            mean = s1 / npix[:, None]
+            rows = np.asarray(chunk)
+            feat[rows, :3] = mean
+            feat[rows, 3:6] = np.sqrt(np.maximum(s2 / npix[:, None] - mean * mean, 0.0))
+            # bucket b = floor(gray_mean/16) = floor(gray3/48): the old float
+            # form rounded gray3/3 to nearest then scaled by the exact
+            # power-of-two 1/16, which never crosses a bucket boundary, so
+            # integer //48 yields identical buckets (and identical features).
+            # One combined bincount: bucket + 16×segment-id.
+            seg = np.repeat(np.arange(k, dtype=np.int32) * 16, npix)
+            code = np.minimum(gray3 // 48, 15) + seg
+            feat[rows, 6:] = (
+                np.bincount(code, minlength=16 * k).reshape(k, 16) / npix[:, None]
             )
-            if captions[i] is not None and len(captions[i]) <= self.ocr_threshold:
-                ocr_used[i] = True  # deterministic stand-in for the LLM/OCR branch
+            s1_tot = s1.sum(axis=1)
+            for j in range(k):
+                i = chunk[j]
+                h_px, w_px, _ = px_list[j].shape
+                ph = phash64(
+                    px_list[j], gray3=gray3[offs[j] : offs[j] + sizes[j]].reshape(h_px, w_px)
+                )
+                rephash[i] = ph
+                ok[i] = (
+                    int(s1_tot[j]) == int(want_sum[i])  # exact integer sums
+                    and ph == int(want_phash[i])
+                    and (fmts[i] == "png" or psnr_db[i] >= 40.0)
+                )
+                if captions[i] is not None and len(captions[i]) <= self.ocr_threshold:
+                    ocr_used[i] = True  # deterministic stand-in for the OCR branch
+        has_payload[idxs] = True
         self.decoded += int(has_payload.sum())
         batch = batch.append_column("decode_ok", _masked(ok, has_payload))
         batch = batch.append_column("phash_decoded", _masked(rephash, has_payload))
