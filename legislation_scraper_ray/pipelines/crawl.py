@@ -674,23 +674,50 @@ def _bfs(
                     # resume re-runs the generation from its checkpoint: clear
                     # any partial output first (write_parquet APPENDS)
                     shutil.rmtree(docs_dir)
-                docs = fetched.map_batches(
-                    _status_kind_filter("ok", "doc"), batch_format="pyarrow"
-                )
                 if parse_doc_fn is not None:
-                    docs = docs.map_batches(parse_doc_fn, batch_format="pyarrow")
-                docs = (
-                    docs
-                    .map_batches(
-                        DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                        batch_format="pyarrow",
-                        batch_size=min(cfg.batch_size, 2048),
+                    # user-extension path: per-source parse_doc may read any
+                    # column, so keep the full row and filter up front
+                    docs = fetched.map_batches(
+                        _status_kind_filter("ok", "doc"), batch_format="pyarrow"
+                    ).map_batches(parse_doc_fn, batch_format="pyarrow")
+                    docs = (
+                        docs.map_batches(
+                            DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                            batch_format="pyarrow",
+                            batch_size=min(cfg.batch_size, 2048),
+                        ).map_batches(
+                            lambda b, cols=doc_cols: _project_docs(b, cols),
+                            batch_format="pyarrow",
+                        )
                     )
-                    .map_batches(
-                        lambda b, cols=doc_cols: _project_docs(b, cols),
-                        batch_format="pyarrow",
+                else:
+                    # default path, memory-traffic-ordered: prune to the
+                    # columns the doc sink needs, decode (null-payload rows —
+                    # listings/errors — pass through untouched), THEN project
+                    # + filter.  Filtering after the projection drops the
+                    # ~15 KB/row payload before any row gather: the old
+                    # filter-first order copied every payload-bearing block
+                    # (~45 KB/row) just to drop ~1% of rows.
+                    decode_in = ["status", "kind", "bytes", "dec_sum"] + [
+                        c for c in doc_cols
+                        if c not in DERIVED_DOC_COLUMNS and c != "bytes"
+                    ]
+                    decode_in = [
+                        "doc_" + c if c in ("year", "situation", "type") else c
+                        for c in decode_in
+                    ]
+                    docs = (
+                        fetched.select_columns(decode_in)
+                        .map_batches(
+                            DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                            batch_format="pyarrow",
+                            batch_size=min(cfg.batch_size, 2048),
+                        )
+                        .map_batches(
+                            lambda b, cols=doc_cols: _project_docs_ok(b, cols),
+                            batch_format="pyarrow",
+                        )
                     )
-                )
                 def _write_docs(ds=docs, d=docs_dir, collect=cfg.collect_stats):
                     ds.write_parquet(d, partition_cols=["year", "type", "situation"])
                     if collect:
@@ -830,6 +857,10 @@ def _make_host_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0
     return fetch_host
 
 
+# doc-sink columns produced by DecodeActor itself (not read from the fetch row)
+DERIVED_DOC_COLUMNS = {"decode_ok", "phash_decoded", "ocr_used", "feat_mean_rgb"}
+
+
 def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:
     out = {}
     for c in cols:
@@ -838,6 +869,15 @@ def _project_docs(batch: pa.Table, cols: list[str]) -> pa.Table:
         else:
             out[c] = batch[c]
     return pa.table(out)
+
+
+def _project_docs_ok(batch: pa.Table, cols: list[str]) -> pa.Table:
+    """Project to the doc-sink schema, then keep only ok/doc rows.  The
+    projection is zero-copy (column references), so the row gather happens
+    AFTER the payload column is dropped — filtering first would copy every
+    blob (measured: the payload is ~98% of the block)."""
+    mask = pc.and_(pc.equal(batch["status"], "ok"), pc.equal(batch["kind"], "doc"))
+    return _project_docs(batch, cols).filter(pc.fill_null(mask, False))
 
 
 # ---------------- checkpoint helpers ----------------

@@ -58,7 +58,7 @@ def decode_png(data: bytes) -> np.ndarray:
     is 0; 1/2 kept for robustness)."""
     assert data[:8] == PNG_SIG, "not a PNG"
     pos, w = 8, None
-    idat = b""
+    idat_parts: list = []  # kept as buffer views (zero-copy for the 1-chunk case)
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -67,10 +67,11 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             assert depth == 8 and ctype == 2, "codec only handles 8-bit RGB"
         elif tag == b"IDAT":
-            idat += payload
+            idat_parts.append(payload)
         elif tag == b"IEND":
             break
         pos += 12 + length
+    idat = idat_parts[0] if len(idat_parts) == 1 else b"".join(bytes(p) for p in idat_parts)
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
     filters = raw[:, 0]
     out = raw[:, 1:].copy()
