@@ -548,6 +548,17 @@ def _bfs(
                 ),
                 batch_format="pyarrow",
             )
+            # decode runs INSIDE the fetch pipeline so the streaming executor
+            # overlaps it with fetching within the generation (null-payload
+            # rows — listings, errors — pass through untouched).  Decoupling
+            # it into the async doc writer (the r2.0 design) left the LAST
+            # generation's decode as a fully serialized tail: fetch→decode of
+            # one generation ran back-to-back instead of pipelined.
+            fetched = fetched.map_batches(
+                DecodeActor(ocr_threshold=cfg.ocr_threshold),
+                batch_format="pyarrow",
+                batch_size=min(cfg.batch_size, 2048),
+            )
             # ---- fetch barrier: the ONLY sync point a generation requires ----
             t_g0 = time.perf_counter()
             fetched = fetched.materialize()
@@ -677,46 +688,29 @@ def _bfs(
                 if parse_doc_fn is not None:
                     # user-extension path: per-source parse_doc may read any
                     # column, so keep the full row and filter up front
-                    docs = fetched.map_batches(
-                        _status_kind_filter("ok", "doc"), batch_format="pyarrow"
-                    ).map_batches(parse_doc_fn, batch_format="pyarrow")
                     docs = (
-                        docs.map_batches(
-                            DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                            batch_format="pyarrow",
-                            batch_size=min(cfg.batch_size, 2048),
-                        ).map_batches(
+                        fetched.map_batches(
+                            _status_kind_filter("ok", "doc"), batch_format="pyarrow"
+                        )
+                        .map_batches(parse_doc_fn, batch_format="pyarrow")
+                        .map_batches(
                             lambda b, cols=doc_cols: _project_docs(b, cols),
                             batch_format="pyarrow",
                         )
                     )
                 else:
-                    # default path, memory-traffic-ordered: prune to the
-                    # columns the doc sink needs, decode (null-payload rows —
-                    # listings/errors — pass through untouched), THEN project
-                    # + filter.  Filtering after the projection drops the
-                    # ~15 KB/row payload before any row gather: the old
-                    # filter-first order copied every payload-bearing block
-                    # (~45 KB/row) just to drop ~1% of rows.
-                    decode_in = ["status", "kind", "bytes", "dec_sum"] + [
-                        c for c in doc_cols
-                        if c not in DERIVED_DOC_COLUMNS and c != "bytes"
-                    ]
-                    decode_in = [
+                    # rows are already decoded (fetch chain); the sink is a
+                    # column prune + project + row filter, ordered so the
+                    # gather runs AFTER the ~15 KB/row payload is dropped —
+                    # the old filter-first order copied every payload-bearing
+                    # block (~45 KB/row) just to drop ~1% of rows
+                    sink_in = ["status", "kind"] + [
                         "doc_" + c if c in ("year", "situation", "type") else c
-                        for c in decode_in
+                        for c in doc_cols
                     ]
-                    docs = (
-                        fetched.select_columns(decode_in)
-                        .map_batches(
-                            DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                            batch_format="pyarrow",
-                            batch_size=min(cfg.batch_size, 2048),
-                        )
-                        .map_batches(
-                            lambda b, cols=doc_cols: _project_docs_ok(b, cols),
-                            batch_format="pyarrow",
-                        )
+                    docs = fetched.select_columns(sink_in).map_batches(
+                        lambda b, cols=doc_cols: _project_docs_ok(b, cols),
+                        batch_format="pyarrow",
                     )
                 def _write_docs(ds=docs, d=docs_dir, collect=cfg.collect_stats):
                     ds.write_parquet(d, partition_cols=["year", "type", "situation"])
