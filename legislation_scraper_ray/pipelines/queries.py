@@ -394,20 +394,54 @@ def minhash_dup_pairs(sf_dir: str):
 
 
 def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
-                        payload_col: str, num_partitions: int = 8) -> rd.Dataset | None:
+                        payload_col: str, num_partitions: int = 8,
+                        broadcast_pairs_max: int = 50_000) -> rd.Dataset | None:
     """Attach per-doc payloads to candidate (doc_a, doc_b) pairs WITHOUT
     broadcasting the corpus: dedupe pairs, then two hash-partitioned
     ``Dataset.join``s against the payload table on each side's id.  Peak state
     per worker is O(pairs) + one hash partition of the payload.  Returns None
-    when there are no candidates (join on an empty side)."""
+    when there are no candidates (join on an empty side).
+
+    Size-aware plan (the broadcast-vs-shuffle-join choice every SQL engine
+    makes): when the deduped pair set is small (≤ ``broadcast_pairs_max``),
+    skip the two shuffle joins — gather the pair list (output-sized, the
+    driver holds O(pairs) by contract), fetch ONLY the candidate-referenced
+    payload rows with a distributed ``is_in`` filter (no shuffle), and
+    assemble the paired table directly.  Never holds more than O(pairs)
+    payload anywhere, so the 100-TB story is unchanged; at toy scale it
+    avoids ~3 all-to-all launches."""
     uniq = (
         cands.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["doc_a", "doc_b"])
         .materialize()  # ids only, output-sized — cheap to pin
     )
-    if uniq.count() == 0:
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return None
+    if n_pairs <= broadcast_pairs_max:
+        pairs = pa.concat_tables(ray.get(uniq.to_arrow_refs())).combine_chunks()
+        ids = pc.unique(
+            pa.concat_arrays(
+                [pairs["doc_a"].combine_chunks(), pairs["doc_b"].combine_chunks()]
+            )
+        )
+        rows = payload.map_batches(
+            lambda t, ids=ids: t.filter(pc.is_in(t[id_col], value_set=ids)),
+            batch_format="pyarrow",
+        )
+        ref = pa.concat_tables(ray.get(rows.to_arrow_refs())).combine_chunks()
+        pos_a = pc.index_in(pairs["doc_a"], ref[id_col])
+        pos_b = pc.index_in(pairs["doc_b"], ref[id_col])
+        out = pa.table(
+            {
+                "doc_a": pairs["doc_a"],
+                "doc_b": pairs["doc_b"],
+                f"{payload_col}_a": pc.take(ref[payload_col], pos_a),
+                f"{payload_col}_b": pc.take(ref[payload_col], pos_b),
+            }
+        )
+        return rd.from_arrow(out)
     j1 = uniq.join(payload, join_type="inner", num_partitions=num_partitions,
                    on=("doc_a",), right_on=(id_col,))
     j1 = j1.map_batches(

@@ -73,91 +73,147 @@ class DecodeActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Handles mixed batches: rows without a payload (listings, errors)
         pass through with null decode columns."""
-        n = batch.num_rows
         blobs = _binary_views(batch["bytes"])
-        fmts = batch["fmt"].to_pylist()
-        # to_pylist (exact Python ints), NOT to_numpy: null-bearing uint64/int64
-        # columns convert to float64 in numpy, silently corrupting values > 2^53
-        want_sum = batch["dec_sum"].to_pylist()
-        want_phash = batch["phash"].to_pylist()
-        psnr_db = batch["psnr_db"].to_pylist()
-        captions = batch["caption"].to_pylist()
-        ok = np.zeros(n, dtype=bool)
-        rephash = np.zeros(n, dtype=np.int64)
-        ocr_used = np.zeros(n, dtype=bool)
-        # image feature vector: mean RGB (3) + std RGB (3) + 16-bin gray
-        # histogram — the deterministic stand-in for a CNN embedding
-        feat = np.zeros((n, 22), dtype=np.float32)
-        has_payload = np.zeros(n, dtype=bool)
-        # All image math is integer and chunk-segmented.  Two measured failure
-        # modes shaped this:
-        #   1. float64 per-row temporaries (astype + mean + f*f) moved
-        #      ~900 KB/row; with ~30 decode tasks in flight the DRAM bus
-        #      saturates — 10–15× per-row CPU inflation vs single-thread.
-        #   2. per-row numpy reductions with dtype upcast cost ~86 µs/call in
-        #      dispatch overhead (4 calls/row dominated the profile).
-        # So: decode rows into a small flat uint8 buffer (~128k pixels, stays
-        # cache-resident) and run ONE segmented reduceat per reduction across
-        # the whole chunk — integer dtypes, amortized dispatch.
-        idxs = [i for i in range(n) if blobs[i] is not None]
-        pos = 0
-        while pos < len(idxs):
-            chunk, px_list, sizes, tot = [], [], [], 0
-            while pos < len(idxs) and (not chunk or tot < 131_072):
-                i = idxs[pos]
-                px = decode_image(blobs[i], fmts[i])
-                chunk.append(i)
-                px_list.append(px)
-                sizes.append(px.shape[0] * px.shape[1])
-                tot += sizes[-1]
-                pos += 1
-            k = len(chunk)
-            flat = np.concatenate([p.reshape(-1, 3) for p in px_list], axis=0)
-            npix = np.asarray(sizes, dtype=np.int64)
-            offs = np.concatenate([[0], np.cumsum(npix[:-1])]).astype(np.intp)
-            s1 = np.add.reduceat(flat, offs, axis=0, dtype=np.int64)  # (k, 3)
-            s2 = np.add.reduceat(_SQ_LUT[flat], offs, axis=0, dtype=np.int64)
-            # per-pixel channel sum (≤765): shared by phash + gray histogram
-            gray3 = flat.sum(axis=1, dtype=np.int32)
-            mean = s1 / npix[:, None]
-            rows = np.asarray(chunk)
-            feat[rows, :3] = mean
-            feat[rows, 3:6] = np.sqrt(np.maximum(s2 / npix[:, None] - mean * mean, 0.0))
-            # bucket b = floor(gray_mean/16) = floor(gray3/48): the old float
-            # form rounded gray3/3 to nearest then scaled by the exact
-            # power-of-two 1/16, which never crosses a bucket boundary, so
-            # integer //48 yields identical buckets (and identical features).
-            # One combined bincount: bucket + 16×segment-id.
-            seg = np.repeat(np.arange(k, dtype=np.int32) * 16, npix)
-            code = np.minimum(gray3 // 48, 15) + seg
-            feat[rows, 6:] = (
-                np.bincount(code, minlength=16 * k).reshape(k, 16) / npix[:, None]
-            )
-            s1_tot = s1.sum(axis=1)
-            for j in range(k):
-                i = chunk[j]
-                h_px, w_px, _ = px_list[j].shape
-                ph = phash64(
-                    px_list[j], gray3=gray3[offs[j] : offs[j] + sizes[j]].reshape(h_px, w_px)
-                )
-                rephash[i] = ph
-                ok[i] = (
-                    int(s1_tot[j]) == int(want_sum[i])  # exact integer sums
-                    and ph == int(want_phash[i])
-                    and (fmts[i] == "png" or psnr_db[i] >= 40.0)
-                )
-                if captions[i] is not None and len(captions[i]) <= self.ocr_threshold:
-                    ocr_used[i] = True  # deterministic stand-in for the OCR branch
-        has_payload[idxs] = True
-        self.decoded += int(has_payload.sum())
-        batch = batch.append_column("decode_ok", _masked(ok, has_payload))
-        batch = batch.append_column("phash_decoded", _masked(rephash, has_payload))
-        batch = batch.append_column("ocr_used", _masked(ocr_used, has_payload))
-        batch = batch.append_column(
-            "feat_mean_rgb",
-            pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 22),
+        cols = decode_compute(
+            blobs,
+            batch["fmt"].to_pylist(),
+            # to_pylist (exact Python ints), NOT to_numpy: null-bearing
+            # uint64/int64 columns convert to float64 in numpy, silently
+            # corrupting values > 2^53
+            batch["dec_sum"].to_pylist(),
+            batch["phash"].to_pylist(),
+            batch["psnr_db"].to_pylist(),
+            batch["caption"].to_pylist(),
+            self.ocr_threshold,
         )
+        self.decoded += int(cols.pop("_n_decoded"))
+        for name, arr in cols.items():
+            batch = batch.append_column(name, arr)
         return batch
+
+
+def decode_compute(
+    blobs: list,
+    fmts: list,
+    want_sum: list,
+    want_phash: list,
+    psnr_db: list,
+    captions: list,
+    ocr_threshold: int = 0,
+) -> dict[str, pa.Array]:
+    """Decode + verify + feature-extract over per-row blob views (None =
+    no payload → null decode columns).  Returns the four decode output
+    columns plus a ``_n_decoded`` counter.
+
+    All image math is integer and chunk-segmented.  Two measured failure
+    modes shaped this:
+      1. float64 per-row temporaries (astype + mean + f*f) moved ~900 KB/row;
+         with ~30 decode tasks in flight the DRAM bus saturates — 10–15×
+         per-row CPU inflation vs single-thread.
+      2. per-row numpy reductions with dtype upcast cost ~86 µs/call in
+         dispatch overhead (4 calls/row dominated the profile).
+    So: decode rows into a small flat uint8 buffer (~128k pixels, stays
+    cache-resident) and run ONE segmented reduceat per reduction across the
+    whole chunk — integer dtypes, amortized dispatch."""
+    n = len(blobs)
+    ok = np.zeros(n, dtype=bool)
+    rephash = np.zeros(n, dtype=np.int64)
+    ocr_used = np.zeros(n, dtype=bool)
+    # image feature vector: mean RGB (3) + std RGB (3) + 16-bin gray
+    # histogram — the deterministic stand-in for a CNN embedding
+    feat = np.zeros((n, 22), dtype=np.float32)
+    has_payload = np.zeros(n, dtype=bool)
+    idxs = [i for i in range(n) if blobs[i] is not None]
+    pos = 0
+    while pos < len(idxs):
+        chunk, px_list, sizes, tot = [], [], [], 0
+        while pos < len(idxs) and (not chunk or tot < 131_072):
+            i = idxs[pos]
+            px = decode_image(blobs[i], fmts[i])
+            chunk.append(i)
+            px_list.append(px)
+            sizes.append(px.shape[0] * px.shape[1])
+            tot += sizes[-1]
+            pos += 1
+        k = len(chunk)
+        flat = np.concatenate([p.reshape(-1, 3) for p in px_list], axis=0)
+        npix = np.asarray(sizes, dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(npix[:-1])]).astype(np.intp)
+        s1 = np.add.reduceat(flat, offs, axis=0, dtype=np.int64)  # (k, 3)
+        s2 = np.add.reduceat(_SQ_LUT[flat], offs, axis=0, dtype=np.int64)
+        # per-pixel channel sum (≤765): shared by phash + gray histogram
+        gray3 = flat.sum(axis=1, dtype=np.int32)
+        mean = s1 / npix[:, None]
+        rows = np.asarray(chunk)
+        feat[rows, :3] = mean
+        feat[rows, 3:6] = np.sqrt(np.maximum(s2 / npix[:, None] - mean * mean, 0.0))
+        # bucket b = floor(gray_mean/16) = floor(gray3/48): the old float
+        # form rounded gray3/3 to nearest then scaled by the exact
+        # power-of-two 1/16, which never crosses a bucket boundary, so
+        # integer //48 yields identical buckets (and identical features).
+        # One combined bincount: bucket + 16×segment-id.
+        seg = np.repeat(np.arange(k, dtype=np.int32) * 16, npix)
+        code = np.minimum(gray3 // 48, 15) + seg
+        feat[rows, 6:] = (
+            np.bincount(code, minlength=16 * k).reshape(k, 16) / npix[:, None]
+        )
+        s1_tot = s1.sum(axis=1)
+        for j in range(k):
+            i = chunk[j]
+            h_px, w_px, _ = px_list[j].shape
+            ph = phash64(
+                px_list[j], gray3=gray3[offs[j] : offs[j] + sizes[j]].reshape(h_px, w_px)
+            )
+            rephash[i] = ph
+            ok[i] = (
+                int(s1_tot[j]) == int(want_sum[i])  # exact integer sums
+                and ph == int(want_phash[i])
+                and (fmts[i] == "png" or psnr_db[i] >= 40.0)
+            )
+            if captions[i] is not None and len(captions[i]) <= ocr_threshold:
+                ocr_used[i] = True  # deterministic stand-in for the OCR branch
+    has_payload[idxs] = True
+    return {
+        "decode_ok": _masked(ok, has_payload),
+        "phash_decoded": _masked(rephash, has_payload),
+        "ocr_used": _masked(ocr_used, has_payload),
+        "feat_mean_rgb": pa.FixedSizeListArray.from_arrays(
+            pa.array(feat.reshape(-1)), 22
+        ),
+        "_n_decoded": int(has_payload.sum()),
+    }
+
+
+class ChunkedBlobs:
+    """Random-access zero-copy blob views over a (possibly chunked) Arrow
+    binary column — built ONCE per actor over the plasma-resident corpus so a
+    fetch-fused decode can read payload bytes without ever copying them into
+    an output block (the copy chain block-write → plasma → block-read was the
+    dominant share of crawl memory traffic)."""
+
+    def __init__(self, col: pa.ChunkedArray | pa.Array):
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        self._offs, self._mvs, starts = [], [], [0]
+        for ch in chunks:
+            dt = np.int64 if pa.types.is_large_binary(ch.type) else np.int32
+            bufs = ch.buffers()
+            self._offs.append(
+                np.frombuffer(
+                    bufs[1], dtype=dt, count=len(ch) + 1,
+                    offset=ch.offset * np.dtype(dt).itemsize,
+                )
+            )
+            self._mvs.append(
+                memoryview(bufs[2]).cast("B") if bufs[2] is not None else None
+            )
+            starts.append(starts[-1] + len(ch))
+        self._starts = np.asarray(starts[:-1], dtype=np.int64)
+
+    def get(self, i: int):
+        c = int(np.searchsorted(self._starts, i, side="right")) - 1
+        local = i - int(self._starts[c])
+        offs = self._offs[c]
+        return self._mvs[c][offs[local] : offs[local + 1]]
 
 
 def _masked(values: np.ndarray, valid: np.ndarray) -> pa.Array:

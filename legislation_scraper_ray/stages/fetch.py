@@ -107,7 +107,16 @@ class FetchActor:
     ``__call__`` (per batch): vectorized hash lookup, retry simulation,
     payload attach."""
 
-    def __init__(self, graph_ref, corpus_ref, politeness_mode: str = "virtual", t0: float = 0.0):
+    def __init__(
+        self,
+        graph_ref,
+        corpus_ref,
+        politeness_mode: str = "virtual",
+        t0: float = 0.0,
+        decode: bool = False,
+        ocr_threshold: int = 0,
+        keep_payloads: bool = True,
+    ):
         self.graph: pa.Table = ray.get(graph_ref)
         self.corpus: pa.Table = ray.get(corpus_ref)
         self.g_hashes = self.graph["url_hash"].to_numpy()
@@ -116,11 +125,25 @@ class FetchActor:
         self.politeness_mode = politeness_mode
         self.t0 = t0  # crawl epoch (time.time()) for sleep-mode pacing
         self.fetched = 0
+        self.decode = decode
+        self.ocr_threshold = ocr_threshold
+        self.keep_payloads = keep_payloads
+        # decode reads blobs as zero-copy views over the plasma-resident
+        # corpus; the payload column is ONLY materialized into output blocks
+        # when keep_payloads asks for it.  Copying every blob through
+        # take→block→plasma→decode-read (~45 KB/row) was the single largest
+        # share of crawl memory traffic — and this box's effective DRAM
+        # bandwidth, not CPU, is what caps fetch+decode scaling.
+        self.corpus_small = self.corpus.drop_columns(["bytes"])
+        if decode:
+            from .decode import ChunkedBlobs
+
+            self.blobs = ChunkedBlobs(self.corpus["bytes"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return _empty_out(batch)
+            return _empty_out(batch, self.keep_payloads, self.decode)
         if self.politeness_mode == "sleep" and "scheduled_ts" in batch.schema.names:
             # live-crawl pacing: wait until this batch's latest assigned start
             # time (virtual schedule ↔ wall clock, batch granularity)
@@ -152,7 +175,7 @@ class FetchActor:
         take_corpus = pc.if_else(
             pc.not_equal(take_corpus, -1), take_corpus, pa.scalar(None, pa.int64())
         )
-        c = self.corpus.take(take_corpus)
+        c = self.corpus_small.take(take_corpus)
         self.fetched += int(ok.sum())
         cols = {name: batch[name] for name in batch.schema.names}
         cols.update(
@@ -162,7 +185,6 @@ class FetchActor:
                 "kind": g["kind"],
                 "out_links": g["out_links"],
                 "image_id": g["image_id"],
-                "bytes": c["bytes"],
                 "w": c["w"],
                 "h": c["h"],
                 "fmt": c["fmt"],
@@ -176,11 +198,43 @@ class FetchActor:
                 "subject_ids": g["subject_ids"],
             }
         )
+        if self.keep_payloads:
+            cols["bytes"] = self.corpus.select(["bytes"]).take(take_corpus)["bytes"]
+        if self.decode:
+            from .decode import decode_compute
+
+            blob_views = [
+                self.blobs.get(int(j)) if j >= 0 else None for j in img_idx
+            ]
+            dec = decode_compute(
+                blob_views,
+                c["fmt"].to_pylist(),
+                c["dec_sum"].to_pylist(),
+                c["phash"].to_pylist(),
+                c["psnr_db"].to_pylist(),
+                c["caption"].to_pylist(),
+                self.ocr_threshold,
+            )
+            dec.pop("_n_decoded")
+            cols.update(dec)
         return pa.table(cols)
 
 
-def _empty_out(batch: pa.Table) -> pa.Table:
+DECODE_SCHEMA_EXTRA = [
+    ("decode_ok", pa.bool_()),
+    ("phash_decoded", pa.int64()),
+    ("ocr_used", pa.bool_()),
+    ("feat_mean_rgb", pa.list_(pa.float32(), 22)),
+]
+
+
+def _empty_out(batch: pa.Table, keep_payloads: bool = True, decode: bool = False) -> pa.Table:
     cols = {name: batch[name] for name in batch.schema.names}
     for name, typ in OUT_SCHEMA_EXTRA:
+        if name == "bytes" and not keep_payloads:
+            continue
         cols[name] = pa.array([], typ)
+    if decode:
+        for name, typ in DECODE_SCHEMA_EXTRA:
+            cols[name] = pa.array([], typ)
     return pa.table(cols)
