@@ -33,7 +33,7 @@ def entry() -> Any:
     run_crawl(
         corpus_dir,
         out,
-        CrawlConfig(n_seen_shards=2, fetch_concurrency=2, decode_concurrency=2, checkpoint=False),
+        CrawlConfig(n_seen_shards=2, fetch_concurrency=2, checkpoint=False),
     )
     docs = pads.dataset(f"{out}/docs", partitioning="hive").to_table()
     return docs.sort_by("url_hash")

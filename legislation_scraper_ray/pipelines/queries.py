@@ -835,7 +835,7 @@ def crawl_seen_set(sf_dir: str):
     out = f"/tmp/graft_crawl_query/{os.path.basename(corpus_dir)}"
     run_crawl(
         corpus_dir, out,
-        CrawlConfig(n_seen_shards=4, fetch_concurrency=4, decode_concurrency=2, checkpoint=False),
+        CrawlConfig(n_seen_shards=4, fetch_concurrency=4, checkpoint=False),
     )
     tbl = pads.dataset(f"{out}/lineage", partitioning="hive").to_table(columns=LINEAGE_COLUMNS)
     return tbl.sort_by("url_hash")

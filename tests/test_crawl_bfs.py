@@ -11,7 +11,7 @@ def bfs_run(ray_session, t1_dir, tmp_path_factory):
     from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
 
     out = str(tmp_path_factory.mktemp("bfs"))
-    cfg = CrawlConfig(n_seen_shards=2, fetch_concurrency=2, decode_concurrency=2)
+    cfg = CrawlConfig(n_seen_shards=2, fetch_concurrency=2)
     return run_crawl(t1_dir, out, cfg), out
 
 

@@ -19,7 +19,6 @@ def strict_run(ray_session, t1_dir, tmp_path_factory):
         n_seen_shards=2,
         seen_mode="exact",
         fetch_concurrency=2,
-        decode_concurrency=2,
         order="strict",
         compute="tasks",
         checkpoint=False,
