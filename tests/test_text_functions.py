@@ -51,3 +51,27 @@ def test_fingerprint_shift_robustness():
     assert fp[0] != fp[1]  # exact hash differs on any edit
     assert mh[0] == mh[1] or mh[1] == mh[0]  # min-shingle survives a prefix shift
     assert mh[0] != mh[2]
+
+
+def test_segmented_reductions_trailing_empty():
+    # Trailing empty segments after a nonempty one must not truncate the last
+    # nonempty segment's reduction range (reduceat clamping bug).
+    from legislation_scraper_ray.functions.text import segmented_min, segmented_sum
+
+    vals = np.array([5, 3, 9, 1], dtype=np.uint64)
+    parents = np.array([0, 0, 1, 1], dtype=np.int64)
+    ident = np.iinfo(np.uint64).max
+    out = segmented_min(vals, parents, 4, ident)
+    assert out.tolist() == [3, 1, int(ident), int(ident)]
+    s = segmented_sum(vals.astype(np.int64), parents, 4)
+    assert s.tolist() == [8, 10, 0, 0]
+    # interior empty segment
+    parents2 = np.array([0, 0, 2, 2], dtype=np.int64)
+    out2 = segmented_min(vals, parents2, 3, ident)
+    assert out2.tolist() == [3, int(ident), 1]
+    # 2-D vals (the MinHash signature shape)
+    v2 = np.array([[5, 1], [3, 2], [9, 0], [1, 7]], dtype=np.uint64)
+    o2 = segmented_min(v2, parents, 3, ident)
+    assert o2[:2].tolist() == [[3, 1], [1, 0]]
+    # empty input
+    assert segmented_min(np.empty((0,), np.uint64), np.empty((0,), np.int64), 2, ident).tolist() == [int(ident)] * 2
