@@ -29,3 +29,24 @@ No module in this package calls ``ray.init()`` — sessions are owned by the cal
 """
 
 __version__ = "0.1.0"
+
+
+def _disable_numpy_hugepage_madvise() -> None:
+    """Turn off numpy's ``madvise(MADV_HUGEPAGE)`` on >=4 MB allocations.
+
+    With kernel THP ``defrag=madvise`` (this host's setting), the FIRST large
+    numpy temporary in a fresh process triggers synchronous hugepage
+    compaction: a 14 MB broadcast-add measured 1.7 s cold vs 0.012 s with the
+    madvise disabled (150x).  Every Ray worker is a fresh process, so each
+    decode/minhash/hash kernel paid multi-second warmup stalls.  This runs at
+    package import, which happens in every worker that unpickles our UDFs.
+    """
+    try:
+        from numpy.core import multiarray
+
+        multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass  # private API; harmless to skip on numpy versions without it
+
+
+_disable_numpy_hugepage_madvise()
