@@ -146,6 +146,9 @@ class CrawlResult:
     wall_s: float = 0.0
     per_generation: list[dict] = field(default_factory=list)
     stats: list[str] = field(default_factory=list)
+    # coarse non-generation phase timings: setup (staging/actor spawn before
+    # the BFS loop), final writer join, teardown (actor kill + seen stats)
+    timings: dict = field(default_factory=dict)
 
 
 def _load_tables(corpus_dir: str):
@@ -319,6 +322,7 @@ def run_crawl(
     # whole crawl (seeded from the checkpoint's clocks on resume)
     slot_shards = _make_slot_shards(delays_ms, clocks, max(1, cfg.n_seen_shards))
 
+    res.timings["setup"] = round(time.perf_counter() - t_start, 2)
     if cfg.order == "strict":
         # Reference order: host-major (sources strictly sequential,
         # main.py:359-365), then one (year, situation, type) unit at a time in
@@ -353,11 +357,13 @@ def run_crawl(
             parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
         )
 
+    t_td = time.perf_counter()
     for sh in slot_shards:
         ray.kill(sh)
     stats = seen.stats()
     res.seen_total = sum(s["count"] for s in stats)
     res.dedup_ops = sum(s["ops"] for s in stats)
+    res.timings["teardown"] = round(time.perf_counter() - t_td, 2)
     res.wall_s = time.perf_counter() - t_start
     with open(os.path.join(out_dir, "crawl_result.json"), "w") as f:
         json.dump({k: v for k, v in res.__dict__.items()}, f, indent=2, default=str)
@@ -477,21 +483,34 @@ def _bfs(
     writer = _AsyncWriter()
     # normalize the incoming frontier (seed table / resumed Dataset) to a
     # materialized Dataset + row count; None means exhausted
+    t_norm = time.perf_counter()
     if isinstance(frontier_tbl, pa.Table):
         n_frontier = frontier_tbl.num_rows
-        frontier_ds = (
-            rd.from_arrow(
-                frontier_tbl,
-                override_num_blocks=max(
-                    1, min(256, n_frontier // max(cfg.batch_size // 2, 1) + 1)
-                ),
-            ).materialize()
-            if n_frontier
-            else None
-        )
+        if n_frontier:
+            # stage the seed table as a pre-blocked MaterializedDataset via
+            # driver-side zero-copy slices + plasma puts: ~5x cheaper than
+            # from_arrow(...).materialize(), whose single FromArrow task
+            # re-serializes the whole table (a SERIAL cost that Amdahl-caps
+            # the high-core sustained legs)
+            # block rows ≥ batch_size → map_batches bundles exactly ONE block
+            # per task (bundling rounds UP to the batch size: 4064-row blocks
+            # under an 8192 batch gave 3-block / ~12k-row tasks — only 2.4
+            # task waves across 16 slots, so the final wave idled most cores)
+            k = max(1, min(256, n_frontier // max(cfg.batch_size, 1)))
+            bounds = np.linspace(0, n_frontier, k + 1).astype(int)
+            frontier_ds = rd.from_arrow_refs(
+                [
+                    ray.put(frontier_tbl.slice(int(a), int(b - a)))
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                    if b > a
+                ]
+            )
+        else:
+            frontier_ds = None
     else:
         frontier_ds = frontier_tbl
         n_frontier = frontier_ds.count() if frontier_ds is not None else 0
+    res.timings["frontier_stage"] = round(time.perf_counter() - t_norm, 2)
 
     try:
         while frontier_ds is not None and n_frontier > 0:
@@ -777,7 +796,11 @@ def _bfs(
             gen += 1
             frontier_ds, n_frontier = nxt, n_next
     finally:
+        t_j = time.perf_counter()
         writer.join()
+        res.timings["final_writer_join"] = round(
+            res.timings.get("final_writer_join", 0.0) + time.perf_counter() - t_j, 2
+        )
 
     if checkpoint:
         exhausted = frontier_ds is None or n_frontier == 0
