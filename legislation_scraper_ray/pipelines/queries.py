@@ -754,8 +754,9 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
 def dup_clusters(sf_dir: str):
     """Duplicate-document clusters: MinHash near-dup pairs → connected
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
-    Rows-only to the driver (transitive closure isn't cheap ANSI SQL); pytest
-    verifies against an exact union-find."""
+    Oracle: a DuckDB recursive CTE over the same exact-Jaccard pair set
+    (reachable-set min per node); pytest additionally verifies against an
+    exact union-find."""
     from ..functions.cluster import label_propagation
 
     pairs = minhash_dup_pairs(sf_dir)
@@ -881,6 +882,72 @@ QUERIES = {
 
 _STOP_SQL = "('the','a','of','and','to','in')"
 
+
+def _lang_id_sql() -> str:
+    """SQL oracle for lang_id generated from the SAME ``LANG_PROFILES``
+    constant the engine kernel uses (functions/text.py): per-language stopword
+    hit counts over space-split lowered tokens, argmax with first-max-wins in
+    sorted language order (numpy argmax semantics), 'und' on zero hits."""
+    from ..functions.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n               ".join(
+        "len(list_filter(ws, x -> x IN ("
+        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lg]))
+        + f"))) AS h_{lg}"
+        for lg in langs
+    )
+    cases = []
+    for i, lg in enumerate(langs):
+        rest = [f"h_{lg} >= h_{o}" for o in langs[i + 1 :]]
+        cases.append(f"WHEN {' AND '.join(rest) if rest else 'TRUE'} THEN '{lg}'")
+    case_sql = "\n                    ".join(cases)
+    greatest = ", ".join(f"h_{lg}" for lg in langs)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+               {hits}
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest({greatest}) = 0 THEN 'und'
+                    {case_sql}
+               END AS lang_pred
+        FROM hits
+    """
+
+
+# shared CTE chain: token-3-gram shingles → exact Jaccard → verified near-dup
+# pairs at threshold 0.95 (used by the minhash_dup_pairs AND dup_clusters
+# oracles so both grade against the identical pair set)
+_MINHASH_PAIRS_CTES = """w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        shd AS (
+            SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+            FROM w a
+            JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+            FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+        )"""
+
 ORACLE_SQL = {
     "q1_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -945,33 +1012,34 @@ ORACLE_SQL = {
         SELECT text, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY text
     """,
+    "lang_id_docs": _lang_id_sql(),
     # exact token-3-gram Jaccard over all candidate pairs (pairs sharing ≥1
     # shingle) — the brute-force ground truth the MinHash+LSH pipeline must
     # reproduce at threshold 0.95.  LSH miss probability at J=0.95 with
     # 32 bands × 4 rows is (1-J^4)^32 ≈ 1e-23, so exact equality is expected.
-    "minhash_dup_pairs": """
-        WITH w AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
+    "minhash_dup_pairs": f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    # connected components over the exact near-dup pair graph: a recursive
+    # CTE computes each node's full reachable set (UNION dedup terminates it),
+    # cluster id = min reachable node — the same min-label semantics as the
+    # engine's label_propagation (functions/cluster.py)
+    "dup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
         ),
-        shd AS (
-            SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
-            FROM w a
-            JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        reach(src, node) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
         ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-        inter AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-            FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id
-        )
-        SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
+        labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src)
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM labels
     """,
     "embedding_dup_pairs": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
