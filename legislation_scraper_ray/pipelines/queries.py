@@ -920,6 +920,97 @@ def _lang_id_sql() -> str:
     """
 
 
+# --- bit-exact SQL mirrors of the engine's 64-bit hash kernels ------------
+# These let DuckDB recompute FNV-1a64 / trigram-mix / SimHash EXACTLY, turning
+# the fingerprint and simhash queries from rows-only checks into full
+# value-hash oracles.  64-bit modular arithmetic in SQL: FNV's per-byte
+# multiply uses HUGEINT directly (prime ≈ 2^40, so h·prime < 2^104 fits in
+# HUGEINT); the trigram mix constant is ≈ 2^63.5, so its products need a
+# 32-bit-split modular multiply (_mul64_sql).
+
+_FNV_OFFSET_I = 0xCBF29CE484222325
+_FNV_PRIME_I = 0x100000001B3
+_M64 = 1 << 64
+_TRI_MIX_I = 0x9E3779B97F4A7C15
+
+
+def _fnv_sql(col: str) -> str:
+    """SQL expression: FNV-1a64(col) with the engine's length mix
+    (functions/hashing.py fnv1a64_bytes — validated byte-exact vs the kernel).
+    Texts are ASCII by corpus construction, so ord(substr) == byte value."""
+    return f"""((xor(
+      list_reduce(
+        [{_FNV_OFFSET_I}::HUGEINT] ||
+        list_transform(range(1, strlen({col})+1), i -> ord(substr({col}, i, 1))::HUGEINT),
+        (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}
+      )::UBIGINT, strlen({col})::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}"""
+
+
+def _mul64_sql(a: str, b: str) -> str:
+    """SQL expression: (a*b) mod 2^64 for 64-bit operands via 32-bit split —
+    every intermediate fits in HUGEINT (32×32-bit products are < 2^64)."""
+    return (
+        f"((({a} % 4294967296) * ({b} % 4294967296)"
+        f" + (((({a} % 4294967296) * ({b} // 4294967296)"
+        f" + ({a} // 4294967296) * ({b} % 4294967296)) % 4294967296) * 4294967296)) % {_M64})"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """SQL oracle for fingerprint_docs: fp_exact = FNV-1a64(text); fp_shingle_min
+    = min over word trigrams of ((h(a)·MIX + h(b))·MIX + h(c)) mod 2^64 —
+    the exact mix in functions/text.py _trigram_hashes.  Docs with < 3 tokens
+    have no trigrams → identity (uint64 max), matching segmented_min."""
+    tri_inner = _mul64_sql("a.h::HUGEINT", f"{_TRI_MIX_I}::HUGEINT")
+    tri_ab = f"(({tri_inner} + b.h::HUGEINT) % {_M64})"
+    tri_abm = _mul64_sql(tri_ab, f"{_TRI_MIX_I}::HUGEINT")
+    tri_full = f"(({tri_abm} + c.h::HUGEINT) % {_M64})"
+    return f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        wh AS (SELECT doc_id, pos, ({_fnv_sql('word')})::UBIGINT AS h FROM w),
+        tri AS (
+            SELECT a.doc_id, ({tri_full})::UBIGINT AS th
+            FROM wh a JOIN wh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                      JOIN wh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ),
+        m AS (SELECT doc_id, MIN(th) AS minh FROM tri GROUP BY doc_id)
+        SELECT d.doc_id, ({_fnv_sql('d.text')})::UBIGINT AS fp_exact,
+               COALESCE(m.minh, 18446744073709551615::UBIGINT) AS fp_shingle_min
+        FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """
+
+
+def _simhash_pairs_sql() -> str:
+    """SQL oracle for simhash_dup_pairs: recompute the 64-bit SimHash
+    (majority vote per bit over FNV word hashes, tie → 0, the exact rule in
+    functions/dedup.py simhash64) and emit all pairs at Hamming ≤ 3.  The
+    engine's 4×16-bit banding is pigeonhole-complete for Hamming ≤ 3, so the
+    banded candidate set equals this brute-force set exactly."""
+    bitsums = ",\n               ".join(
+        f"SUM(((h >> {b}) & 1)::BIGINT) AS b{b}" for b in range(64)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN 2*b{b} > n THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        wh AS (SELECT doc_id, ({_fnv_sql('word')})::UBIGINT AS h FROM w),
+        bits AS (SELECT doc_id, COUNT(*) AS n,
+               {bitsums}
+            FROM wh GROUP BY doc_id),
+        sim AS (SELECT doc_id, ({simexpr}) AS simhash FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 # shared CTE chain: token-3-gram shingles → exact Jaccard → verified near-dup
 # pairs at threshold 0.95 (used by the minhash_dup_pairs AND dup_clusters
 # oracles so both grade against the identical pair set)
@@ -1093,8 +1184,11 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    # simhash_dup_pairs, lang_id_docs, fingerprint_docs, crawl_seen_set:
-    # intentionally no SQL oracle (approximate / non-SQL-expressible); the
-    # driver records rows-only checks and pytest covers them with planted-dup
-    # fixtures / the reference-semantics simulator.
+    "fingerprint_docs": _fingerprint_sql(),
+    "simhash_dup_pairs": _simhash_pairs_sql(),
+    # ann_topk_lsh, image_dup_by_phash, crawl_seen_set: intentionally no SQL
+    # oracle (approximate search / image decode / crawl protocol are not
+    # SQL-expressible); the driver records rows-only checks and pytest covers
+    # them with recall@k, planted-dup fixtures, and the reference-semantics
+    # simulator.
 }
