@@ -151,6 +151,65 @@ def mine_bucket_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["doc_a", "doc_b"])
 
 
+def shingle_rows(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """→ (doc_id, sh_hash, n_sh) DISTINCT token-trigram shingle rows per doc.
+
+    The inverted-index representation for the EXACT n-gram-Jaccard similarity
+    join: ``sh_hash`` is the 64-bit trigram-mix hash (same kernel as MinHash
+    signatures), ``n_sh`` the doc's distinct-shingle count (the |A| term of
+    J = |A∩B| / (|A|+|B|-|A∩B|)).  Docs with < 3 tokens have no trigrams and
+    emit no rows — the same exclusion as the MinHash path and the SQL oracle.
+    Fully vectorized: flatten → hash → trigram mix → lexsort-dedup → bincount."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    flat, parents, _counts = _flat_tokens(texts)
+    wh = hash64(flat)
+    sh, sp = _trigram_hashes(wh, parents)
+    if len(sh) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sh_hash": pa.array([], pa.int64()),
+                         "n_sh": pa.array([], pa.int64())})
+    order = np.lexsort((sh, sp))
+    sh, sp = sh[order], sp[order]
+    new = np.empty(len(sh), dtype=bool)
+    new[0] = True
+    new[1:] = (sp[1:] != sp[:-1]) | (sh[1:] != sh[:-1])
+    sh, sp = sh[new], sp[new]
+    n_sh = np.bincount(sp, minlength=batch.num_rows)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    # int64 bit-reinterpretation of the uint64 hash: Ray's hash aggregate and
+    # Acero joins handle int64 keys natively (uint64 > 2^63 falls back to
+    # pickled-object columns); any consistent total order works for the
+    # prefix filter, so the signed view is fine.
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[sp], pa.int64()),
+            "sh_hash": pa.array(sh.view(np.int64), pa.int64()),
+            "n_sh": pa.array(n_sh[sp], pa.int64()),
+        }
+    )
+
+
+def prefix_filter_rows(part_df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """AllPairs prefix filter (Bayardo/Ma/Srikant, WWW'07): order each doc's
+    shingles by the GLOBAL (df, sh_hash) total order and keep only the first
+    ``|A| - ceil(t·|A|) + 1``.  Any pair with Jaccard ≥ t must share a shingle
+    in both prefixes, so indexing only prefixes preserves exact completeness
+    while shrinking the inverted index by ~t — and rare-first ordering makes
+    the surviving posting lists short (hot shingles fall out of prefixes).
+
+    Runs inside one doc_id hash partition (two-level grouped apply): vectorized
+    sort + cumcount, no per-doc task."""
+    if not len(part_df):
+        return part_df[["doc_id", "sh_hash"]]
+    d = part_df.sort_values(["doc_id", "df", "sh_hash"], kind="mergesort")
+    pos = d.groupby("doc_id", sort=False).cumcount().to_numpy()
+    n = d["n_sh"].to_numpy()
+    prefix_len = n - np.ceil(threshold * n).astype(np.int64) + 1
+    return d.loc[pos < prefix_len, ["doc_id", "sh_hash"]]
+
+
 def bucket_candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """Within one LSH bucket: emit all candidate (doc_a < doc_b) pairs."""
     ids = np.sort(group["doc_id"].unique())

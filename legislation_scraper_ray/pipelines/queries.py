@@ -384,8 +384,81 @@ def minhash_dup_pairs(sf_dir: str):
         if not len(df):
             return _empty_pairs("doc_a", "doc_b", "jaccard")
         jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
-        out = df.assign(jaccard=_round(jac, 4))
-        return out[out["jaccard"] >= 0.95][["doc_a", "doc_b", "jaccard"]]
+        # filter on the UNROUNDED value (the oracle's WHERE is unrounded too)
+        out = df.assign(jaccard=_round(jac, 4))[jac >= 0.95]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = _empty_pairs("doc_a", "doc_b", "jaccard")
+    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
+def jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8):
+    """EXACT n-gram-Jaccard similarity join (J ≥ ``threshold``) via a
+    distributed inverted index with AllPairs prefix filtering.
+
+    Unlike the MinHash pipeline (probabilistic candidates), this is exact:
+    1. ``shingle_rows``: docs → distinct (doc_id, sh_hash, n_sh) trigram rows;
+    2. global shingle document-frequency (partial per-batch pre-agg → tiny
+       ``groupby(sh_hash)`` sum);
+    3. hash-partitioned join df ↔ shingle rows, then the AllPairs prefix
+       filter per doc (rare-first global order) — exactness-preserving index
+       shrink, the standard way an exact similarity join avoids indexing hot
+       shingles (functions/dedup.py prefix_filter_rows);
+    4. candidate pairs = docs sharing an indexed prefix shingle (the same
+       run-length bucket mining as LSH);
+    5. exact verification on the candidate pairs only, via the output-sized
+       pair↔text join (never a corpus broadcast).
+
+    64-bit shingle hashing can only MERGE shingles (collisions), so the
+    candidate set is a superset of the true one and step 5 keeps the result
+    exact.  Scale note: posting lists of prefix-surviving shingles are the
+    only quadratic surface; rare-first ordering bounds them for any corpus
+    where near-dup clusters are sparse."""
+    from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, prefix_filter_rows, shingle_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sh = ds.map_batches(shingle_rows, batch_format="pyarrow", batch_size=4096)
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        g = t.group_by("sh_hash").aggregate([("sh_hash", "count")])
+        return g.rename_columns(["sh_hash", "p_n"])
+
+    dfreq = (
+        sh.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
+        .groupby("sh_hash")
+        .aggregate(Sum("p_n", alias_name="df"))
+        .map_batches(lambda t: t.rename_columns(["j_sh", "df"]), batch_format="pyarrow")
+    )
+    joined = sh.join(dfreq, join_type="inner", num_partitions=8,
+                     on=("sh_hash",), right_on=("j_sh",))
+    joined = joined.map_batches(_add_part("doc_id"), batch_format="pyarrow")
+    prefix = joined.groupby("part").map_groups(
+        lambda g: prefix_filter_rows(g, threshold), batch_format="pandas"
+    )
+    keyed = prefix.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"],
+             "band": pa.array(np.zeros(t.num_rows, np.int32), pa.int32()),
+             "band_hash": t["sh_hash"]}
+        ),
+        batch_format="pyarrow",
+    ).map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    cands = keyed.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+    if paired is None:
+        return _empty_pairs("doc_a", "doc_b", "jaccard")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("doc_a", "doc_b", "jaccard")
+        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
+        # filter on the UNROUNDED value (the oracle's WHERE is unrounded too),
+        # round only for display/hash stability
+        out = df.assign(jaccard=_round(jac, 4))[jac >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
 
     out = paired.map_batches(verify, batch_format="pandas").to_pandas()
     if out.empty:
@@ -420,7 +493,11 @@ def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
     if n_pairs == 0:
         return None
     if n_pairs <= broadcast_pairs_max:
-        pairs = pa.concat_tables(ray.get(uniq.to_arrow_refs())).combine_chunks()
+        # empty partitions can surface as zero-COLUMN tables — drop them
+        # before concat (schema mismatch otherwise)
+        pairs = pa.concat_tables(
+            [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
         ids = pc.unique(
             pa.concat_arrays(
                 [pairs["doc_a"].combine_chunks(), pairs["doc_b"].combine_chunks()]
@@ -430,7 +507,9 @@ def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
             lambda t, ids=ids: t.filter(pc.is_in(t[id_col], value_set=ids)),
             batch_format="pyarrow",
         )
-        ref = pa.concat_tables(ray.get(rows.to_arrow_refs())).combine_chunks()
+        ref = pa.concat_tables(
+            [t for t in ray.get(rows.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
         pos_a = pc.index_in(pairs["doc_a"], ref[id_col])
         pos_b = pc.index_in(pairs["doc_b"], ref[id_col])
         out = pa.table(
@@ -866,6 +945,7 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs,
     "dedup_first_by_text": dedup_first_by_text,
     "minhash_dup_pairs": minhash_dup_pairs,
+    "jaccard_dup_pairs": jaccard_dup_pairs,
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
@@ -1012,8 +1092,12 @@ def _simhash_pairs_sql() -> str:
 
 
 # shared CTE chain: token-3-gram shingles → exact Jaccard → verified near-dup
-# pairs at threshold 0.95 (used by the minhash_dup_pairs AND dup_clusters
-# oracles so both grade against the identical pair set)
+# pairs at the given threshold (0.95 for minhash_dup_pairs/dup_clusters, 0.8
+# for the exact jaccard_dup_pairs similarity join)
+def _jaccard_pairs_ctes(threshold: float) -> str:
+    return _MINHASH_PAIRS_CTES.replace("0.95", repr(threshold))
+
+
 _MINHASH_PAIRS_CTES = """w AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                    generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -1186,6 +1270,12 @@ ORACLE_SQL = {
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "fingerprint_docs": _fingerprint_sql(),
     "simhash_dup_pairs": _simhash_pairs_sql(),
+    # exact similarity join at 0.8 — same shingle/Jaccard ground truth as the
+    # minhash oracle, lower threshold (the engine side is exact, not LSH)
+    "jaccard_dup_pairs": f"""
+        WITH {_jaccard_pairs_ctes(0.8)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
     # ann_topk_lsh, image_dup_by_phash, crawl_seen_set: intentionally no SQL
     # oracle (approximate search / image decode / crawl protocol are not
     # SQL-expressible); the driver records rows-only checks and pytest covers

@@ -132,3 +132,50 @@ def test_pack_unpack_matrix_roundtrip():
     # sliced column (non-zero offset) must unpack the right rows
     back2 = unpack_matrix(col.slice(5, 7))
     np.testing.assert_array_equal(back2.astype(np.float32), m[5:12])
+
+
+def test_prefix_filter_exact_jaccard_join(tmp_path):
+    """End-to-end exact similarity join (inverted index + AllPairs prefix
+    filter) must equal brute-force Jaccard ≥ 0.8 on planted near-dups."""
+    import pyarrow.parquet as pq
+
+    from legislation_scraper_ray.pipelines.queries import jaccard_dup_pairs
+
+    tbl = _docs_with_dups(n=120, seed=3)
+    # plant a 0.8-ish near-dup: 2-word edit of doc 3
+    t = tbl["text"].to_pylist()
+    w = t[3].split()
+    w[7], w[20] = "EDIT1", "EDIT2"
+    t[13] = " ".join(w)
+    tbl = pa.table({"doc_id": pa.array(range(len(t)), pa.int64()), "text": pa.array(t)})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    truth = _brute_force_pairs(tbl, 0.8)
+    assert len(truth) >= 3
+    out = jaccard_dup_pairs(str(tmp_path), threshold=0.8)
+    found = set(map(tuple, out[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert found == truth
+    # jaccard values are the exact string-shingle values
+    texts = tbl["text"].to_pylist()
+    for _, r in out.iterrows():
+        expect = jaccard_shingles([texts[int(r.doc_a)]], [texts[int(r.doc_b)]])[0]
+        assert abs(r.jaccard - expect) < 1e-3
+
+
+def test_prefix_filter_shrinks_index():
+    """The prefix filter must index ≤ (1-t)·|A|+1 shingles per doc and keep
+    every true pair reachable (completeness is covered end-to-end above)."""
+    import pandas as pd
+
+    from legislation_scraper_ray.functions.dedup import prefix_filter_rows, shingle_rows
+
+    tbl = _docs_with_dups(n=100, seed=1)
+    sh = shingle_rows(tbl).to_pandas()
+    df_counts = sh.groupby("sh_hash").size().rename("df").reset_index()
+    merged = sh.merge(df_counts, on="sh_hash")
+    pref = prefix_filter_rows(merged, threshold=0.8)
+    per_doc = pref.groupby("doc_id").size()
+    n_sh = sh.groupby("doc_id")["n_sh"].first()
+    limit = (n_sh - np.ceil(0.8 * n_sh) + 1).astype(int)
+    assert (per_doc <= limit.loc[per_doc.index]).all()
+    assert len(pref) < 0.45 * len(sh)  # ~t of the index is gone
