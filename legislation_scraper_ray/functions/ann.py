@@ -102,6 +102,78 @@ def merge_topk(group: pd.DataFrame, k: int = 10) -> pd.DataFrame:
     return g
 
 
+def kmeans_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Spherical k-means on a BOUNDED sample → (c, d) unit centroids.
+
+    The IVF training step: runs driver-side on a few thousand sampled vectors
+    (training cost is O(sample), independent of corpus size — the standard
+    IVF recipe).  Cosine assignment == dot product on unit vectors; centroids
+    are re-normalized each Lloyd iteration.  Empty cells respawn on the
+    farthest-assigned vector (k-means++-style repair, deterministic)."""
+    rng = np.random.default_rng(seed)
+    x = normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    c = min(n_centroids, n)
+    cent = x[rng.choice(n, size=c, replace=False)].copy()
+    for _ in range(iters):
+        sims = x @ cent.T  # (n, c)
+        assign = sims.argmax(axis=1)
+        best = sims.max(axis=1)
+        for j in range(c):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].sum(axis=0)
+            else:
+                cent[j] = x[best.argmin()]  # respawn on the worst-covered point
+        cent = normalize(cent)
+    return cent
+
+
+class IVFTopK:
+    """map_batches stage: IVF-probed cosine top-k partials.
+
+    Actor-pool state in ``__init__`` (centroids + probe set fetched from the
+    object store ONCE per actor): per batch, assign vectors to their nearest
+    centroid (one matmul), keep only vectors whose cell is probed, brute-force
+    the survivors against the query, emit per-batch partial top-k.  Fraction
+    of the corpus scanned ≈ n_probe / n_centroids."""
+
+    def __init__(self, state_ref, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, tuple) else state_ref
+        self.q_ids, self.q, self.centroids, probe = st
+        self.probe_mask = np.zeros(len(self.centroids), dtype=bool)
+        self.probe_mask[probe] = True
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = normalize(_as_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cell = (vecs @ self.centroids.T).argmax(axis=1)
+        keep = self.probe_mask[cell]
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        vecs, ids = vecs[keep], ids[keep]
+        sims = self.q @ vecs.T
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.q_ids, k)),
+                "vec_id": pa.array(ids[top.reshape(-1)]),
+                "cos_sim": pa.array(np.take_along_axis(sims, top, axis=1).reshape(-1), pa.float64()),
+            }
+        )
+
+
 def add_lsh_bucket(batch: pa.Table, vec_col: str = "embedding", n_bits: int = 8) -> pa.Table:
     vecs = normalize(_as_matrix(batch[vec_col]))
     return batch.append_column(

@@ -830,6 +830,44 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
 
 
 
+def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
+                 train_sample: int = 4096):
+    """IVF (inverted-file) ANN — the second scale path next to LSH multi-probe.
+
+    Train: spherical k-means on a BOUNDED sample (``limit(train_sample)``,
+    cost independent of corpus size), ``n_centroids ≈ √n`` (the classic IVF
+    sizing).  Search: broadcast (query, centroids, probe cells) once via
+    ``ray.put``; each batch assigns vectors to cells with one matmul and
+    scores only vectors in the query's ``n_probe`` nearest cells — scanning
+    ~n_probe/√n of the corpus.  Per-batch partial top-k + tiny merge, same
+    aggregation shape as the exact ``ann_topk``.  Rows-only (approximate);
+    pytest asserts recall@10 ≥ 0.8 vs brute force."""
+    from ..functions.ann import IVFTopK, _as_matrix, kmeans_centroids, merge_topk, normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    n_centroids = max(4, int(np.sqrt(n)))
+    sample = ds.limit(min(train_sample, n)).to_pandas()
+    sample_m = np.stack(sample["embedding"].to_numpy())
+    centroids = kmeans_centroids(sample_m, n_centroids)
+
+    q_emb = _query_vector(sf_dir, 0)
+    qn = normalize(q_emb[None, :])
+    probe = np.argsort(-(qn[0] @ centroids.T))[:n_probe]
+    ref = ray.put((np.array([0], dtype=np.int64), qn, centroids, probe))
+
+    partials = ds.map_batches(
+        IVFTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        batch_size=4096, concurrency=2,
+    )
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k), batch_format="pandas"
+    )
+    df = merged.to_pandas()
+    df["cos_sim"] = _round(df["cos_sim"], 4)
+    return df[["vec_id", "cos_sim", "rank"]]
+
+
 def dup_clusters(sf_dir: str):
     """Duplicate-document clusters: MinHash near-dup pairs → connected
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
@@ -950,6 +988,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
