@@ -459,6 +459,148 @@ def _collect_gen_stats(fetched: rd.Dataset) -> "pd.DataFrame":
     return _combine_stats(parts)
 
 
+def _seen_total_ops(seen) -> int:
+    """Total check_and_add ops across the seen shards (one tiny RPC per
+    shard).  Generations are serial, so per-generation deltas of this counter
+    give the exact number of frontier rows that REACHED the seen filter —
+    which lets the fast path keep the frontier lazy (never counted/
+    materialized between generations)."""
+    return sum(st["ops"] for st in seen.stats())
+
+
+def _write_gen_lineage(fetched: rd.Dataset, out_dir: str, gen: int, host_affinity: bool) -> str:
+    """ONE distributed lineage write for the generation (hive dir, cleared
+    first since write_parquet appends)."""
+    lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
+    if os.path.exists(lin_dir):
+        shutil.rmtree(lin_dir)
+    lin_cols = LINEAGE_COLUMNS + (["fetch_seq", "fetch_pid"] if host_affinity else [])
+    fetched.select_columns(lin_cols).write_parquet(lin_dir)
+    return lin_dir
+
+
+def _derive_gen_stats(fetched: rd.Dataset, lin_dir: str | None):
+    """Per-(host, status, kind) stats: from the written lineage files when
+    available (driver-side pyarrow read of 5 small columns — no extra Ray
+    execution), else a distributed O(hosts) pass over ``fetched``."""
+    if lin_dir is not None and os.path.exists(lin_dir):
+        import pyarrow.dataset as pads
+
+        lin = pads.dataset(lin_dir).to_table(
+            columns=["host", "status", "kind", "attempts", "scheduled_ts"]
+        )
+        return _combine_stats(_partial_stats(lin))
+    if lin_dir is None:
+        return _collect_gen_stats(fetched)
+    return _combine_stats(None)
+
+
+def _write_gen_errors(fetched: rd.Dataset, out_dir: str, gen: int, lin_dir: str | None) -> None:
+    """Error sink (S9): error rows are failure-rate-sized."""
+    err_dir = os.path.join(out_dir, "errors")
+    os.makedirs(err_dir, exist_ok=True)
+    import pyarrow.dataset as pads
+
+    if lin_dir is not None and os.path.exists(lin_dir):
+        err_tbl = pads.dataset(lin_dir).to_table(
+            columns=LINEAGE_COLUMNS, filter=pads.field("status") == "error"
+        )
+    else:
+        err_tbl = pa.concat_tables(
+            ray.get(
+                fetched.select_columns(LINEAGE_COLUMNS)
+                .map_batches(_status_kind_filter("error", None), batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+        )
+    pq.write_table(err_tbl, os.path.join(err_dir, f"gen-{gen}.parquet"))
+
+
+def _write_gen_metrics(stats, err_rows, n_err: int, out_dir: str, gen: int) -> None:
+    """Per-(host, generation) fetch/dedup metrics (north_rule: every partition
+    emits lineage AND metrics records) — O(hosts) rows."""
+    by_host = stats.groupby("host", sort=False).agg(
+        n_fetched=("n", "sum"), sum_attempts=("sum_attempts", "sum"),
+        max_attempts=("max_attempts", "max"), max_scheduled_ts=("max_ts", "max"),
+    ).reset_index()
+    errs = err_rows.groupby("host", sort=False)["n"].sum() if n_err else None
+    by_host["n_errors"] = (
+        by_host["host"].map(errs).fillna(0).astype("int64") if errs is not None else 0
+    )
+    by_host["n_errors"] = by_host["n_errors"].astype("int64")
+    by_host["generation"] = np.int32(gen)
+    mtr_dir = os.path.join(out_dir, "metrics")
+    os.makedirs(mtr_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(by_host, preserve_index=False),
+        os.path.join(mtr_dir, f"gen-{gen}.parquet"),
+    )
+
+
+def _update_clocks(stats, clocks: dict, delays_ms: dict) -> None:
+    for h, ts in zip(stats["host"], stats["max_ts"]):
+        clocks[h] = max(clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0)
+
+
+def _build_doc_sink(fetched: rd.Dataset, cfg: "CrawlConfig", parse_doc_fn, out_dir: str,
+                    gen: int) -> tuple[rd.Dataset, str]:
+    """The doc sink dataset (decode already fused into fetch) + its hive dir.
+    Clears the gen dir first: resume re-runs the generation from its
+    checkpoint and write_parquet APPENDS."""
+    doc_cols = (
+        [c for c in DOC_COLUMNS]
+        + (["bytes"] if cfg.keep_payloads else [])
+        + (["source", "extras"] if parse_doc_fn is not None else [])
+    )
+    docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
+    if os.path.exists(docs_dir):
+        shutil.rmtree(docs_dir)
+    if parse_doc_fn is not None:
+        # user-extension path: per-source parse_doc may read any column, so
+        # keep the full row and filter up front
+        docs = (
+            fetched.map_batches(_status_kind_filter("ok", "doc"), batch_format="pyarrow")
+            .map_batches(parse_doc_fn, batch_format="pyarrow")
+            .map_batches(lambda b, cols=doc_cols: _project_docs(b, cols), batch_format="pyarrow")
+        )
+    else:
+        # the sink is a column prune + project + row filter, ordered so the
+        # gather runs AFTER the ~15 KB/row payload is dropped — the old
+        # filter-first order copied every payload-bearing block (~45 KB/row)
+        # just to drop ~1% of rows
+        sink_in = ["status", "kind"] + [
+            "doc_" + c if c in ("year", "situation", "type") else c for c in doc_cols
+        ]
+        docs = fetched.select_columns(sink_in).map_batches(
+            lambda b, cols=doc_cols: _project_docs_ok(b, cols), batch_format="pyarrow"
+        )
+    return docs, docs_dir
+
+
+def _next_frontier_lazy(fetched: rd.Dataset, parse_listing_fn, cfg: "CrawlConfig") -> rd.Dataset:
+    """Next frontier = exploded out_links of this generation's listings:
+    metadata columns only (payloads never flow through the explode), re-blocked
+    at fetch granularity with a STREAMING repartition (local block split/merge,
+    no shuffle barrier).  Returned LAZY — the fast path chains it straight into
+    the next generation's fused fetch execution; the checkpoint/budget path
+    materializes it (the frontier must be durable/sortable there)."""
+    meta_cols = ["status", "kind", "out_links", "host", "year", "situation",
+                 "type", "priority", "depth"]
+    if parse_listing_fn is not None:
+        meta_cols.append("source")
+    listings = fetched.select_columns(meta_cols).map_batches(
+        _status_kind_filter("ok", "listing"), batch_format="pyarrow"
+    )
+    explode = parse_listing_fn or _explode_links
+    # a listing generation is small (its fan-out is the next generation), so
+    # its explode output easily fits ONE target_max_block_size block — and a
+    # one-block frontier makes the next generation's fused fetch chain a
+    # single serial task (measured: 2.5k pages/s vs 26k); hence the re-block.
+    return listings.map_batches(explode, batch_format="pyarrow").repartition(
+        target_num_rows_per_block=max(cfg.batch_size // 2, 1)
+    )
+
+
 def _bfs(
     frontier_tbl: pa.Table | rd.Dataset | None,
     cfg: CrawlConfig,
@@ -511,6 +653,19 @@ def _bfs(
         frontier_ds = frontier_tbl
         n_frontier = frontier_ds.count() if frontier_ds is not None else 0
     res.timings["frontier_stage"] = round(time.perf_counter() - t_norm, 2)
+
+    # fast path: no checkpoint and no frontier budget → the frontier stays a
+    # LAZY dataset between generations (the explode chains into the next
+    # generation's fused fetch — one streaming execution per generation), and
+    # ALL per-generation sinks (lineage, errors, metrics, doc write) run in
+    # the bounded async writer.  Per-generation arrival/dedup counts come from
+    # seen-shard counter deltas (generations are serial), so nothing on the
+    # critical path counts or materializes the frontier.  The checkpoint /
+    # budget path below keeps the materialized frontier (it must be durable /
+    # sortable) and synchronous bookkeeping.
+    fast = not checkpoint and not cfg.frontier_budget
+    ops_prev = _seen_total_ops(seen) if fast else 0
+    fast_gens: list[dict] = []
 
     try:
         while frontier_ds is not None and n_frontier > 0:
@@ -605,33 +760,71 @@ def _bfs(
             if cfg.collect_stats:
                 res.stats.append(fetched.stats())
 
-            # ---- lineage sink + derived bookkeeping ----
-            # ONE distributed write per generation (hive dir, cleared first
-            # since write_parquet appends); counters / metrics / error sink /
-            # host clocks all derive from the WRITTEN lineage files with a
-            # driver-side pyarrow read of 6 small columns — no extra Ray
-            # executions (the r1 stats+errors passes cost ~1-2 s of fixed
-            # per-generation launch overhead that did not scale).
-            lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
-            if cfg.write_lineage:
-                if os.path.exists(lin_dir):
-                    shutil.rmtree(lin_dir)
-                lin_cols = LINEAGE_COLUMNS + (
-                    ["fetch_seq", "fetch_pid"] if cfg.host_affinity else []
-                )
-                fetched.select_columns(lin_cols).write_parquet(lin_dir)
-                import pyarrow.dataset as pads
+            if fast:
+                ops_now = _seen_total_ops(seen)
+                n_arrivals = ops_now - ops_prev
+                ops_prev = ops_now
+                n_after_seen = fetched.count()  # metadata — free post-materialize
+                if n_arrivals == 0 and n_after_seen == 0:
+                    break  # trailing empty generation (previous gen had no listings)
+                d = {
+                    "generation": gen,
+                    "frontier": n_arrivals,
+                    "after_seen": n_after_seen,
+                    "dedup_dropped": n_arrivals - n_after_seen,
+                    "fetched_ok": 0, "errors": 0, "docs_written": 0,
+                    "t_fetch": round(t_fetch, 2), "t_meta": 0.0,
+                    "t_decode_write": 0.0, "t_frontier": 0.0,
+                    "t_iter": round(time.perf_counter() - t_iter0, 2),
+                }
+                res.per_generation.append(d)
+                fast_gens.append(d)
 
-                lin = (
-                    pads.dataset(lin_dir).to_table(
-                        columns=["host", "status", "kind", "attempts", "scheduled_ts"]
+                def _meta(fetched=fetched, gen=gen, d=d, n_after_seen=n_after_seen):
+                    t0 = time.perf_counter()
+                    lin_dir = (
+                        _write_gen_lineage(fetched, out_dir, gen, cfg.host_affinity)
+                        if cfg.write_lineage else None
                     )
-                    if os.path.exists(lin_dir)
-                    else None
-                )
-                stats = _combine_stats(_partial_stats(lin)) if lin is not None else _combine_stats(None)
-            else:
-                stats = _collect_gen_stats(fetched)
+                    stats = _derive_gen_stats(fetched, lin_dir)
+                    err_rows = stats[stats["status"] == "error"] if len(stats) else stats
+                    ok_rows = stats[stats["status"] == "ok"] if len(stats) else stats
+                    n_err = int(err_rows["n"].sum()) if len(stats) else 0
+                    n_docs = int(ok_rows[ok_rows["kind"] == "doc"]["n"].sum()) if len(stats) else 0
+                    if n_err:
+                        _write_gen_errors(fetched, out_dir, gen, lin_dir)
+                    if cfg.write_lineage and n_after_seen:
+                        _write_gen_metrics(stats, err_rows, n_err, out_dir, gen)
+                    if n_after_seen:
+                        _update_clocks(stats, clocks, delays_ms)
+                    d["errors"] = n_err
+                    d["fetched_ok"] = n_after_seen - n_err
+                    d["t_meta"] = round(time.perf_counter() - t0, 2)
+                    if n_docs:
+                        t1 = time.perf_counter()
+                        docs, docs_dir = _build_doc_sink(fetched, cfg, parse_doc_fn, out_dir, gen)
+                        docs.write_parquet(docs_dir, partition_cols=["year", "type", "situation"])
+                        if cfg.collect_stats:
+                            res.stats.append(docs.stats())
+                        d["t_decode_write"] = round(time.perf_counter() - t1, 2)
+                    d["docs_written"] = n_docs
+
+                writer.launch(_meta)
+                res.generations = gen + 1
+                gen += 1
+                if n_after_seen == 0 or (gen - start_gen) >= cfg.max_generations:
+                    break
+                frontier_ds = _next_frontier_lazy(fetched, parse_listing_fn, cfg)
+                n_frontier = 1  # sentinel: the lazy frontier is never counted
+                continue
+
+            # ---- lineage sink + derived bookkeeping (sync: checkpoint/budget
+            # path — the fast path above runs the same helpers async) ----
+            lin_dir = (
+                _write_gen_lineage(fetched, out_dir, gen, cfg.host_affinity)
+                if cfg.write_lineage else None
+            )
+            stats = _derive_gen_stats(fetched, lin_dir)
             n_after_seen = int(stats["n"].sum()) if len(stats) else 0
             dropped = n_frontier - n_after_seen
             err_rows = stats[stats["status"] == "error"] if len(stats) else stats
@@ -641,50 +834,11 @@ def _bfs(
             n_listings = int(ok_rows[ok_rows["kind"] == "listing"]["n"].sum()) if len(stats) else 0
 
             if n_err:
-                # error sink (S9): error rows are failure-rate-sized; filter
-                # them out of the on-disk lineage driver-side
-                err_dir = os.path.join(out_dir, "errors")
-                os.makedirs(err_dir, exist_ok=True)
-                import pyarrow.dataset as pads
-
-                if cfg.write_lineage:
-                    err_tbl = pads.dataset(lin_dir).to_table(
-                        columns=LINEAGE_COLUMNS,
-                        filter=pads.field("status") == "error",
-                    )
-                else:
-                    err_tbl = pa.concat_tables(
-                        ray.get(
-                            fetched.select_columns(LINEAGE_COLUMNS)
-                            .map_batches(_status_kind_filter("error", None), batch_format="pyarrow")
-                            .to_arrow_refs()
-                        )
-                    )
-                pq.write_table(err_tbl, os.path.join(err_dir, f"gen-{gen}.parquet"))
+                _write_gen_errors(fetched, out_dir, gen, lin_dir)
             if cfg.write_lineage and n_after_seen:
-                # per-(host, generation) fetch/dedup metrics (north_rule: every
-                # partition emits lineage AND metrics records) — O(hosts) rows
-                by_host = stats.groupby("host", sort=False).agg(
-                    n_fetched=("n", "sum"), sum_attempts=("sum_attempts", "sum"),
-                    max_attempts=("max_attempts", "max"), max_scheduled_ts=("max_ts", "max"),
-                ).reset_index()
-                errs = err_rows.groupby("host", sort=False)["n"].sum() if n_err else None
-                by_host["n_errors"] = (
-                    by_host["host"].map(errs).fillna(0).astype("int64") if errs is not None else 0
-                )
-                by_host["n_errors"] = by_host["n_errors"].astype("int64")
-                by_host["generation"] = np.int32(gen)
-                mtr_dir = os.path.join(out_dir, "metrics")
-                os.makedirs(mtr_dir, exist_ok=True)
-                pq.write_table(
-                    pa.Table.from_pandas(by_host, preserve_index=False),
-                    os.path.join(mtr_dir, f"gen-{gen}.parquet"),
-                )
+                _write_gen_metrics(stats, err_rows, n_err, out_dir, gen)
             if n_after_seen:
-                for h, ts in zip(stats["host"], stats["max_ts"]):
-                    clocks[h] = max(
-                        clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0
-                    )
+                _update_clocks(stats, clocks, delays_ms)
 
             t_meta = time.perf_counter() - t_g0 - t_fetch
             t_g1 = time.perf_counter()
@@ -695,29 +849,7 @@ def _bfs(
             nxt: rd.Dataset | None = None
             n_next = 0
             if n_listings and (will_continue or checkpoint):
-                meta_cols = ["status", "kind", "out_links", "host", "year", "situation",
-                             "type", "priority", "depth"]
-                if parse_listing_fn is not None:
-                    meta_cols.append("source")
-                listings = fetched.select_columns(meta_cols).map_batches(
-                    _status_kind_filter("ok", "listing"), batch_format="pyarrow"
-                )
-                explode = parse_listing_fn or _explode_links
-                # re-block the exploded frontier at fetch granularity with a
-                # STREAMING repartition (local block split/merge, no shuffle
-                # barrier).  A listing generation is small (its fan-out is the
-                # next generation), so its explode output easily fits ONE
-                # target_max_block_size block — and a one-block frontier makes
-                # the next generation's fused fetch chain a single serial task
-                # (measured: 2.5k pages/s vs 26k).  A generator UDF yielding
-                # 4k-row slices does NOT prevent this: Ray Data's block
-                # builder re-coalesces yielded tables up to the block-size
-                # target.
-                nxt = (
-                    listings.map_batches(explode, batch_format="pyarrow")
-                    .repartition(target_num_rows_per_block=max(cfg.batch_size // 2, 1))
-                    .materialize()
-                )
+                nxt = _next_frontier_lazy(fetched, parse_listing_fn, cfg).materialize()
                 n_next = nxt.count()
             if carryover is not None and n_carry:
                 nxt = nxt.union(carryover).materialize() if nxt is not None else carryover
@@ -727,43 +859,8 @@ def _bfs(
             # docs: decode + partitioned write, OFF the critical path
             t_g2 = time.perf_counter()
             if n_docs:
-                doc_cols = (
-                    [c for c in DOC_COLUMNS]
-                    + (["bytes"] if cfg.keep_payloads else [])
-                    + (["source", "extras"] if parse_doc_fn is not None else [])
-                )
-                docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
-                if os.path.exists(docs_dir):
-                    # resume re-runs the generation from its checkpoint: clear
-                    # any partial output first (write_parquet APPENDS)
-                    shutil.rmtree(docs_dir)
-                if parse_doc_fn is not None:
-                    # user-extension path: per-source parse_doc may read any
-                    # column, so keep the full row and filter up front
-                    docs = (
-                        fetched.map_batches(
-                            _status_kind_filter("ok", "doc"), batch_format="pyarrow"
-                        )
-                        .map_batches(parse_doc_fn, batch_format="pyarrow")
-                        .map_batches(
-                            lambda b, cols=doc_cols: _project_docs(b, cols),
-                            batch_format="pyarrow",
-                        )
-                    )
-                else:
-                    # rows are already decoded (fetch chain); the sink is a
-                    # column prune + project + row filter, ordered so the
-                    # gather runs AFTER the ~15 KB/row payload is dropped —
-                    # the old filter-first order copied every payload-bearing
-                    # block (~45 KB/row) just to drop ~1% of rows
-                    sink_in = ["status", "kind"] + [
-                        "doc_" + c if c in ("year", "situation", "type") else c
-                        for c in doc_cols
-                    ]
-                    docs = fetched.select_columns(sink_in).map_batches(
-                        lambda b, cols=doc_cols: _project_docs_ok(b, cols),
-                        batch_format="pyarrow",
-                    )
+                docs, docs_dir = _build_doc_sink(fetched, cfg, parse_doc_fn, out_dir, gen)
+
                 def _write_docs(ds=docs, d=docs_dir, collect=cfg.collect_stats):
                     ds.write_parquet(d, partition_cols=["year", "type", "situation"])
                     if collect:
@@ -799,8 +896,15 @@ def _bfs(
         t_j = time.perf_counter()
         writer.join()
         res.timings["final_writer_join"] = round(
-            res.timings.get("final_writer_join", 0.0) + time.perf_counter() - t_j, 2
+            res.timings.get("final_writer_join", 0.0) + time.perf_counter() - t_j, 2,
         )
+        # fast-path generations fill errors/docs counters in the async meta
+        # closures — accumulate them only after the join above flushed them
+        for d in fast_gens:
+            res.fetched_ok += d["fetched_ok"]
+            res.errors += d["errors"]
+            res.dedup_dropped += d["dedup_dropped"]
+            res.docs_written += d["docs_written"]
 
     if checkpoint:
         exhausted = frontier_ds is None or n_frontier == 0
