@@ -760,6 +760,77 @@ def events_sessionize(sf_dir: str):
     return out
 
 
+def events_asof_orders(sf_dir: str):
+    """Distributed AS-OF join — each event matched to its user's latest order
+    at-or-before the event time.  Ray Data has no asof join; the engine
+    composes one from its primitives (the brief's 'custom operator' recipe):
+    hash-partition BOTH sides on the join key (two-level ``_add_part`` over a
+    side-tagged union, so each partition holds its keys' rows from both
+    tables), then a vectorized ``pandas.merge_asof`` inside each partition.
+    Partitioning assumption: rows co-locate by key hash; time ordering is
+    established per partition by one local sort (no global sort).
+
+    Orders are first deduped to one row per (custkey, orderdate) — max
+    o_orderkey wins — so the as-of pick is deterministic under date ties on
+    both engines.  Oracle: DuckDB ``ASOF JOIN`` over the same deduped side."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "key": t["user_id"].cast(pa.int64()),
+            "t": t["ts"],
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "event_id": t["event_id"],
+            "o_orderkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        # pre-dedup per batch (max orderkey per custkey+date); the final dedup
+        # happens inside the partition where all of a key's rows co-locate
+        g = t.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+        n = g.num_rows
+        return pa.table({
+            "key": g["o_custkey"].cast(pa.int64()),
+            "t": g["o_orderdate"],
+            "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "event_id": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderkey": g["o_orderkey_max"],
+        })
+
+    tagged = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    ).map_batches(_add_part("key"), batch_format="pyarrow")
+
+    def asof(part_df: pd.DataFrame) -> pd.DataFrame:
+        left = part_df[part_df["side"] == 0][["key", "t", "event_id"]].sort_values("t", kind="mergesort")
+        right = part_df[part_df["side"] == 1][["key", "t", "o_orderkey"]]
+        if not len(left):
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "o_orderkey": pd.Series(dtype="int64"),
+                                 "o_orderdate": pd.Series(dtype="datetime64[us]")})
+        # finish the (custkey, date) dedup now that all rows co-locate, and
+        # carry the order date as a payload column so the match reports it
+        right = (right.groupby(["key", "t"], sort=False)["o_orderkey"].max()
+                 .reset_index().sort_values("t", kind="mergesort"))
+        right["o_orderdate"] = right["t"]
+        m = pd.merge_asof(left, right, on="t", by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_orderdate": m["o_orderdate"].astype("datetime64[us]"),
+        })
+
+    out = tagged.groupby("part").map_groups(asof, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "o_orderkey": pd.Series(dtype="int64"),
+                             "o_orderdate": pd.Series(dtype="datetime64[us]")})
+    return out
+
+
 def value_stats_by_type(sf_dir: str):
     """Grouped statistics via Ray's built-in aggregates (Mean/Std/Min/Max)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -994,6 +1065,7 @@ QUERIES = {
     "image_dup_by_phash": image_dup_by_phash,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
+    "events_asof_orders": events_asof_orders,
     "value_stats_by_type": value_stats_by_type,
     "distinct_flag_status": distinct_flag_status,
     "crawl_seen_set": crawl_seen_set,
@@ -1307,6 +1379,18 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    # as-of join: latest order at-or-before each event; orders deduped per
+    # (custkey, orderdate) with max-orderkey-wins so date ties are
+    # deterministic on both engines
+    "events_asof_orders": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, o.o_orderkey, o.o_orderdate
+        FROM events e ASOF JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
     "fingerprint_docs": _fingerprint_sql(),
     "simhash_dup_pairs": _simhash_pairs_sql(),
     # exact similarity join at 0.8 — same shingle/Jaccard ground truth as the
