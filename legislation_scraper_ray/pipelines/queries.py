@@ -831,6 +831,64 @@ def events_asof_orders(sf_dir: str):
     return out
 
 
+def events_followup_pairs(sf_dir: str, window_hours: int = 24):
+    """Distributed RANGE (interval) join — every ordered pair of events by the
+    same user with the second event inside 24 h after the first.  Ray Data has
+    no interval join; the scale-correct composition is a TIME-BUCKETED
+    equi-join: each 'anchor' event is exploded to the (≤ 2) window-sized
+    buckets its interval (ts, ts+W] overlaps, each 'probe' event carries its
+    single bucket, the join runs on (key, bucket) — an ordinary
+    hash-partitioned equi-join — and the exact window predicate filters the
+    bucket-coarse matches.  No per-key quadratic blow-up: the intermediate is
+    bounded by matches + same-bucket near-misses, not |events|² per key."""
+    W_US = window_hours * 3_600_000_000
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        return pa.table({
+            "key": t["user_id"].cast(pa.int64()),
+            "bucket": pc.divide(ts, pa.scalar(W_US, pa.int64())),
+            "event_b": t["event_id"],
+            "ts_b": ts,
+        })
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64())
+        lo = pc.divide(ts, pa.scalar(W_US, pa.int64()))
+        hi = pc.divide(pc.add(ts, pa.scalar(W_US, pa.int64())), pa.scalar(W_US, pa.int64()))
+        key = t["user_id"].cast(pa.int64())
+        both = pa.table({
+            "j_key": pa.concat_arrays([key.combine_chunks(), key.combine_chunks()]),
+            "j_bucket": pa.concat_arrays([lo.combine_chunks(), hi.combine_chunks()]),
+            "event_a": pa.concat_arrays(
+                [t["event_id"].combine_chunks(), t["event_id"].combine_chunks()]),
+            "ts_a": pa.concat_arrays([ts.combine_chunks(), ts.combine_chunks()]),
+        })
+        # dedupe the (common) case where the window stays in one bucket
+        return both.group_by(["j_key", "j_bucket", "event_a", "ts_a"]).aggregate([])
+
+    probes = ev.map_batches(probe_rows, batch_format="pyarrow")
+    anchors = ev.map_batches(anchor_rows, batch_format="pyarrow")
+    joined = probes.join(anchors, join_type="inner", num_partitions=8,
+                         on=("key", "bucket"), right_on=("j_key", "j_bucket"))
+
+    def window_filter(t: pa.Table) -> pa.Table:
+        tb = t["ts_b"].to_numpy(zero_copy_only=False)
+        ta = t["ts_a"].to_numpy(zero_copy_only=False)
+        keep = (tb > ta) & (tb <= ta + W_US)
+        out = t.filter(pa.array(keep))
+        return pa.table({"event_a": out["event_a"], "event_b": out["event_b"]})
+
+    out = joined.map_batches(window_filter, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_a": pd.Series(dtype="int64"),
+                             "event_b": pd.Series(dtype="int64")})
+    return out.drop_duplicates(["event_a", "event_b"]).astype(
+        {"event_a": "int64", "event_b": "int64"})
+
+
 def value_stats_by_type(sf_dir: str):
     """Grouped statistics via Ray's built-in aggregates (Mean/Std/Min/Max)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -1066,6 +1124,7 @@ QUERIES = {
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "events_asof_orders": events_asof_orders,
+    "events_followup_pairs": events_followup_pairs,
     "value_stats_by_type": value_stats_by_type,
     "distinct_flag_status": distinct_flag_status,
     "crawl_seen_set": crawl_seen_set,
@@ -1379,6 +1438,16 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    # range join: ordered same-user event pairs within 24 h (DuckDB evaluates
+    # the interval predicate natively; the engine composes it from a
+    # time-bucketed equi-join)
+    "events_followup_pairs": """
+        SELECT a.event_id AS event_a, b.event_id AS event_b
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 24 HOUR
+    """,
     # as-of join: latest order at-or-before each event; orders deduped per
     # (custkey, orderdate) with max-orderkey-wins so date ties are
     # deterministic on both engines
