@@ -889,6 +889,58 @@ def events_followup_pairs(sf_dir: str, window_hours: int = 24):
         {"event_a": "int64", "event_b": "int64"})
 
 
+def events_sliding_count(sf_dir: str, window_hours: int = 1):
+    """SLIDING-window aggregate — for each event, the count of the same user's
+    events in the trailing 1-hour window [ts-1h, ts] (RANGE frame semantics:
+    equal-timestamp peers count regardless of position).  Composition: key-hash
+    partition (two-level grouped apply) → per-user sort + two binary searches
+    per segment — O(n log n) per partition, no per-row Python in the count."""
+    W_US = window_hours * 3_600_000_000
+
+    def counts(part_df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in part_df.groupby("user_id", sort=False):
+            ts = np.sort(g["ts"].astype("int64").to_numpy())
+            order = np.argsort(g["ts"].astype("int64").to_numpy(), kind="mergesort")
+            ev = g["event_id"].to_numpy()[order]
+            lo = np.searchsorted(ts, ts - W_US, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out.append(pd.DataFrame({"event_id": ev, "n_trailing": (hi - lo)}))
+        if not out:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "n_trailing": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True).astype(
+            {"event_id": "int64", "n_trailing": "int64"})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+    return parts.groupby("part").map_groups(counts, batch_format="pandas")
+
+
+def top3_events_per_type(sf_dir: str, k: int = 3):
+    """Grouped top-k: the 3 highest-value events per event_type.  Partial
+    per-batch top-k inside ``map_batches`` (the combiner) → tiny final
+    per-group merge — the shuffle moves ≤ k rows per (batch × type), never the
+    event table.  Deterministic tiebreak (value DESC, event_id ASC) matches
+    the ROW_NUMBER oracle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.sort_values(["value", "event_id"], ascending=[False, True]).groupby(
+            "event_type", sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_type", "event_id", "value", "rank"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("event_type").map_groups(merge, batch_format="pandas")
+
+
 def value_stats_by_type(sf_dir: str):
     """Grouped statistics via Ray's built-in aggregates (Mean/Std/Min/Max)."""
     ds = _read(sf_dir, "events", ["event_type", "value"])
@@ -1125,6 +1177,8 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_asof_orders": events_asof_orders,
     "events_followup_pairs": events_followup_pairs,
+    "events_sliding_count": events_sliding_count,
+    "top3_events_per_type": top3_events_per_type,
     "value_stats_by_type": value_stats_by_type,
     "distinct_flag_status": distinct_flag_status,
     "crawl_seen_set": crawl_seen_set,
@@ -1438,6 +1492,24 @@ ORACLE_SQL = {
         FROM events GROUP BY event_type
     """,
     "distinct_flag_status": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    # sliding-window aggregate: trailing 1-hour same-user event count (RANGE
+    # frame ⇒ equal-ts peers included, matching the engine's binary searches)
+    "events_sliding_count": """
+        SELECT event_id,
+               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_trailing
+        FROM events
+    """,
+    # grouped top-k with deterministic tiebreak
+    "top3_events_per_type": """
+        SELECT event_type, event_id, value, rank FROM (
+            SELECT event_type, event_id, value,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id) AS BIGINT) AS rank
+            FROM events
+        ) WHERE rank <= 3
+    """,
     # range join: ordered same-user event pairs within 24 h (DuckDB evaluates
     # the interval predicate natively; the engine composes it from a
     # time-bucketed equi-join)
