@@ -591,6 +591,12 @@ def _next_frontier_lazy(fetched: rd.Dataset, parse_listing_fn, cfg: "CrawlConfig
     listings = fetched.select_columns(meta_cols).map_batches(
         _status_kind_filter("ok", "listing"), batch_format="pyarrow"
     )
+    # re-block the (rare) listing rows into SMALL blocks before the explode so
+    # it fans out: with one ~1k-listing block the whole next frontier is built
+    # by a single task — a serial head that capped gen-1's 16-core efficiency
+    # at ~0.65 (each listing fans out ~350 links, so 128 listings ≈ one 45k-row
+    # explode output per task)
+    listings = listings.repartition(target_num_rows_per_block=128)
     explode = parse_listing_fn or _explode_links
     # a listing generation is small (its fan-out is the next generation), so
     # its explode output easily fits ONE target_max_block_size block — and a
