@@ -80,6 +80,21 @@ def hash64(values: pa.Array | pa.ChunkedArray | list[str] | np.ndarray) -> np.nd
     return h
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) — the engine's
+    integer-key mixer.  Used for deterministic sampling (sample_docs_hash /
+    stratified_sample_docs), HLL register derivation, and mirrored bit-exactly
+    in SQL by ``analytics._splitmix64_ctes`` so DuckDB oracles can recompute
+    the same sample.  Same finalizer as CuckooFilter._mix64."""
+    x = np.asarray(x).astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Canonical URL form: lowercase scheme+host, strip default port, strip
     trailing slash on path, drop fragments, keep query (order preserved —

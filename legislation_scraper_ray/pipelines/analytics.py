@@ -1,0 +1,575 @@
+"""Analytics operator family (round-2 widening of the training-data suite):
+distinct-count (exact distributed + HyperLogLog sketch), exact quantiles via a
+frequency sketch, grouped medians, corpus vocabulary top-k, deterministic hash
+sampling (plain + stratified), distributed anti-join, ROLLUP grouping sets,
+pivot (long→wide), and per-document TF-IDF top terms.
+
+Every operator follows the house rules (queries.py module docstring): Arrow
+batches, per-batch partial aggregation before any shuffle, pruned reads,
+two-level ``_add_part`` partitioned apply instead of thousands of tiny
+``map_groups`` groups, and oracle column names matched exactly.
+
+Scale notes (100 TB):
+- ``distinct_users_by_type`` shuffles DISTINCT (type, user) pairs only — the
+  per-batch dedup combiner collapses repeats before the exchange.
+- ``hll_distinct_users`` is the sketch path: constant-size (4 KB/group) state,
+  one tiny shuffle, mergeable registers (the classic HLL property) — this is
+  what replaces the exact path when the distinct cardinality itself is large.
+- ``value_quantiles_by_type`` is EXACT but ships only the (group, distinct
+  value) frequency table — correct whenever value cardinality is bounded
+  (sensor grids, prices, scores); for unbounded continuous values swap in the
+  same pipeline over quantized values (a KLL/t-digest analog with explicit
+  error = half a quantization step).
+- the sampling operators are single-pass stateless filters (splitmix64 mixed
+  key mod N) — no shuffle at all for the plain sample, a top-k-per-group
+  combiner for the stratified one; both are reproducible byte-exactly in SQL.
+
+Reference analogs (file:line in /root/reference): per-type tallies and resume
+scans (src/database/saver.py:48-87), the dataset builder's drop_duplicates
+(src/datasets/build_dataset.py:204) for the distinct family, and per-source
+corpus statistics (src/datasets/build_dataset.py:220-246) for rollup/pivot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from ray.data.aggregate import Count, Sum
+
+from ..functions.hashing import splitmix64
+from .common import _add_part, _mul64_sql, _read, _round
+
+# --------------------------------------------------------------------------
+# distinct counting: exact (distributed) and HLL sketch
+# --------------------------------------------------------------------------
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user_id) per event_type.
+
+    Two-level: per-batch dedup of (type, user) pairs (combiner — repeats never
+    leave the batch) → global pair dedup via groupby → per-batch partial tally
+    → tiny per-type sum.  The all-to-all exchange moves one row per distinct
+    pair, never per event."""
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.map_batches(pair_dedup, batch_format="pyarrow", batch_size=65536)
+    dpairs = pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+
+    def tally(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "p_n"])
+
+    agg = (
+        dpairs.map_batches(tally, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("p_n", alias_name="n_users"))
+    )
+    df = agg.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return df[["event_type", "n_users"]]
+
+
+_HLL_P = 12  # 4096 registers → σ ≈ 1.04/√m ≈ 1.6 % relative error
+
+
+def _hll_partial_batch(t: pa.Table, p: int = _HLL_P) -> pa.Table:
+    """Per-batch HLL registers per event_type, packed as one fixed-size binary
+    row per type.  Vectorized: splitmix64 mix → register index from the top p
+    bits → rho from a frexp exponent (exact for the 52-bit window) →
+    segment-max via sort + maximum.reduceat (house law: no ufunc .at)."""
+    m = 1 << p
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(uid)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) >> np.uint64(p)  # low 64-p bits
+    # floor(log2(w)) exactly: w < 2^52 is exactly representable in float64
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = np.where(w == 0, 64 - p + 1, (64 - p) - (exp - 1)).astype(np.uint8)
+
+    et = t["event_type"].to_numpy(zero_copy_only=False)
+    types, tcode = np.unique(et, return_inverse=True)
+    key = tcode.astype(np.int64) * m + idx
+    order = np.argsort(key, kind="stable")
+    ks, rs = key[order], rho[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    seg_max = np.maximum.reduceat(rs, starts) if len(ks) else np.empty(0, np.uint8)
+    ukey = ks[starts]
+
+    regs = np.zeros((len(types), m), dtype=np.uint8)
+    regs[ukey // m, ukey % m] = seg_max
+    return pa.table(
+        {
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+        }
+    )
+
+
+def _hll_estimate(regs: np.ndarray, p: int = _HLL_P) -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    v = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and v > 0:
+        e = m * np.log(m / v)
+    return int(round(e))
+
+
+def hll_distinct_users(sf_dir: str):
+    """Approximate distinct users per event_type via a HyperLogLog sketch —
+    the scale path next to the exact ``distinct_users_by_type``: state is a
+    constant 4 KB per (batch × type), registers merge by elementwise max (the
+    shuffle moves sketches, never users).  Deterministic (splitmix64-keyed);
+    accuracy asserted in pytest against the exact count (σ ≈ 1.6 %).
+    No SQL oracle by design — the estimator is not SQL-expressible."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stacked = np.stack([np.frombuffer(b, dtype=np.uint8) for b in g["regs"]])
+        est = _hll_estimate(stacked.max(axis=0))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]], "n_users_est": [est]})
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    partials = ds.map_batches(_hll_partial_batch, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("event_type").map_groups(merge, batch_format="pandas").to_pandas()
+    out["n_users_est"] = out["n_users_est"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# quantiles: frequency-sketch exact quantiles + grouped medians
+# --------------------------------------------------------------------------
+
+
+def _weighted_quantile(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Interpolated quantile (percentile_cont semantics: h = (n-1)q, linear
+    between the h-floor and h-ceil order statistics) from a sorted
+    (value, count) frequency table — never materializes the expanded column."""
+    total = int(counts.sum())
+    cum = np.cumsum(counts)
+    h = (total - 1) * q
+    lo, hi = int(np.floor(h)), int(np.ceil(h))
+    f = h - lo
+    v_lo = vals[np.searchsorted(cum, lo, side="right")]
+    v_hi = vals[np.searchsorted(cum, hi, side="right")]
+    return float((1 - f) * v_lo + f * v_hi)
+
+
+def value_quantiles_by_type(sf_dir: str):
+    """EXACT p25/p50/p75/p90 per event_type without sorting the table: the
+    pipeline ships a (event_type, value) frequency table (per-batch count
+    combiner → groupby sum), then interpolates quantiles from cumulative
+    counts.  Exchange volume = distinct values per group, independent of row
+    count — the scale-correct shape for bounded-cardinality measures."""
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = (
+        ds.map_batches(freq, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    pdf = agg.to_pandas()  # bounded: one row per (type, distinct value)
+    rows = []
+    for et, g in pdf.groupby("event_type", sort=True):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy()
+        counts = g["n"].to_numpy()
+        rows.append(
+            {
+                "event_type": et,
+                "p25": _weighted_quantile(vals, counts, 0.25),
+                "p50": _weighted_quantile(vals, counts, 0.50),
+                "p75": _weighted_quantile(vals, counts, 0.75),
+                "p90": _weighted_quantile(vals, counts, 0.90),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("p25", "p50", "p75", "p90"):
+        out[c] = _round(out[c], 4)
+    return out
+
+
+def median_value_by_user(sf_dir: str):
+    """Exact per-user median over many small groups — the two-level
+    ``_add_part`` partitioned apply (32 hash partitions, vectorized pandas
+    median inside each) instead of one Ray group per user."""
+
+    def med(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("user_id")["value"].agg(med_value="median", n="size").reset_index()
+        g["med_value"] = _round(g["med_value"], 4)
+        g["n"] = g["n"].astype("int64")
+        return g[["user_id", "med_value", "n"]]
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+    return parts.groupby("part").map_groups(med, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# vocabulary top-k (wordcount), TF-IDF top term per document
+# --------------------------------------------------------------------------
+
+
+def top_tokens(sf_dir: str, k: int = 100):
+    """Corpus vocabulary top-k: vectorized token explode (Arrow split +
+    list_flatten — no row loop) → per-batch count combiner → groupby sum over
+    vocabulary-sized data → distributed sort + limit.  Deterministic tiebreak
+    (count DESC, token ASC) so the top-k SET matches the oracle exactly."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        tt = pa.table({"token": pc.list_flatten(toks)})
+        g = tt.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "p_n"])
+
+    ds = _read(sf_dir, "documents", ["text"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+    top = agg.sort(key=["n", "token"], descending=[True, False]).limit(k)
+    df = top.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term.  tf is complete per batch (a document is
+    one row, so its tokens never span batches); document frequency is a
+    vocabulary-sized groupby; tf↔df meet in a hash-partitioned Dataset.join on
+    the term (large-large at corpus scale — the vocabulary is NOT broadcast);
+    the winner is picked by a per-batch top-1 combiner + 32-partition merge."""
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks)
+        tt = pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(parent),
+                "term": pc.list_flatten(toks),
+            }
+        )
+        g = tt.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=8192)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("doc_id", "count")])
+        return g.rename_columns(["term", "p_df"])
+
+    dfreq = (
+        tf.map_batches(df_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("term")
+        .aggregate(Sum("p_df", alias_name="df"))
+    )
+    joined = tf.join(dfreq, join_type="inner", num_partitions=16, on=("term",))
+
+    def score_top1(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(n_docs / dfv)
+        tt = pa.table({"doc_id": t["doc_id"], "term": t["term"], "s": pa.array(s, pa.float64())})
+        pdf = tt.to_pandas()
+        top = pdf.sort_values(["s", "term"], ascending=[False, True]).groupby(
+            "doc_id", sort=False
+        ).head(1)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = joined.map_batches(score_top1, batch_format="pyarrow", batch_size=65536)
+    parts = partials.map_batches(_add_part("doc_id"), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(["s", "term"], ascending=[False, True]).groupby(
+            "doc_id", sort=False
+        ).head(1)
+        out = top[["doc_id", "term"]].copy()
+        out["tfidf"] = _round(top["s"], 4)
+        return out
+
+    return parts.groupby("part").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling (plain + stratified)
+# --------------------------------------------------------------------------
+
+
+def sample_docs_hash(sf_dir: str, mod: int = 10):
+    """Deterministic 1/mod hash sample: keep rows where
+    splitmix64(doc_id) % mod == 0.  Stateless single-pass filter — no shuffle,
+    no RNG state, reproducible across runs/cluster sizes, and byte-exactly
+    mirrored in the SQL oracle (the property that makes hash sampling the
+    right primitive for resumable pipeline sampling at 100 TB)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mask = splitmix64(ids) % np.uint64(mod) == 0
+        return t.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def stratified_sample_docs(sf_dir: str, k: int = 20):
+    """Stratified sample: k docs per lang, chosen by splitmix64 order (a
+    deterministic uniform draw).  Grouped top-k combiner: each batch keeps at
+    most k rows per stratum, the merge sees ≤ k rows per (batch × stratum) —
+    never the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        skey = splitmix64(ids)
+        tt = pa.table(
+            {"lang": t["lang"], "doc_id": t["doc_id"], "skey": pa.array(skey, pa.uint64())}
+        )
+        pdf = tt.to_pandas()
+        top = pdf.sort_values(["skey", "doc_id"]).groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"]).head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "rank"]]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("lang").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# anti-join, rollup, pivot
+# --------------------------------------------------------------------------
+
+
+def customers_without_orders(sf_dir: str, min_total: float = 300_000.0):
+    """Distributed ANTI-join: customers with no order above ``min_total``.
+    Both sides hash-partition on the key via a side-tagged union (the as-of
+    join's partitioning recipe) — each partition filters its customers against
+    its own order-key set with a vectorized isin.  No broadcast: correct even
+    when both sides are corpus-sized."""
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["c_custkey"].combine_chunks().cast(pa.int64()),
+                "c_name": t["c_name"].combine_chunks(),
+                "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["o_totalprice"], pa.scalar(min_total))
+        keys = pc.unique(t.filter(mask)["o_custkey"].combine_chunks()).cast(pa.int64())
+        n = len(keys)
+        return pa.table(
+            {
+                "key": keys,
+                "c_name": pa.array([None] * n, pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        order_keys, batch_format="pyarrow", batch_size=65536
+    )
+
+    def anti(part_df: pd.DataFrame) -> pd.DataFrame:
+        have = part_df.loc[part_df["side"] == 1, "key"].to_numpy()
+        c = part_df[part_df["side"] == 0]
+        out = c[~np.isin(c["key"].to_numpy(), have)]
+        return pd.DataFrame(
+            {"c_custkey": out["key"].astype("int64"), "c_name": out["c_name"]}
+        )
+
+    parts = cust.union(orders).map_batches(_add_part("key"), batch_format="pyarrow")
+    return parts.groupby("part").map_groups(anti, batch_format="pandas")
+
+
+def rollup_counts(sf_dir: str):
+    """GROUPING-SETS / ROLLUP((returnflag, linestatus)) counts — computed from
+    ONE partial-aggregated pass: the finest-level aggregate (a handful of
+    rows) is rolled up driver-side; rolled-up keys use the 'ALL' sentinel so
+    both engines agree on the representation (no NULL-vs-NaN hash ambiguity)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([("l_returnflag", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False)["n"].sum()
+    lvl1["l_linestatus"] = "ALL"
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"], "n": [fine["n"].sum()]}
+    )
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "n"]]
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_type_pivot(sf_dir: str):
+    """Pivot (long→wide): per-user event counts as one column per event type.
+    Per-batch (user, type) count combiner → 32-partition grouped apply doing a
+    vectorized pandas pivot.  The output schema is the fixed EVENT_TYPES
+    contract (a pivot needs a declared column universe to be schema-stable)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "p_n"])
+
+    def pivot(part_df: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            part_df.groupby(["user_id", "event_type"])["p_n"].sum().unstack(fill_value=0)
+        )
+        for et in EVENT_TYPES:
+            if et not in wide.columns:
+                wide[et] = 0
+        wide = wide[EVENT_TYPES].astype("int64")
+        wide.columns = [f"n_{et}" for et in EVENT_TYPES]
+        return wide.reset_index()
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    parts = partials.map_batches(_add_part("user_id"), batch_format="pyarrow")
+    return parts.groupby("part").map_groups(pivot, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SQL oracles
+# --------------------------------------------------------------------------
+
+_SMX_C1 = 0xBF58476D1CE4E5B9
+_SMX_C2 = 0x94D049BB133111EB
+
+
+def _splitmix64_ctes(src: str, idcol: str, keep: str) -> str:
+    """CTE chain recomputing splitmix64(idcol) bit-exactly in DuckDB (xor /
+    shift natively on UBIGINT; the two 64-bit multiplies via the 32-bit-split
+    modular multiply shared with the fingerprint oracle).  Final CTE ``smx``
+    has columns ``keep`` + ``skey``."""
+    m1 = _mul64_sql("x1::HUGEINT", f"{_SMX_C1}::HUGEINT")
+    m2 = _mul64_sql("x3::HUGEINT", f"{_SMX_C2}::HUGEINT")
+    return f"""smx0 AS (SELECT {keep}, xor({idcol}::UBIGINT, {idcol}::UBIGINT >> 30) AS x1 FROM {src}),
+        smx1 AS (SELECT {keep}, ({m1})::UBIGINT AS x2 FROM smx0),
+        smx2 AS (SELECT {keep}, xor(x2, x2 >> 27) AS x3 FROM smx1),
+        smx3 AS (SELECT {keep}, ({m2})::UBIGINT AS x4 FROM smx2),
+        smx AS (SELECT {keep}, xor(x4, x4 >> 31) AS skey FROM smx3)"""
+
+
+ANALYTICS_QUERIES = {
+    "distinct_users_by_type": distinct_users_by_type,
+    "hll_distinct_users": hll_distinct_users,
+    "value_quantiles_by_type": value_quantiles_by_type,
+    "median_value_by_user": median_value_by_user,
+    "top_tokens": top_tokens,
+    "tfidf_top_term": tfidf_top_term,
+    "sample_docs_hash": sample_docs_hash,
+    "stratified_sample_docs": stratified_sample_docs,
+    "customers_without_orders": customers_without_orders,
+    "rollup_counts": rollup_counts,
+    "user_type_pivot": user_type_pivot,
+}
+
+ANALYTICS_ORACLE_SQL = {
+    "distinct_users_by_type": """
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    # hll_distinct_users: intentionally no SQL oracle (sketch estimator);
+    # pytest asserts accuracy against the exact count.
+    "value_quantiles_by_type": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.25), 4) AS p25,
+               ROUND(quantile_cont(value, 0.50), 4) AS p50,
+               ROUND(quantile_cont(value, 0.75), 4) AS p75,
+               ROUND(quantile_cont(value, 0.90), 4) AS p90
+        FROM events GROUP BY event_type
+    """,
+    "median_value_by_user": """
+        SELECT user_id, ROUND(MEDIAN(value), 4) AS med_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    """,
+    "top_tokens": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+    "tfidf_top_term": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+        nd AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT doc_id, word AS term, tf * ln((SELECT n FROM nd) * 1.0 / df) AS s
+            FROM tf JOIN dfreq USING (word)
+        )
+        SELECT doc_id, term, ROUND(s, 4) AS tfidf FROM (
+            SELECT doc_id, term, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    "sample_docs_hash": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')}
+        SELECT doc_id, lang FROM smx WHERE skey % 10 = 0
+    """,
+    "stratified_sample_docs": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')}
+        SELECT lang, doc_id, rank FROM (
+            SELECT lang, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+                        AS BIGINT) AS rank
+            FROM smx
+        ) WHERE rank <= 20
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+        )
+    """,
+    "rollup_counts": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "user_type_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+}

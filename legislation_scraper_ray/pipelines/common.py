@@ -1,0 +1,47 @@
+"""Shared query-pipeline helpers (used by queries.py and analytics.py —
+kept in a leaf module so the two registries can import them without a cycle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(x, n: int):
+    """Round half away from zero — matches SQL ROUND (numpy/pandas/pyarrow
+    default to half-even, which diverges on exact ties like 0.03125)."""
+    scale = 10.0**n
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def _add_part(col: str, n_parts: int = 32):
+    """Vectorized coarse-partition column for the two-level grouped-apply
+    pattern: ``groupby(part).map_groups(inner)`` launches n_parts Ray groups
+    (hash-partitioned on the real key), and ``inner`` runs the per-key logic
+    vectorized in pandas/numpy — instead of one Ray task per tiny key group."""
+
+    def add(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        part = (v.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    return add
+
+
+_M64 = 1 << 64
+
+
+def _mul64_sql(a: str, b: str) -> str:
+    """SQL expression: (a*b) mod 2^64 for 64-bit operands via 32-bit split —
+    every intermediate fits in HUGEINT (32×32-bit products are < 2^64)."""
+    return (
+        f"((({a} % 4294967296) * ({b} % 4294967296)"
+        f" + (((({a} % 4294967296) * ({b} // 4294967296)"
+        f" + ({a} // 4294967296) * ({b} % 4294967296)) % 4294967296) * 4294967296)) % {_M64})"
+    )

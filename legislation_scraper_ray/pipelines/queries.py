@@ -38,30 +38,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-
-
-def _round(x, n: int):
-    """Round half away from zero — matches SQL ROUND (numpy/pandas/pyarrow
-    default to half-even, which diverges on exact ties like 0.03125)."""
-    scale = 10.0**n
-    arr = np.asarray(x, dtype=np.float64)
-    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
-
-
-def _add_part(col: str, n_parts: int = 32):
-    """Vectorized coarse-partition column for the two-level grouped-apply
-    pattern: ``groupby(part).map_groups(inner)`` launches n_parts Ray groups
-    (hash-partitioned on the real key), and ``inner`` runs the per-key logic
-    vectorized in pandas/numpy — instead of one Ray task per tiny key group."""
-
-    def add(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
-        part = (v.astype(np.uint64) % np.uint64(n_parts)).astype(np.int32)
-        return t.append_column("part", pa.array(part, pa.int32()))
-
-    return add
+from .common import _add_part, _mul64_sql, _read, _round  # noqa: F401 (shared with analytics.py)
 
 
 # --------------------------------------------------------------------------
@@ -1250,16 +1227,6 @@ def _fnv_sql(col: str) -> str:
       )::UBIGINT, strlen({col})::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}"""
 
 
-def _mul64_sql(a: str, b: str) -> str:
-    """SQL expression: (a*b) mod 2^64 for 64-bit operands via 32-bit split —
-    every intermediate fits in HUGEINT (32×32-bit products are < 2^64)."""
-    return (
-        f"((({a} % 4294967296) * ({b} % 4294967296)"
-        f" + (((({a} % 4294967296) * ({b} // 4294967296)"
-        f" + ({a} // 4294967296) * ({b} % 4294967296)) % 4294967296) * 4294967296)) % {_M64})"
-    )
-
-
 def _fingerprint_sql() -> str:
     """SQL oracle for fingerprint_docs: fp_exact = FNV-1a64(text); fp_shingle_min
     = min over word trigrams of ((h(a)·MIX + h(b))·MIX + h(c)) mod 2^64 —
@@ -1546,3 +1513,10 @@ ORACLE_SQL = {
     # them with recall@k, planted-dup fixtures, and the reference-semantics
     # simulator.
 }
+
+# analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,
+# TF-IDF) lives in analytics.py; merged here so the driver sees one registry.
+from .analytics import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402
+
+QUERIES.update(ANALYTICS_QUERIES)
+ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)

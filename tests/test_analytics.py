@@ -1,0 +1,204 @@
+"""Ground-truth tests for the analytics operator family (pipelines/analytics.py):
+pandas/numpy brute-force oracles for every query, plus estimator-specific
+checks (HLL error bound + merge associativity, sampling determinism)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _df(res):
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_distinct_users_exact(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import distinct_users_by_type
+
+    got = _df(distinct_users_by_type(SF)).set_index("event_type")["n_users"]
+    want = events.groupby("event_type")["user_id"].nunique()
+    for et, n in want.items():
+        assert got[et] == n
+
+
+def test_hll_small_range_accuracy(ray_session, events):
+    """At sf scale every type has ≲150 distinct users — the linear-counting
+    regime, where the estimate should be essentially exact."""
+    from legislation_scraper_ray.pipelines.analytics import hll_distinct_users
+
+    got = _df(hll_distinct_users(SF)).set_index("event_type")["n_users_est"]
+    want = events.groupby("event_type")["user_id"].nunique()
+    for et, n in want.items():
+        assert abs(int(got[et]) - n) <= max(1, 0.02 * n)
+
+
+def test_hll_large_cardinality_and_merge():
+    """Estimator accuracy at real sketch cardinality (200k uniques ≫ m=4096),
+    and the HLL merge law: registers from split batches max-merge to the same
+    sketch as a single pass."""
+    from legislation_scraper_ray.pipelines.analytics import (
+        _hll_estimate,
+        _hll_partial_batch,
+    )
+
+    n = 200_000
+    uid = np.arange(n, dtype=np.int64) * 7919 + 13  # distinct keys
+    t = pa.table({"event_type": pa.array(["x"] * n), "user_id": pa.array(uid)})
+    one = np.frombuffer(_hll_partial_batch(t)["regs"][0].as_py(), dtype=np.uint8)
+
+    parts = []
+    for lo in range(0, n, 33_333):
+        parts.append(
+            np.frombuffer(
+                _hll_partial_batch(t.slice(lo, 33_333))["regs"][0].as_py(), dtype=np.uint8
+            )
+        )
+    merged = np.maximum.reduce(parts)
+    assert np.array_equal(one, merged)
+
+    est = _hll_estimate(one)
+    assert abs(est - n) / n < 0.05  # σ ≈ 1.6 % at p=12
+
+
+def test_value_quantiles_exact(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import value_quantiles_by_type
+
+    got = _df(value_quantiles_by_type(SF)).set_index("event_type")
+    for et, g in events.groupby("event_type"):
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90)):
+            want = np.percentile(g["value"].to_numpy(), q)  # linear interpolation
+            assert abs(got.loc[et, col] - want) < 1e-4
+
+
+def test_median_by_user(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import median_value_by_user
+
+    got = _df(median_value_by_user(SF)).set_index("user_id")
+    want = events.groupby("user_id")["value"].median()
+    for uid, m in want.items():
+        assert abs(got.loc[uid, "med_value"] - m) < 1e-4
+    assert (got["n"].sort_index() == events.groupby("user_id").size().sort_index()).all()
+
+
+def test_top_tokens(ray_session, docs):
+    from collections import Counter
+
+    from legislation_scraper_ray.pipelines.analytics import top_tokens
+
+    got = _df(top_tokens(SF, k=10))
+    cnt = Counter()
+    for txt in docs["text"]:
+        cnt.update(txt.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
+
+
+def test_tfidf_top_term(ray_session, docs):
+    from collections import Counter
+
+    from legislation_scraper_ray.pipelines.analytics import tfidf_top_term
+
+    got = _df(tfidf_top_term(SF)).set_index("doc_id")
+    n_docs = len(docs)
+    df_counts = Counter()
+    tfs = {}
+    for doc_id, txt in zip(docs["doc_id"], docs["text"]):
+        tf = Counter(txt.split(" "))
+        tfs[doc_id] = tf
+        df_counts.update(tf.keys())
+    assert len(got) == n_docs
+    for doc_id, tf in tfs.items():
+        scored = sorted(
+            ((c * np.log(n_docs / df_counts[w]), w) for w, c in tf.items()),
+            key=lambda sw: (-sw[0], sw[1]),
+        )
+        s, w = scored[0]
+        assert got.loc[doc_id, "term"] == w
+        assert abs(got.loc[doc_id, "tfidf"] - s) < 1e-3
+
+
+def test_sample_docs_hash_deterministic(ray_session, docs):
+    from legislation_scraper_ray.functions.hashing import splitmix64
+    from legislation_scraper_ray.pipelines.analytics import sample_docs_hash
+
+    got = _df(sample_docs_hash(SF))
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    want = set(docs["doc_id"][splitmix64(ids) % np.uint64(10) == 0])
+    assert set(got["doc_id"]) == want
+    # roughly a 10 % draw (binomial tolerance at n=500)
+    assert 0.04 <= len(got) / len(docs) <= 0.18
+
+
+def test_stratified_sample(ray_session, docs):
+    from legislation_scraper_ray.functions.hashing import splitmix64
+    from legislation_scraper_ray.pipelines.analytics import stratified_sample_docs
+
+    got = _df(stratified_sample_docs(SF, k=20))
+    d = docs.copy()
+    d["skey"] = splitmix64(d["doc_id"].to_numpy().astype(np.uint64))
+    for lang, g in d.groupby("lang"):
+        want = g.sort_values(["skey", "doc_id"]).head(20)["doc_id"].tolist()
+        sub = got[got["lang"] == lang].sort_values("rank")
+        assert sub["doc_id"].tolist() == want
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_customers_without_orders(ray_session):
+    from legislation_scraper_ray.pipelines.analytics import customers_without_orders
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    big = set(orders.loc[orders["o_totalprice"] > 300_000.0, "o_custkey"])
+    want = set(cust["c_custkey"]) - big
+    got = _df(customers_without_orders(SF))
+    assert set(got["c_custkey"]) == want
+    names = cust.set_index("c_custkey")["c_name"]
+    for _, r in got.iterrows():
+        assert r["c_name"] == names[r["c_custkey"]]
+
+
+def test_rollup_counts_consistent(ray_session):
+    from legislation_scraper_ray.pipelines.analytics import rollup_counts
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"])
+    got = _df(rollup_counts(SF))
+    total = got[(got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")]["n"].iloc[0]
+    assert total == len(li)
+    fine = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] != "ALL")]
+    want = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    assert len(fine) == len(want)
+    for (rf, ls), n in want.items():
+        assert fine[(fine["l_returnflag"] == rf) & (fine["l_linestatus"] == ls)]["n"].iloc[0] == n
+    lvl1 = got[(got["l_returnflag"] != "ALL") & (got["l_linestatus"] == "ALL")]
+    assert lvl1["n"].sum() == len(li)
+
+
+def test_user_type_pivot(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import EVENT_TYPES, user_type_pivot
+
+    got = _df(user_type_pivot(SF)).set_index("user_id").sort_index()
+    want = events.pivot_table(
+        index="user_id", columns="event_type", values="event_id", aggfunc="count", fill_value=0
+    )
+    assert (got[[f"n_{t}" for t in EVENT_TYPES]].sum(axis=1) == events.groupby("user_id").size()).all()
+    for et in want.columns:
+        assert (got[f"n_{et}"].to_numpy() == want[et].to_numpy()).all()
