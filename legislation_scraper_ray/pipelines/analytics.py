@@ -354,6 +354,129 @@ def stratified_sample_docs(sf_dir: str, k: int = 20):
 
 
 # --------------------------------------------------------------------------
+# window RANK via broadcast cumulative frequency
+# --------------------------------------------------------------------------
+
+
+def value_rank_in_type(sf_dir: str):
+    """Distributed window function RANK() OVER (PARTITION BY type ORDER BY
+    value) — WITHOUT a global per-partition sort: the (type, distinct value)
+    frequency table (same combiner as the quantile sketch) is turned into a
+    cumulative-rank lookup, broadcast once, and each batch resolves its ranks
+    with a per-type searchsorted.  Exchange volume = distinct values, and the
+    second pass is embarrassingly parallel — the shape that replaces a skewed
+    sort at corpus scale (bounded value cardinality assumed, as for the
+    quantile sketch)."""
+    import ray
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    pdf = (
+        ds.select_columns(["event_type", "value"])
+        .map_batches(freq, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    lut = {}
+    for et, g in pdf.groupby("event_type"):
+        g = g.sort_values("value")
+        counts = g["n"].to_numpy()
+        ranks = np.concatenate([[0], np.cumsum(counts)[:-1]]) + 1  # ties → min rank
+        lut[et] = (g["value"].to_numpy(), ranks.astype(np.int64))
+    lut_ref = ray.put(lut)
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = np.empty(len(v), np.int64)
+        for e in np.unique(et):
+            m = et == e
+            vals, ranks = table[e]
+            out[m] = ranks[np.searchsorted(vals, v[m])]
+        return pa.table({"event_id": t["event_id"], "rnk": pa.array(out, pa.int64())})
+
+    return ds.map_batches(rank_batch, batch_format="pyarrow", batch_size=65536)
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join
+# --------------------------------------------------------------------------
+
+
+def lineitem_big_orders_semi(sf_dir: str, min_total: float = 400_000.0):
+    """Semi-join at scale: lineitems of orders with totalprice > threshold.
+    The build side's keys are summarized as a CONSTANT-size Bloom bitmap
+    (built distributed — one partial bitmap per batch, OR-merged — then
+    broadcast once), which prefilters the probe side inside ``map_batches``;
+    the survivors (true matches + the bounded false-positive residue) are then
+    EXACTLY verified by a hash-partitioned Dataset.join against the qualifying
+    keys.  Composition is exact (Bloom has no false negatives); the bitmap
+    stays 128 KB no matter how many keys qualify — the broadcast that still
+    works when the exact key set would not fit."""
+    import ray
+
+    from ..functions.bloom import bloom_build, bloom_contains, bloom_merge
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["o_totalprice"], pa.scalar(min_total))
+        keys = t.filter(mask)["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"bitmap": pa.array([bloom_build(keys).tobytes()], pa.binary())})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    bitmaps = orders.map_batches(
+        partial_bloom, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    bloom_ref = ray.put(bloom_merge([r["bitmap"] for r in bitmaps]))
+
+    qual_keys = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))[
+                    "o_orderkey"
+                ]
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        import ray
+
+        bm = ray.get(bloom_ref)
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(bm, keys)))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    survivors = li.map_batches(prefilter, batch_format="pyarrow", batch_size=65536)
+    exact = survivors.join(
+        qual_keys, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def agg_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tt = pa.table({"l_returnflag": t["l_returnflag"], "rev": rev})
+        g = tt.group_by("l_returnflag").aggregate([("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["l_returnflag", "p_rev", "p_n"])
+
+    out = (
+        exact.map_batches(agg_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_returnflag")
+        .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n"))
+    )
+    df = out.to_pandas()
+    df["revenue"] = _round(df["revenue"], 2)
+    df["n"] = df["n"].astype("int64")
+    return df[["l_returnflag", "revenue", "n"]]
+
+
+# --------------------------------------------------------------------------
 # anti-join, rollup, pivot
 # --------------------------------------------------------------------------
 
@@ -495,6 +618,8 @@ ANALYTICS_QUERIES = {
     "customers_without_orders": customers_without_orders,
     "rollup_counts": rollup_counts,
     "user_type_pivot": user_type_pivot,
+    "value_rank_in_type": value_rank_in_type,
+    "lineitem_big_orders_semi": lineitem_big_orders_semi,
 }
 
 ANALYTICS_ORACLE_SQL = {
@@ -562,6 +687,19 @@ ANALYTICS_ORACLE_SQL = {
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "value_rank_in_type": """
+        SELECT event_id,
+               CAST(RANK() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk
+        FROM events
+    """,
+    "lineitem_big_orders_semi": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        GROUP BY l_returnflag
     """,
     "user_type_pivot": """
         SELECT user_id,

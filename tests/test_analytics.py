@@ -192,6 +192,56 @@ def test_rollup_counts_consistent(ray_session):
     assert lvl1["n"].sum() == len(li)
 
 
+def test_bloom_filter_properties():
+    from legislation_scraper_ray.functions.bloom import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10**9, size=20_000, replace=False).astype(np.int64)
+    others = (rng.choice(10**9, size=20_000, replace=False) + 10**9).astype(np.int64)
+    bm = bloom_build(members)
+    # zero false negatives
+    assert bloom_contains(bm, members).all()
+    # FP rate ≈ (1-e^{-kn/m})^k ≈ 3e-5 at n=20k, m=2^20, k=4 — allow slack
+    assert bloom_contains(bm, others).mean() < 0.01
+    # OR-merge of partials == single-pass build
+    parts = [bloom_build(members[i::4]) for i in range(4)]
+    assert np.array_equal(bloom_merge(parts), bm)
+
+
+def test_value_rank_in_type(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import value_rank_in_type
+
+    got = _df(value_rank_in_type(SF)).set_index("event_id")["rnk"]
+    want = (
+        events.groupby("event_type")["value"].rank(method="min").astype("int64")
+    )
+    for eid, r in zip(events["event_id"], want):
+        assert got[eid] == r
+
+
+def test_bloom_semi_join(ray_session):
+    from legislation_scraper_ray.pipelines.analytics import lineitem_big_orders_semi
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    qual = set(orders.loc[orders["o_totalprice"] > 400_000.0, "o_orderkey"])
+    sub = li[li["l_orderkey"].isin(qual)]
+    want = (
+        sub.assign(rev=sub["l_extendedprice"] * (1 - sub["l_discount"]))
+        .groupby("l_returnflag")["rev"]
+        .agg(["sum", "size"])
+    )
+    got = _df(lineitem_big_orders_semi(SF)).set_index("l_returnflag")
+    assert len(got) == len(want)
+    for rf, row in want.iterrows():
+        assert abs(got.loc[rf, "revenue"] - row["sum"]) < 1e-2
+        assert got.loc[rf, "n"] == row["size"]
+
+
 def test_user_type_pivot(ray_session, events):
     from legislation_scraper_ray.pipelines.analytics import EVENT_TYPES, user_type_pivot
 
