@@ -353,6 +353,137 @@ def stratified_sample_docs(sf_dir: str, k: int = 20):
     return partials.groupby("lang").map_groups(merge, batch_format="pandas")
 
 
+def value_quantiles_sample(sf_dir: str, k: int = 4096):
+    """Approximate quantiles for UNBOUNDED value domains — the sketch path
+    next to the exact ``value_quantiles_by_type`` (which assumes bounded value
+    cardinality).  Bottom-k sketch: keeping the k rows with the smallest
+    splitmix64(event_id) is a uniform sample without replacement, and bottom-k
+    sets are MERGEABLE (the k smallest of a union = k smallest of the
+    per-batch k-smallest).  State is O(k) per group regardless of input size;
+    quantile error is the classic order-statistic bound O(1/√k).
+    Deterministic (hash-keyed, no RNG), so results are reproducible across
+    runs and cluster sizes; pytest asserts the estimates land inside a ±5 %
+    quantile band of the exact distribution.  No SQL oracle by design."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        skey = splitmix64(t["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        tt = pa.table(
+            {"event_type": t["event_type"], "value": t["value"], "skey": pa.array(skey, pa.uint64())}
+        )
+        pdf = tt.to_pandas()
+        top = pdf.sort_values("skey").groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("skey").head(k)
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50_est": _round(np.percentile(v, 50), 4),
+                "p90_est": _round(np.percentile(v, 90), 4),
+                "sample_n": [np.int64(len(v))],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("event_type").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# sentinel token row that carries each batch's truncation bound through the
+# summary groupby ("\x00" cannot be produced by splitting text on spaces)
+_HH_SENTINEL = "\x00batch_bound"
+
+
+def top_tokens_sketch(sf_dir: str, k: int = 100, counters: int = 4096):
+    """Heavy hitters with an exactness CERTIFICATE — the bounded-memory path
+    next to the exact ``top_tokens`` (whose groupby state is vocabulary-sized;
+    at 100 TB the vocabulary may not be shuffle-friendly).
+
+    Pass 1 (summary): each batch emits only its ``counters`` most frequent
+    tokens, plus one sentinel row carrying the batch's drop bound (the largest
+    truncated count) — Misra-Gries-style bounded state.  For any token,
+    true_count ≤ summed_kept_count + B where B = Σ per-batch drop bounds
+    (a token absent from a batch's summary had ≤ that batch's bound there).
+    Pass 2 (recount): the top candidates by summed kept count are broadcast
+    and recounted EXACTLY.  Certificate: the k-th exact count must exceed the
+    largest possible count of any non-candidate (next_lb + B) — when it holds,
+    the result provably equals the exact top-k, which is why this sketch
+    shares ``top_tokens``' exact SQL oracle."""
+    import ray
+
+    def summary(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        g = flat.group_by("token").aggregate([("token", "count")]).rename_columns(["token", "c"])
+        pdf = g.to_pandas().sort_values(["c", "token"], ascending=[False, True])
+        kept = pdf.head(counters)
+        drop_bound = int(pdf["c"].iloc[counters]) if len(pdf) > counters else 0
+        kept = pd.concat(
+            [kept, pd.DataFrame({"token": [_HH_SENTINEL], "c": [drop_bound]})],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    ds = _read(sf_dir, "documents", ["text"])
+    summaries = (
+        ds.map_batches(summary, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c_lb"))
+    )
+    n_cand = max(4 * k, 64)
+    top_df = summaries.sort(key=["c_lb", "token"], descending=[True, False]).limit(
+        n_cand + 2  # +1 for next_lb, +1 in case the sentinel lands in the slice
+    ).to_pandas()
+    sent = top_df["token"] == _HH_SENTINEL
+    B = 0
+    if sent.any():
+        B = int(top_df.loc[sent, "c_lb"].iloc[0])
+    else:
+        # the sentinel didn't land in the top slice (its summed bound is small)
+        # — fetch its one aggregated row with an Arrow-mask filter (never the
+        # row-at-a-time Dataset.filter)
+        sent_row = summaries.map_batches(
+            lambda t: t.filter(pc.equal(t["token"], _HH_SENTINEL)), batch_format="pyarrow"
+        ).take_all()
+        B = int(sent_row[0]["c_lb"]) if sent_row else 0
+    top_df = top_df[~sent].reset_index(drop=True)
+    cand_df = top_df.head(n_cand)
+    next_lb = int(top_df["c_lb"].iloc[n_cand]) if len(top_df) > n_cand else 0
+    displacement_bound = next_lb + B  # max possible true count of a non-candidate
+    cand_ref = ray.put(pa.array(sorted(cand_df["token"].tolist()), pa.string()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        kept = flat.filter(pc.is_in(flat, value_set=cands))
+        return (
+            pa.table({"token": kept})
+            .group_by("token")
+            .aggregate([("token", "count")])
+            .rename_columns(["token", "p_n"])
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    exact["n"] = exact["n"].astype("int64")
+    if len(exact) >= k and displacement_bound and int(exact["n"].iloc[-1]) <= displacement_bound:
+        raise RuntimeError(
+            f"heavy-hitter certificate failed: k-th count {exact['n'].iloc[-1]} ≤ "
+            f"displacement bound {displacement_bound}; increase `counters`"
+        )
+    return exact
+
+
 # --------------------------------------------------------------------------
 # window RANK via broadcast cumulative frequency
 # --------------------------------------------------------------------------
@@ -620,6 +751,8 @@ ANALYTICS_QUERIES = {
     "user_type_pivot": user_type_pivot,
     "value_rank_in_type": value_rank_in_type,
     "lineitem_big_orders_semi": lineitem_big_orders_semi,
+    "value_quantiles_sample": value_quantiles_sample,
+    "top_tokens_sketch": top_tokens_sketch,
 }
 
 ANALYTICS_ORACLE_SQL = {
@@ -687,6 +820,14 @@ ANALYTICS_ORACLE_SQL = {
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # top_tokens_sketch certifies exactness at runtime, so it shares the exact
+    # wordcount oracle; value_quantiles_sample is a sampling estimator
+    # (deliberately no SQL oracle — pytest bounds its error instead)
+    "top_tokens_sketch": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 100
     """,
     "value_rank_in_type": """
         SELECT event_id,

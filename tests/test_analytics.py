@@ -242,6 +242,56 @@ def test_bloom_semi_join(ray_session):
         assert got.loc[rf, "n"] == row["size"]
 
 
+def test_value_quantiles_sample_bounds(ray_session, events):
+    """Bottom-k sample quantiles must land inside a ±5 % quantile band of the
+    exact distribution (deterministic: hash-keyed sample)."""
+    from legislation_scraper_ray.pipelines.analytics import value_quantiles_sample
+
+    got = _df(value_quantiles_sample(SF)).set_index("event_type")
+    for et, g in events.groupby("event_type"):
+        v = g["value"].to_numpy()
+        for col, q in (("p50_est", 50), ("p90_est", 90)):
+            lo, hi = np.percentile(v, max(q - 5, 0)), np.percentile(v, min(q + 5, 100))
+            assert lo - 1e-9 <= got.loc[et, col] <= hi + 1e-9
+        # sf0.001 groups are smaller than k → the sample is the full group
+        assert got.loc[et, "sample_n"] == len(g)
+
+
+def test_top_tokens_sketch_matches_exact(ray_session, docs):
+    from legislation_scraper_ray.pipelines.analytics import top_tokens, top_tokens_sketch
+
+    exact = _df(top_tokens(SF, k=100))
+    sk = _df(top_tokens_sketch(SF, k=100))
+    assert list(zip(sk["token"], sk["n"])) == list(zip(exact["token"], exact["n"]))
+
+
+def test_top_tokens_sketch_certificate(ray_session, tmp_path):
+    """Planted skew: truncation bites (counters < vocab) but the hot tokens'
+    exact counts clear the displacement bound → certified-exact top-k.  Then a
+    near-uniform corpus under tiny counters must REFUSE (RuntimeError) rather
+    than return an uncertified result."""
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.analytics import top_tokens_sketch
+
+    hot = " ".join(["hot0"] * 50 + ["hot1"] * 40)
+    tails = [f"tail{i}" for i in range(200)]
+    texts = [hot] * 20 + [" ".join(tails[i : i + 5]) for i in range(0, 200, 5)]
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq_.write_table(pa.table({"text": pa.array(texts, pa.string())}), d / "documents.parquet")
+    got = _df(top_tokens_sketch(str(d), k=2, counters=4))
+    assert got["token"].tolist() == ["hot0", "hot1"]
+    assert got["n"].tolist() == [50 * 20, 40 * 20]
+
+    flat = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(40)]
+    d2 = tmp_path / "uniform"
+    d2.mkdir()
+    pq_.write_table(pa.table({"text": pa.array(flat, pa.string())}), d2 / "documents.parquet")
+    with pytest.raises(RuntimeError, match="certificate"):
+        top_tokens_sketch(str(d2), k=2, counters=2)
+
+
 def test_user_type_pivot(ray_session, events):
     from legislation_scraper_ray.pipelines.analytics import EVENT_TYPES, user_type_pivot
 
