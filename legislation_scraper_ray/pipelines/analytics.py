@@ -40,7 +40,7 @@ import pyarrow.parquet as pq
 from ray.data.aggregate import Count, Sum
 
 from ..functions.hashing import splitmix64
-from .common import _add_part, _mul64_sql, _read, _round
+from .common import _MINHASH_PAIRS_CTES, _add_part, _mul64_sql, _read, _round
 
 # --------------------------------------------------------------------------
 # distinct counting: exact (distributed) and HLL sketch
@@ -716,6 +716,97 @@ def user_type_pivot(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# composed flagship: training-data prep
+# --------------------------------------------------------------------------
+
+
+def training_data_prep(sf_dir: str):
+    """The composed training-data pipeline a 100-TB corpus build runs —
+    quality filter → exact dedup → MinHash near-dedup (keep each cluster's
+    min-id representative) → per-doc token stats — assembled from the engine's
+    verified primitives and checked end-to-end against ONE recursive-CTE SQL
+    oracle (filter + GROUP BY dedup + exact-Jaccard pairs + reachability
+    components).
+
+    Dataflow: an Arrow-mask filter prunes at the read; exact dedup is the
+    8-byte content-hash two-level partitioned apply; the deduped survivor set
+    is materialized ONCE (it feeds both the signature pass and the final
+    stats pass — re-deriving it would recompute the dedup shuffle); near-dup
+    candidates/verification reuse the de-drivered pair↔payload join, so no
+    stage holds more than O(pairs) text; the representative-drop set is
+    output-sized and broadcast.  Reference analog: the dataset builder's
+    filter + drop_duplicates chain (/root/reference/src/datasets/
+    build_dataset.py:195-215) with near-dedup added."""
+    import ray
+
+    from ..functions.cluster import label_propagation
+    from ..functions.dedup import (
+        add_content_hash,
+        jaccard_shingles,
+        mine_bucket_pairs,
+        minhash_signatures,
+    )
+    from .queries import _empty_pairs, _pairs_join_payload
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    base = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_chars"], pa.scalar(70))).select(
+            ["doc_id", "text", "lang"]
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    hashed = base.map_batches(add_content_hash, batch_format="pyarrow").map_batches(
+        _add_part("content_hash"), batch_format="pyarrow"
+    )
+
+    def first(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.sort_values("doc_id").groupby("content_hash", sort=False).head(1)
+        return g[["doc_id", "text", "lang"]]
+
+    uniq = hashed.groupby("part").map_groups(first, batch_format="pandas").materialize()
+
+    sigs = (
+        uniq.select_columns(["doc_id", "text"])
+        .map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
+        .map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    )
+    cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    paired = _pairs_join_payload(cands, uniq.select_columns(["doc_id", "text"]),
+                                 "doc_id", "text")
+    if paired is None:
+        pairs = _empty_pairs("doc_a", "doc_b", "jaccard")
+    else:
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_pairs("doc_a", "doc_b", "jaccard")
+            jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
+            return df.assign(jaccard=jac)[jac >= 0.95][["doc_a", "doc_b", "jaccard"]]
+
+        pairs = paired.map_batches(verify, batch_format="pandas").to_pandas()
+
+    drop = np.empty(0, dtype=np.int64)
+    if len(pairs):
+        comp = label_propagation(
+            pa.Table.from_pandas(pairs[["doc_a", "doc_b"]].astype("int64"))
+        ).to_pandas()
+        drop = np.sort(comp.loc[comp["cluster_id"] != comp["doc_id"], "doc_id"].to_numpy())
+    drop_ref = ray.put(drop)
+
+    def keep_and_stats(t: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(~np.isin(ids, dropped)))
+        n_tok = pc.list_value_length(
+            pc.split_pattern(tt["text"].combine_chunks(), " ")
+        ).cast(pa.int64())
+        return pa.table({"doc_id": tt["doc_id"], "lang": tt["lang"], "n_tokens": n_tok})
+
+    return uniq.map_batches(keep_and_stats, batch_format="pyarrow", batch_size=8192)
+
+
+# --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
 
@@ -753,6 +844,7 @@ ANALYTICS_QUERIES = {
     "lineitem_big_orders_semi": lineitem_big_orders_semi,
     "value_quantiles_sample": value_quantiles_sample,
     "top_tokens_sketch": top_tokens_sketch,
+    "training_data_prep": training_data_prep,
 }
 
 ANALYTICS_ORACLE_SQL = {
@@ -820,6 +912,35 @@ ANALYTICS_ORACLE_SQL = {
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # the composed training-data pipeline, checked end-to-end: quality filter →
+    # exact dedup (min doc_id per text) → exact-Jaccard near-dup components
+    # (recursive CTE) → keep each component's min-id representative → token
+    # stats.  Retargets the shared shingle/pair CTE chain from `documents` to
+    # the filtered+deduped survivor set `d`.
+    "training_data_prep": f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id, text, lang FROM documents WHERE n_chars >= 70
+        ),
+        uq AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text),
+        d AS (SELECT b.doc_id, b.text, b.lang FROM base b JOIN uq USING (doc_id)),
+        {_MINHASH_PAIRS_CTES.replace("FROM documents", "FROM d")},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        labels AS (SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src),
+        kept AS (
+            SELECT d.doc_id FROM d LEFT JOIN labels l ON l.doc_id = d.doc_id
+            WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+        )
+        SELECT d.doc_id, d.lang, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM d JOIN kept USING (doc_id)
     """,
     # top_tokens_sketch certifies exactness at runtime, so it shares the exact
     # wordcount oracle; value_quantiles_sample is a sampling estimator

@@ -1289,30 +1289,7 @@ def _jaccard_pairs_ctes(threshold: float) -> str:
     return _MINHASH_PAIRS_CTES.replace("0.95", repr(threshold))
 
 
-_MINHASH_PAIRS_CTES = """w AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                   generate_subscripts(string_split(text, ' '), 1) AS pos
-            FROM documents
-        ),
-        shd AS (
-            SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
-            FROM w a
-            JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
-        inter AS (
-            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-            FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.95
-        )"""
+from .common import _MINHASH_PAIRS_CTES  # noqa: E402 (shared with analytics.py)
 
 ORACLE_SQL = {
     "q1_agg": """

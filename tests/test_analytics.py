@@ -292,6 +292,47 @@ def test_top_tokens_sketch_certificate(ray_session, tmp_path):
         top_tokens_sketch(str(d2), k=2, counters=2)
 
 
+def test_training_data_prep(ray_session, docs):
+    """Composed pipeline vs a pandas brute force: quality filter → exact dedup
+    (min doc_id per text) → 3-gram-Jaccard ≥ 0.95 components → keep min-id
+    representative → token counts."""
+    from legislation_scraper_ray.pipelines.analytics import training_data_prep
+
+    base = docs[docs["n_chars"] >= 70]
+    uniq = base.sort_values("doc_id").drop_duplicates("text", keep="first")
+
+    def shingles(txt):
+        tok = txt.split(" ")
+        return {" ".join(tok[i : i + 3]) for i in range(len(tok) - 2)}
+
+    sh = {r.doc_id: shingles(r.text) for r in uniq.itertuples()}
+    ids = sorted(sh)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.95:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    keep = {i for i in ids if find(i) == i}
+    want = uniq[uniq["doc_id"].isin(keep)]
+
+    got = _df(training_data_prep(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    lut = want.set_index("doc_id")
+    for r in got.itertuples():
+        assert r.lang == lut.loc[r.doc_id, "lang"]
+        assert r.n_tokens == len(lut.loc[r.doc_id, "text"].split(" "))
+
+
 def test_user_type_pivot(ray_session, events):
     from legislation_scraper_ray.pipelines.analytics import EVENT_TYPES, user_type_pivot
 
