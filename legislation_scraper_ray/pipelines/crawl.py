@@ -238,6 +238,30 @@ def run_crawl(
     frontier_override: pa.Table | None = None,
     sources: list | None = None,
 ) -> CrawlResult:
+    """Run (or resume) the crawl — see ``_run_crawl_inner`` for the dataflow.
+
+    Runs with the streaming executor's per-operator CPU reservation DISABLED
+    (restored on exit): the fused fetch chain is one hot operator inside a
+    5-7-operator pipeline, and the default reservation policy capped it at
+    ~12 of 16 slots even with every other operator idle (measured: full bench
+    crawl 30.3 s → 22.4 s at 16 pinned cores with reservation off)."""
+    ctx = rd.DataContext.get_current()
+    prev = getattr(ctx, "op_resource_reservation_enabled", True)
+    ctx.op_resource_reservation_enabled = False
+    try:
+        return _run_crawl_inner(corpus_dir, out_dir, cfg, resume, frontier_override, sources)
+    finally:
+        ctx.op_resource_reservation_enabled = prev
+
+
+def _run_crawl_inner(
+    corpus_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+    frontier_override: pa.Table | None = None,
+    sources: list | None = None,
+) -> CrawlResult:
     """Run (or resume) the crawl over a synthetic corpus directory.
 
     ``frontier_override`` replaces the seed frontier (used by the sustained-
@@ -643,8 +667,13 @@ def _bfs(
             # block rows ≥ batch_size → map_batches bundles exactly ONE block
             # per task (bundling rounds UP to the batch size: 4064-row blocks
             # under an 8192 batch gave 3-block / ~12k-row tasks — only 2.4
-            # task waves across 16 slots, so the final wave idled most cores)
-            k = max(1, min(256, n_frontier // max(cfg.batch_size, 1)))
+            # task waves across 16 slots, so the final wave idled most cores).
+            # Small seed tables block at the same ~2-wave effective batch the
+            # fetch chain will use (bundling can merge blocks, never split).
+            bs_plan = cfg.batch_size
+            if n_frontier < cfg.batch_size * cfg.fetch_concurrency:
+                bs_plan = max(64, -(-n_frontier // (2 * max(cfg.fetch_concurrency, 1))))
+            k = max(1, min(256, n_frontier // max(bs_plan, 1)))
             bounds = np.linspace(0, n_frontier, k + 1).astype(int)
             frontier_ds = rd.from_arrow_refs(
                 [
@@ -697,13 +726,23 @@ def _bfs(
             # per-generation Repartition all-to-all — a fixed ~0.5-1 s launch
             # cost per generation that capped 16-core scaling)
             frontier = frontier_ds
+            # per-generation effective batch: a SMALL materialized frontier
+            # (seeds, strict-mode units, budget pops) must not collapse into
+            # one serial task — map_batches BUNDLES blocks up to batch_size,
+            # so splitting the blocks alone is not enough.  Spread it across
+            # ~2 waves of the fetch width (measured: the 1,280-seed generation
+            # ran as ONE 1.1 s task at 16 cores).  The lazy-frontier path
+            # (n_frontier sentinel 1) keeps the configured batch.
+            bs_eff = cfg.batch_size
+            if 1 < n_frontier < cfg.batch_size * cfg.fetch_concurrency:
+                bs_eff = max(64, -(-n_frontier // (2 * max(cfg.fetch_concurrency, 1))))
             frontier = frontier.map_batches(
-                canonicalize_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+                canonicalize_batch, batch_format="pyarrow", batch_size=bs_eff
             )
             frontier = frontier.map_batches(
                 SeenFilter(seen.shards, seen.n_shards),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=bs_eff,
             )
             # politeness scheduling: per-host slot reservation against the
             # sharded slot actors — a map stage (tiny RPC per batch), NOT the
@@ -711,7 +750,7 @@ def _bfs(
             frontier = frontier.map_batches(
                 SlotAssigner(slot_shards, len(slot_shards), delays_ms),
                 batch_format="pyarrow",
-                batch_size=cfg.batch_size,
+                batch_size=bs_eff,
             )
             # decode is FUSED into the fetch stage (FetchActor decode=True):
             # payload bytes are read as zero-copy views over the plasma
@@ -739,7 +778,7 @@ def _bfs(
                     FetchActor,
                     fn_constructor_args=fetch_args,
                     batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
+                    batch_size=bs_eff,
                     # autoscaling pool: min = 1/4 of max warms a few actors up
                     # front (cuts ramp-up skew) while never reserving the whole
                     # CPU budget — a fixed-size pool + shard actors can deadlock
@@ -751,7 +790,7 @@ def _bfs(
                 fetched = frontier.map_batches(
                     _make_fetch_fn(*fetch_args),
                     batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
+                    batch_size=bs_eff,
                 )
             fetched = fetched.map_batches(
                 lambda b, g=gen: b.append_column(
