@@ -715,6 +715,64 @@ def user_type_pivot(sf_dir: str):
     return parts.groupby("part").map_groups(pivot, batch_format="pandas")
 
 
+def value_ts_regression(sf_dir: str):
+    """Distributed second-moment algebra: per-type Pearson correlation and
+    OLS slope/intercept of value against event time, from ONE pass of
+    mergeable co-moment partials (n, Σx, Σy, Σxy, Σx², computed per batch,
+    summed in a tiny groupby) — the canonical partial-aggregation shape for
+    any covariance-family statistic.  x is centered on a fixed epoch offset
+    before accumulating so the raw power sums stay well-conditioned in
+    float64 (µs timestamps squared overflow the 53-bit mantissa)."""
+    X0 = 1_704_000_000.0  # fixed epoch offset (seconds, ~data start) — same constant in SQL; centering keeps the raw power sums well-conditioned
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6 - X0
+        y = t["value"].to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(np.ones(len(x)), pa.float64()),
+                "sx": pa.array(x, pa.float64()),
+                "sy": pa.array(y, pa.float64()),
+                "sxy": pa.array(x * y, pa.float64()),
+                "sxx": pa.array(x * x, pa.float64()),
+                "syy": pa.array(y * y, pa.float64()),
+            }
+        )
+        g = tt.group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"),
+             ("sxx", "sum"), ("syy", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"]
+    cov = agg["sxy"] - agg["sx"] * agg["sy"] / n
+    varx = agg["sxx"] - agg["sx"] ** 2 / n
+    vary = agg["syy"] - agg["sy"] ** 2 / n
+    slope = cov / varx
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "corr_vt": _round(cov / np.sqrt(varx * vary), 4),
+            "slope": _round(slope, 4),
+            "intercept": _round(agg["sy"] / n - slope * agg["sx"] / n, 4),
+            "n": n.astype("int64"),
+        }
+    )
+    return out
+
+
 # --------------------------------------------------------------------------
 # composed flagship: training-data prep
 # --------------------------------------------------------------------------
@@ -845,6 +903,7 @@ ANALYTICS_QUERIES = {
     "value_quantiles_sample": value_quantiles_sample,
     "top_tokens_sketch": top_tokens_sketch,
     "training_data_prep": training_data_prep,
+    "value_ts_regression": value_ts_regression,
 }
 
 ANALYTICS_ORACLE_SQL = {
@@ -912,6 +971,16 @@ ANALYTICS_ORACLE_SQL = {
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # co-moment algebra vs DuckDB's CORR/REGR_* — both sides compute over the
+    # same epoch-offset x (seconds since 1.704e9, ~data start) so float64 conditioning matches
+    "value_ts_regression": """
+        SELECT event_type,
+               ROUND(CORR(value, EPOCH(ts) - 1704000000.0), 4) AS corr_vt,
+               ROUND(REGR_SLOPE(value, EPOCH(ts) - 1704000000.0), 4) AS slope,
+               ROUND(REGR_INTERCEPT(value, EPOCH(ts) - 1704000000.0), 4) AS intercept,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
     """,
     # the composed training-data pipeline, checked end-to-end: quality filter →
     # exact dedup (min doc_id per text) → exact-Jaccard near-dup components

@@ -292,6 +292,21 @@ def test_top_tokens_sketch_certificate(ray_session, tmp_path):
         top_tokens_sketch(str(d2), k=2, counters=2)
 
 
+def test_value_ts_regression(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import value_ts_regression
+
+    got = _df(value_ts_regression(SF)).set_index("event_type")
+    for et, g in events.groupby("event_type"):
+        x = g["ts"].astype("int64").to_numpy() / 1e6 - 1_704_000_000.0
+        y = g["value"].to_numpy()
+        want_corr = np.corrcoef(x, y)[0, 1]
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got.loc[et, "corr_vt"] - want_corr) < 1e-3
+        assert abs(got.loc[et, "slope"] - slope) < max(1e-3, abs(slope) * 1e-3)
+        assert abs(got.loc[et, "intercept"] - intercept) < 1e-2
+        assert got.loc[et, "n"] == len(g)
+
+
 def test_training_data_prep(ray_session, docs):
     """Composed pipeline vs a pandas brute force: quality filter → exact dedup
     (min doc_id per text) → 3-gram-Jaccard ≥ 0.95 components → keep min-id
