@@ -39,7 +39,13 @@ _AFF = os.environ.get("GRAFT_CPU_AFFINITY")
 if _AFF:
     os.sched_setaffinity(0, set(range(int(_AFF))))
 
-BENCH_PAGES = 455_177  # bench-corpus frontier size (seeds + listings + docs)
+def _bench_pages(corpus_dir: str) -> int:
+    """Frontier size of the bench corpus, from parquet metadata (zero data
+    read) — hardcoding it would silently mis-size _adaptive_batch whenever a
+    corpus.py change regenerates the fixtures."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(os.path.join(corpus_dir, "web_graph.parquet")).metadata.num_rows
 
 
 def _adaptive_batch(n_rows: int, waves: int | None = None) -> int:
@@ -127,7 +133,7 @@ def run_bench() -> dict:
         seen_capacity_per_shard=1 << 21,
         fetch_concurrency=NUM_CPUS,
         compute="tasks",
-        batch_size=_adaptive_batch(BENCH_PAGES),
+        batch_size=_adaptive_batch(_bench_pages(corpus_dir)),
         checkpoint=False,
         write_lineage=True,
         # the bench corpus is depth-bounded (seeds → listings → docs, exactly
@@ -279,7 +285,7 @@ def run_crawl_full() -> dict:
         seen_capacity_per_shard=1 << 21,
         fetch_concurrency=NUM_CPUS,
         compute="tasks",  # see run_bench: fused chain, zero-copy fetch state
-        batch_size=_adaptive_batch(BENCH_PAGES),
+        batch_size=_adaptive_batch(_bench_pages(corpus_dir)),
         checkpoint=False,
         max_generations=3,  # bench corpus is depth-bounded — see run_bench
     )

@@ -51,13 +51,14 @@ def bloom_build(keys: np.ndarray, m_bits: int = 1 << 20, k: int = 4) -> np.ndarr
     return bitmap
 
 
-def bloom_merge(bitmaps) -> np.ndarray:
-    """OR-merge partial bitmaps (any order — OR is associative)."""
+def bloom_merge(bitmaps, m_bits: int = 1 << 20) -> np.ndarray:
+    """OR-merge partial bitmaps (any order — OR is associative).  An empty
+    iterable merges to the empty-set bitmap (all zeros at ``m_bits``)."""
     out = None
     for b in bitmaps:
         arr = np.frombuffer(b, dtype=np.uint8) if isinstance(b, (bytes, bytearray)) else b
         out = arr.copy() if out is None else np.bitwise_or(out, arr)
-    return out
+    return out if out is not None else np.zeros(m_bits // 8, dtype=np.uint8)
 
 
 def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, k: int = 4) -> np.ndarray:

@@ -85,6 +85,9 @@ def _hll_partial_batch(t: pa.Table, p: int = _HLL_P) -> pa.Table:
     bits → rho from a frexp exponent (exact for the 52-bit window) →
     segment-max via sort + maximum.reduceat (house law: no ufunc .at)."""
     m = 1 << p
+    if t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "regs": pa.array([], pa.binary())})
     uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     h = splitmix64(uid)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
@@ -268,7 +271,10 @@ def tfidf_top_term(sf_dir: str):
         return g.rename_columns(["doc_id", "term", "tf"])
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    tf = ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=8192)
+    # materialize: tf feeds TWO consumers (dfreq and the join's left side) and
+    # Ray Data re-executes a lazy plan per consumer — without this the
+    # dominant read+tokenize+per-doc-group stage would run twice
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=8192).materialize()
 
     def df_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate([("doc_id", "count")])
@@ -428,10 +434,14 @@ def top_tokens_sketch(sf_dir: str, k: int = 100, counters: int = 4096):
         return pa.Table.from_pandas(kept, preserve_index=False)
 
     ds = _read(sf_dir, "documents", ["text"])
+    # materialized: summary-sized (≤ counters+1 rows per batch), and consumed
+    # twice when the sentinel misses the top slice — without this the fallback
+    # lookup would re-run the whole corpus tokenization pass
     summaries = (
         ds.map_batches(summary, batch_format="pyarrow", batch_size=8192)
         .groupby("token")
         .aggregate(Sum("c", alias_name="c_lb"))
+        .materialize()
     )
     n_cand = max(4 * k, 64)
     top_df = summaries.sort(key=["c_lb", "token"], descending=[True, False]).limit(
@@ -553,17 +563,9 @@ def lineitem_big_orders_semi(sf_dir: str, min_total: float = 400_000.0):
 
     from ..functions.bloom import bloom_build, bloom_contains, bloom_merge
 
-    def partial_bloom(t: pa.Table) -> pa.Table:
-        mask = pc.greater(t["o_totalprice"], pa.scalar(min_total))
-        keys = t.filter(mask)["o_orderkey"].to_numpy(zero_copy_only=False)
-        return pa.table({"bitmap": pa.array([bloom_build(keys).tobytes()], pa.binary())})
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    bitmaps = orders.map_batches(
-        partial_bloom, batch_format="pyarrow", batch_size=65536
-    ).take_all()
-    bloom_ref = ray.put(bloom_merge([r["bitmap"] for r in bitmaps]))
-
+    # ONE scan of the build side: filter to qualifying keys, materialize (the
+    # key set feeds both the bloom build and the exact verify join)
     qual_keys = orders.map_batches(
         lambda t: pa.table(
             {
@@ -574,7 +576,20 @@ def lineitem_big_orders_semi(sf_dir: str, min_total: float = 400_000.0):
         ),
         batch_format="pyarrow",
         batch_size=65536,
-    )
+    ).materialize()
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"bitmap": pa.array([bloom_build(keys).tobytes()], pa.binary())})
+
+    if qual_keys.count() == 0:  # no qualifying orders → empty result, not an empty-side join
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                             "revenue": pd.Series(dtype="float64"),
+                             "n": pd.Series(dtype="int64")})
+    bitmaps = qual_keys.map_batches(
+        partial_bloom, batch_format="pyarrow", batch_size=65536
+    ).take_all()
+    bloom_ref = ray.put(bloom_merge([r["bitmap"] for r in bitmaps]))
 
     def prefilter(t: pa.Table) -> pa.Table:
         import ray

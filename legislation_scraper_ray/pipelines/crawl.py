@@ -202,6 +202,18 @@ def _make_slot_shards(delays_ms: dict[str, int], clocks: dict[str, float], n_sha
     return shards
 
 
+def _small_frontier_batch(n_frontier: int, cfg: "CrawlConfig") -> int:
+    """Effective batch size for a SMALL materialized frontier (seeds,
+    strict-mode units, budget pops): spread it across ~2 scheduling waves of
+    the fetch width instead of one serial task — map_batches BUNDLES blocks up
+    to batch_size, so the staged block count and the chain's batch size must
+    scale down TOGETHER (the 1,280-seed generation ran as ONE 1.1 s task at
+    16 cores before this)."""
+    if 1 < n_frontier < cfg.batch_size * cfg.fetch_concurrency:
+        return max(64, -(-n_frontier // (2 * max(cfg.fetch_concurrency, 1))))
+    return cfg.batch_size
+
+
 def _explode_links(batch: pa.Table) -> pa.Table:
     """listing rows → one frontier row per out_link (flat-map as a vectorized
     Arrow list explode: list_parent_indices + flatten — no Python row loop)."""
@@ -235,7 +247,7 @@ def run_crawl(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
-    frontier_override: pa.Table | None = None,
+    frontier_override: pa.Table | rd.Dataset | None = None,
     sources: list | None = None,
 ) -> CrawlResult:
     """Run (or resume) the crawl — see ``_run_crawl_inner`` for the dataflow.
@@ -259,7 +271,7 @@ def _run_crawl_inner(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
-    frontier_override: pa.Table | None = None,
+    frontier_override: pa.Table | rd.Dataset | None = None,
     sources: list | None = None,
 ) -> CrawlResult:
     """Run (or resume) the crawl over a synthetic corpus directory.
@@ -670,9 +682,7 @@ def _bfs(
             # task waves across 16 slots, so the final wave idled most cores).
             # Small seed tables block at the same ~2-wave effective batch the
             # fetch chain will use (bundling can merge blocks, never split).
-            bs_plan = cfg.batch_size
-            if n_frontier < cfg.batch_size * cfg.fetch_concurrency:
-                bs_plan = max(64, -(-n_frontier // (2 * max(cfg.fetch_concurrency, 1))))
+            bs_plan = _small_frontier_batch(n_frontier, cfg)
             k = max(1, min(256, n_frontier // max(bs_plan, 1)))
             bounds = np.linspace(0, n_frontier, k + 1).astype(int)
             frontier_ds = rd.from_arrow_refs(
@@ -726,16 +736,9 @@ def _bfs(
             # per-generation Repartition all-to-all — a fixed ~0.5-1 s launch
             # cost per generation that capped 16-core scaling)
             frontier = frontier_ds
-            # per-generation effective batch: a SMALL materialized frontier
-            # (seeds, strict-mode units, budget pops) must not collapse into
-            # one serial task — map_batches BUNDLES blocks up to batch_size,
-            # so splitting the blocks alone is not enough.  Spread it across
-            # ~2 waves of the fetch width (measured: the 1,280-seed generation
-            # ran as ONE 1.1 s task at 16 cores).  The lazy-frontier path
-            # (n_frontier sentinel 1) keeps the configured batch.
-            bs_eff = cfg.batch_size
-            if 1 < n_frontier < cfg.batch_size * cfg.fetch_concurrency:
-                bs_eff = max(64, -(-n_frontier // (2 * max(cfg.fetch_concurrency, 1))))
+            # per-generation effective batch (the lazy-frontier path's
+            # sentinel n_frontier=1 keeps the configured batch)
+            bs_eff = _small_frontier_batch(n_frontier, cfg)
             frontier = frontier.map_batches(
                 canonicalize_batch, batch_format="pyarrow", batch_size=bs_eff
             )
