@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--corpus-dir", default=None, help="existing corpus directory")
     c.add_argument("--out", default="/tmp/lsr_crawl")
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--recrawl", action="store_true",
+                   help="incremental delta crawl: restore the seen set from "
+                        "the completed crawl's checkpoint, seed fresh (fetch "
+                        "only never-seen URLs, e.g. after adding --sources)")
     c.add_argument("--order", default="bfs", choices=["bfs", "strict"])
     c.add_argument("--seen-mode", default="cuckoo", choices=["cuckoo", "exact"])
     c.add_argument("--politeness", default="virtual", choices=["virtual", "sleep"])
@@ -88,7 +92,8 @@ def main(argv: list[str] | None = None) -> int:
                 scale = args.scale or "t1"
                 dirs = {"synthetic": lambda: generate(scale), "rest": lambda: generate_rest(scale)}
                 sources = [REGISTRY[n](dirs[n]()) for n in args.sources.split(",")]
-            res = run_crawl(corpus_dir, args.out, cfg, resume=args.resume, sources=sources)
+            res = run_crawl(corpus_dir, args.out, cfg, resume=args.resume,
+                            sources=sources, recrawl=args.recrawl)
             print(json.dumps({k: v for k, v in res.__dict__.items() if k != "stats"},
                              default=str))
         elif args.cmd == "consolidate":

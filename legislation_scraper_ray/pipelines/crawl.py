@@ -249,8 +249,16 @@ def run_crawl(
     resume: bool = False,
     frontier_override: pa.Table | rd.Dataset | None = None,
     sources: list | None = None,
+    recrawl: bool = False,
 ) -> CrawlResult:
     """Run (or resume) the crawl — see ``_run_crawl_inner`` for the dataflow.
+
+    ``recrawl=True`` = INCREMENTAL ingest: restore the seen set + host clocks
+    from the completed crawl's checkpoint but seed a fresh frontier (including
+    newly registered sources) — only never-seen URLs are fetched and appended.
+    The reference has no such mode (its resume re-scrapes the last year,
+    src/database/saver.py:48-61); this is the delta-crawl a production corpus
+    refresh needs.
 
     Runs with the streaming executor's per-operator CPU reservation DISABLED
     (restored on exit): the fused fetch chain is one hot operator inside a
@@ -261,7 +269,9 @@ def run_crawl(
     prev = getattr(ctx, "op_resource_reservation_enabled", True)
     ctx.op_resource_reservation_enabled = False
     try:
-        return _run_crawl_inner(corpus_dir, out_dir, cfg, resume, frontier_override, sources)
+        return _run_crawl_inner(
+            corpus_dir, out_dir, cfg, resume, frontier_override, sources, recrawl
+        )
     finally:
         ctx.op_resource_reservation_enabled = prev
 
@@ -273,6 +283,7 @@ def _run_crawl_inner(
     resume: bool = False,
     frontier_override: pa.Table | rd.Dataset | None = None,
     sources: list | None = None,
+    recrawl: bool = False,
 ) -> CrawlResult:
     """Run (or resume) the crawl over a synthetic corpus directory.
 
@@ -351,7 +362,28 @@ def _run_crawl_inner(
                 res.errors += g["errors"]
                 res.dedup_dropped += g["dedup_dropped"]
                 res.docs_written += g["docs_written"]
-    if not resume and os.path.exists(out_dir):
+    elif recrawl:
+        # incremental recrawl: restore the SEEN SET and host clocks from the
+        # completed crawl's checkpoint, but start from a FRESH seed frontier
+        # (including any newly registered sources).  Already-crawled URLs are
+        # dropped by the seen filter, so only genuinely new pages are fetched
+        # and appended (generation numbering continues, so partitioned output
+        # dirs never collide).  Result counters report THIS run's new work.
+        state = _load_checkpoint(ckpt_dir)
+        if state is None:
+            raise ValueError(
+                "recrawl=True requires a completed checkpointed crawl in out_dir "
+                f"(no checkpoint manifest under {ckpt_dir})"
+            )
+        if len(state["shard_files"]) != cfg.n_seen_shards:
+            raise ValueError(
+                f"recrawl needs n_seen_shards={len(state['shard_files'])} (the "
+                f"snapshot's shard count); got {cfg.n_seen_shards}"
+            )
+        start_gen = state["next_generation"]
+        clocks = state["clocks"]
+        seen.restore([_read_blob(p) for p in state["shard_files"]])
+    if not (resume or recrawl) and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     # sharded politeness slot actors own the per-host virtual clocks for the
