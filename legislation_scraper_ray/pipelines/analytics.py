@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import splitmix64
 from .common import _MINHASH_PAIRS_CTES, _add_part, _mul64_sql, _read, _round
@@ -788,6 +788,50 @@ def value_ts_regression(sf_dir: str):
     return out
 
 
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def user_funnel(sf_dir: str):
+    """Ordered-sequence (funnel) analytics: how many users reached each stage
+    of signup → click → purchase IN ORDER (stage k counts users whose earliest
+    stage-k event follows their earliest stage-(k-1) event).  Distributed
+    shape: per-batch (user, stage) min-ts combiner → groupby min (the shuffle
+    moves one row per user-stage, never events) → vectorized driver-side
+    funnel over the O(users × stages) table — at corpus scale that last step
+    is a ``map_batches`` over user-partitioned rows, same math."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"], value_set=pa.array(FUNNEL_STAGES, pa.string()))
+        tt = t.filter(mask)
+        g = tt.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
+        return g.rename_columns(["user_id", "event_type", "p_ts"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("p_ts", alias_name="first_ts"))
+        .to_pandas()
+    )
+    wide = agg.pivot(index="user_id", columns="event_type", values="first_ts")
+    for st in FUNNEL_STAGES:
+        if st not in wide.columns:
+            wide[st] = pd.NaT
+    reached = pd.notna(wide[FUNNEL_STAGES[0]])
+    counts = []
+    for prev, cur in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
+        counts.append(int(reached.sum()))
+        reached = reached & pd.notna(wide[cur]) & (wide[cur] > wide[prev])
+    counts.append(int(reached.sum()))
+    return pd.DataFrame(
+        {
+            "stage": FUNNEL_STAGES,
+            "stage_idx": np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64),
+            "n_users": pd.Series(counts, dtype="int64"),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # composed flagship: training-data prep
 # --------------------------------------------------------------------------
@@ -919,6 +963,7 @@ ANALYTICS_QUERIES = {
     "top_tokens_sketch": top_tokens_sketch,
     "training_data_prep": training_data_prep,
     "value_ts_regression": value_ts_regression,
+    "user_funnel": user_funnel,
 }
 
 ANALYTICS_ORACLE_SQL = {
@@ -986,6 +1031,26 @@ ANALYTICS_ORACLE_SQL = {
                COALESCE(l_linestatus, 'ALL') AS l_linestatus,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    # ordered-sequence funnel: stage k counts users whose earliest stage-k
+    # event strictly follows their earliest stage-(k-1) event
+    "user_funnel": """
+        WITH f AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT COUNT(*) FILTER (WHERE t1 IS NOT NULL) AS n1,
+                   COUNT(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1) AS n2,
+                   COUNT(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2) AS n3
+            FROM f
+        )
+        SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_idx, CAST(n1 AS BIGINT) AS n_users FROM c
+        UNION ALL SELECT 'click', CAST(2 AS BIGINT), CAST(n2 AS BIGINT) FROM c
+        UNION ALL SELECT 'purchase', CAST(3 AS BIGINT), CAST(n3 AS BIGINT) FROM c
     """,
     # co-moment algebra vs DuckDB's CORR/REGR_* — both sides compute over the
     # same epoch-offset x (seconds since 1.704e9, ~data start) so float64 conditioning matches

@@ -307,6 +307,24 @@ def test_value_ts_regression(ray_session, events):
         assert got.loc[et, "n"] == len(g)
 
 
+def test_user_funnel(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import FUNNEL_STAGES, user_funnel
+
+    got = _df(user_funnel(SF)).set_index("stage")["n_users"]
+    firsts = events.pivot_table(
+        index="user_id", columns="event_type", values="ts", aggfunc="min"
+    )
+    reached = firsts["signup"].notna() if "signup" in firsts else None
+    want = []
+    for prev, cur in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
+        want.append(int(reached.sum()))
+        reached = reached & firsts[cur].notna() & (firsts[cur] > firsts[prev])
+    want.append(int(reached.sum()))
+    assert [got[s] for s in FUNNEL_STAGES] == want
+    # funnel is monotone non-increasing
+    assert all(a >= b for a, b in zip(want, want[1:]))
+
+
 def test_training_data_prep(ray_session, docs):
     """Composed pipeline vs a pandas brute force: quality filter → exact dedup
     (min doc_id per text) → 3-gram-Jaccard ≥ 0.95 components → keep min-id
