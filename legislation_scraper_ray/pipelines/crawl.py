@@ -123,6 +123,17 @@ class CrawlConfig:
     # per-host requests).  Parallelism = host count; lineage gains
     # (fetch_seq, fetch_pid) so the ordering is auditable.
     max_generations: int = 64
+    pipeline_generations: int = 4  # single-consumer streaming window (r3): how
+    # many BFS generations are chained LAZILY into ONE streaming execution on
+    # the fast path (no checkpoint/budget/host-affinity, write_lineage on).
+    # Each generation's doc + lineage sinks run INSIDE its fused fetch chain
+    # (pass-through map_batches), so generation g+1's fetch starts while g's
+    # tail drains — the fill/drain seam of the per-generation fetch barrier is
+    # paid once per window, not once per generation.  1 = legacy per-generation
+    # barrier.  Trade-off: a URL discovered in two adjacent generations may be
+    # fetched under the later generation label (the seen check races across the
+    # overlapped generations); final seen/doc/error SETS are unchanged — use
+    # order="strict" when exact per-generation attribution matters.
     frontier_budget: int | None = None  # max URLs fetched per generation: the
     # priority-frontier pop (sort(priority).limit(k)); the remainder carries
     # over to the next generation.  SURVEY.md §2.6 engine extension.
@@ -349,6 +360,7 @@ def _run_crawl_inner(
         if state is None:
             resume = False  # nothing to resume from → fresh run
         else:
+            _check_seen_mode(state, cfg)
             start_gen = state["next_generation"]
             clocks = state["clocks"]
             seen.restore([_read_blob(p) for p in state["shard_files"]])
@@ -375,11 +387,20 @@ def _run_crawl_inner(
                 "recrawl=True requires a completed checkpointed crawl in out_dir "
                 f"(no checkpoint manifest under {ckpt_dir})"
             )
+        if not state.get("final"):
+            # an interrupted crawl's snapshot marks pending-frontier pages as
+            # seen-by-parent but never fetched; recrawling from it would drop
+            # them silently — resume it to completion first (ADVICE r2)
+            raise ValueError(
+                "recrawl=True requires a COMPLETED crawl checkpoint; this one is "
+                "mid-crawl — run with resume=True to finish it first"
+            )
         if len(state["shard_files"]) != cfg.n_seen_shards:
             raise ValueError(
                 f"recrawl needs n_seen_shards={len(state['shard_files'])} (the "
                 f"snapshot's shard count); got {cfg.n_seen_shards}"
             )
+        _check_seen_mode(state, cfg)
         start_gen = state["next_generation"]
         clocks = state["clocks"]
         seen.restore([_read_blob(p) for p in state["shard_files"]])
@@ -416,6 +437,9 @@ def _run_crawl_inner(
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
                 crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
                 parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
+                # strict mode IS the per-generation attribution harness (wave-
+                # order parity vs the simulator) — keep the serial barrier
+                allow_pipelined=False,
             )
     else:
         _bfs(
@@ -675,6 +699,47 @@ def _next_frontier_lazy(fetched: rd.Dataset, parse_listing_fn, cfg: "CrawlConfig
     )
 
 
+def _stage_frontier(
+    frontier_tbl: pa.Table | rd.Dataset | None, cfg: CrawlConfig, res: CrawlResult
+) -> tuple[rd.Dataset | None, int]:
+    """Normalize the incoming frontier (seed table / resumed Dataset) to a
+    materialized Dataset + row count; (None, 0) means exhausted.
+
+    A seed table is staged as a pre-blocked MaterializedDataset via driver-side
+    zero-copy slices + plasma puts: ~5x cheaper than
+    ``from_arrow(...).materialize()``, whose single FromArrow task re-serializes
+    the whole table (a SERIAL cost that Amdahl-caps the high-core sustained
+    legs).  Block rows ≥ batch_size → map_batches bundles exactly ONE block per
+    task (bundling rounds UP to the batch size: 4064-row blocks under an 8192
+    batch gave 3-block / ~12k-row tasks — only 2.4 task waves across 16 slots,
+    so the final wave idled most cores).  Small seed tables block at the same
+    ~2-wave effective batch the fetch chain will use (bundling can merge
+    blocks, never split)."""
+    t_norm = time.perf_counter()
+    if isinstance(frontier_tbl, pa.Table):
+        n_frontier = frontier_tbl.num_rows
+        if n_frontier:
+            bs_plan = _small_frontier_batch(n_frontier, cfg)
+            k = max(1, min(256, n_frontier // max(bs_plan, 1)))
+            bounds = np.linspace(0, n_frontier, k + 1).astype(int)
+            frontier_ds = rd.from_arrow_refs(
+                [
+                    ray.put(frontier_tbl.slice(int(a), int(b - a)))
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                    if b > a
+                ]
+            )
+        else:
+            frontier_ds = None
+    else:
+        frontier_ds = frontier_tbl
+        n_frontier = frontier_ds.count() if frontier_ds is not None else 0
+    res.timings["frontier_stage"] = round(
+        res.timings.get("frontier_stage", 0.0) + time.perf_counter() - t_norm, 2
+    )
+    return frontier_ds, n_frontier
+
+
 def _bfs(
     frontier_tbl: pa.Table | rd.Dataset | None,
     cfg: CrawlConfig,
@@ -692,44 +757,27 @@ def _bfs(
     parse_listing_fn=None,
     parse_doc_fn=None,
     slot_shards: list | None = None,
+    allow_pipelined: bool = True,
 ) -> None:
     import pandas as pd
 
+    if (
+        allow_pipelined
+        and not checkpoint
+        and not cfg.frontier_budget
+        and not cfg.host_affinity
+        and cfg.write_lineage
+        and cfg.pipeline_generations > 1
+    ):
+        return _bfs_pipelined(
+            frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks,
+            out_dir, res, start_gen, crawl_epoch, parse_listing_fn, parse_doc_fn,
+            slot_shards,
+        )
+
     gen = start_gen
     writer = _AsyncWriter()
-    # normalize the incoming frontier (seed table / resumed Dataset) to a
-    # materialized Dataset + row count; None means exhausted
-    t_norm = time.perf_counter()
-    if isinstance(frontier_tbl, pa.Table):
-        n_frontier = frontier_tbl.num_rows
-        if n_frontier:
-            # stage the seed table as a pre-blocked MaterializedDataset via
-            # driver-side zero-copy slices + plasma puts: ~5x cheaper than
-            # from_arrow(...).materialize(), whose single FromArrow task
-            # re-serializes the whole table (a SERIAL cost that Amdahl-caps
-            # the high-core sustained legs)
-            # block rows ≥ batch_size → map_batches bundles exactly ONE block
-            # per task (bundling rounds UP to the batch size: 4064-row blocks
-            # under an 8192 batch gave 3-block / ~12k-row tasks — only 2.4
-            # task waves across 16 slots, so the final wave idled most cores).
-            # Small seed tables block at the same ~2-wave effective batch the
-            # fetch chain will use (bundling can merge blocks, never split).
-            bs_plan = _small_frontier_batch(n_frontier, cfg)
-            k = max(1, min(256, n_frontier // max(bs_plan, 1)))
-            bounds = np.linspace(0, n_frontier, k + 1).astype(int)
-            frontier_ds = rd.from_arrow_refs(
-                [
-                    ray.put(frontier_tbl.slice(int(a), int(b - a)))
-                    for a, b in zip(bounds[:-1], bounds[1:])
-                    if b > a
-                ]
-            )
-        else:
-            frontier_ds = None
-    else:
-        frontier_ds = frontier_tbl
-        n_frontier = frontier_ds.count() if frontier_ds is not None else 0
-    res.timings["frontier_stage"] = round(time.perf_counter() - t_norm, 2)
+    frontier_ds, n_frontier = _stage_frontier(frontier_tbl, cfg, res)
 
     # fast path: no checkpoint and no frontier budget → the frontier stays a
     # LAZY dataset between generations (the explode chains into the next
@@ -994,6 +1042,225 @@ def _bfs(
         )
 
 
+def _make_gen_sink(gen: int, out_dir: str, cfg: CrawlConfig, parse_listing_fn, parse_doc_fn):
+    """Single-consumer generation sink (r3): a pass-through ``map_batches``
+    stage fused onto the tail of generation ``gen``'s fetch chain.  Per batch it
+    (1) writes the lineage rows (hive ``lineage/gen=N/part-*.parquet``),
+    (2) writes the doc rows (hive ``docs/gen=N/year=/type=/situation=``, decode
+    columns already produced by the fused fetch), and (3) emits ONLY the
+    exploded out-links of the batch's listings — the next generation's frontier
+    rows.  This makes the whole generation ONE Ray Data consumer: no separate
+    doc-sink / lineage executions over a materialized fetch output, so the next
+    generation's (lazily chained) fetch starts while this one's tail drains.
+
+    Output files use uuid basenames, so concurrent tasks never collide; dirs
+    are cleared at CHAIN BUILD time on the driver (resume/recrawl re-runs a
+    generation and parquet sinks append by default).  Assumes ``out_dir`` is on
+    a filesystem shared by all workers (single-node /tmp here; NFS/objstore
+    mount on a cluster) — the same assumption Dataset.write_parquet makes."""
+    lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
+    docs_dir = os.path.join(out_dir, "docs", f"gen={gen}")
+    for d in (lin_dir, docs_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # dirs are (re)created inside the sink tasks (exist_ok — concurrent-safe):
+    # an empty pre-created lineage dir would read as a present-but-schemaless
+    # pads.dataset in the post-window bookkeeping
+    doc_cols = (
+        [c for c in DOC_COLUMNS]
+        + (["bytes"] if cfg.keep_payloads else [])
+        + (["source", "extras"] if parse_doc_fn is not None else [])
+    )
+    meta_cols = ["status", "kind", "out_links", "host", "year", "situation",
+                 "type", "priority", "depth"]
+    if parse_listing_fn is not None:
+        meta_cols.append("source")
+    explode = parse_listing_fn or _explode_links
+    part_schema = pa.schema(
+        [pa.field("year", pa.int32()), pa.field("type", pa.string()),
+         pa.field("situation", pa.string())]
+    )
+
+    def sink(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.dataset as pads
+
+        batch = batch.append_column(
+            "generation", pa.array(np.full(batch.num_rows, gen, np.int32))
+        )
+        if batch.num_rows:
+            uid = uuid.uuid4().hex
+            os.makedirs(lin_dir, exist_ok=True)
+            pq.write_table(
+                batch.select(LINEAGE_COLUMNS),
+                os.path.join(lin_dir, f"part-{uid}.parquet"),
+            )
+            if parse_doc_fn is not None:
+                d = _status_kind_filter("ok", "doc")(batch)
+                doc_tbl = _project_docs(parse_doc_fn(d), doc_cols) if d.num_rows else None
+            else:
+                # projection first (zero-copy column refs), row gather after the
+                # payload column is dropped — same ordering as _project_docs_ok
+                doc_tbl = _project_docs_ok(batch, doc_cols)
+            if doc_tbl is not None and doc_tbl.num_rows:
+                pads.write_dataset(
+                    doc_tbl,
+                    docs_dir,
+                    format="parquet",
+                    partitioning=pads.partitioning(part_schema, flavor="hive"),
+                    basename_template=f"part-{uid}-{{i}}.parquet",
+                    existing_data_behavior="overwrite_or_ignore",
+                )
+        meta = batch.select([c for c in meta_cols if c in batch.schema.names])
+        return explode(_status_kind_filter("ok", "listing")(meta))
+
+    return sink
+
+
+def _gen_segment(
+    chain: rd.Dataset, gen: int, bs_eff: int, cfg: CrawlConfig, seen: ShardedSeenSet,
+    slot_shards: list, delays_ms: dict, graph_ref, corpus_ref, crawl_epoch: float,
+    parse_listing_fn, parse_doc_fn, out_dir: str,
+) -> rd.Dataset:
+    """One lazy generation segment: canonicalize → seen → politeness slots →
+    fetch(+fused decode) → generation sink.  All map stages share ``bs_eff`` so
+    the task-compute path fuses into a single operator; the segment's output is
+    the NEXT generation's frontier rows."""
+    chain = chain.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=bs_eff)
+    chain = chain.map_batches(
+        SeenFilter(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=bs_eff
+    )
+    chain = chain.map_batches(
+        SlotAssigner(slot_shards, len(slot_shards), delays_ms),
+        batch_format="pyarrow",
+        batch_size=bs_eff,
+    )
+    keep_bytes = cfg.keep_payloads or parse_doc_fn is not None
+    fetch_args = (
+        graph_ref, corpus_ref, cfg.politeness_mode, crawl_epoch,
+        True, cfg.ocr_threshold, keep_bytes,
+    )
+    if cfg.compute == "actors":
+        chain = chain.map_batches(
+            FetchActor,
+            fn_constructor_args=fetch_args,
+            batch_format="pyarrow",
+            batch_size=bs_eff,
+            concurrency=(max(1, cfg.fetch_concurrency // 4), cfg.fetch_concurrency),
+            num_cpus=cfg.actor_num_cpus,
+        )
+    else:
+        chain = chain.map_batches(
+            _make_fetch_fn(*fetch_args), batch_format="pyarrow", batch_size=bs_eff
+        )
+    return chain.map_batches(
+        _make_gen_sink(gen, out_dir, cfg, parse_listing_fn, parse_doc_fn),
+        batch_format="pyarrow",
+        batch_size=bs_eff,
+    )
+
+
+def _bfs_pipelined(
+    frontier_tbl: pa.Table | rd.Dataset | None,
+    cfg: CrawlConfig,
+    seen: ShardedSeenSet,
+    graph_ref,
+    corpus_ref,
+    delays_ms: dict[str, int],
+    clocks: dict[str, float],
+    out_dir: str,
+    res: CrawlResult,
+    start_gen: int,
+    crawl_epoch: float,
+    parse_listing_fn,
+    parse_doc_fn,
+    slot_shards: list,
+) -> None:
+    """Single-consumer streaming BFS (r3): up to ``cfg.pipeline_generations``
+    generation segments are chained LAZILY and executed as ONE streaming
+    pipeline; the only materialized artifact per window is the (small,
+    metadata-only) frontier left over at the window's end.  Doc + lineage
+    writes happen inside each segment's sink, so the per-generation fetch
+    barrier — and its fill/drain seam, the measured cap on 4→16-core full-crawl
+    scaling efficiency (0.57–0.62 vs the ≥0.8 north_rule bar) — is paid once
+    per WINDOW.  Per-generation bookkeeping (errors, metrics, host clocks,
+    counters) derives from the written lineage after the window (driver-side
+    O(hosts) reads); dedup counts come from seen-shard op deltas per window."""
+    gen = start_gen
+    frontier_ds, n_frontier = _stage_frontier(frontier_tbl, cfg, res)
+    ops_prev = _seen_total_ops(seen)
+
+    while frontier_ds is not None and n_frontier > 0 and (gen - start_gen) < cfg.max_generations:
+        W = min(cfg.pipeline_generations, cfg.max_generations - (gen - start_gen))
+        window = list(range(gen, gen + W))
+        t_iter0 = time.perf_counter()
+        chain = frontier_ds
+        for g in window:
+            bs_eff = _small_frontier_batch(n_frontier, cfg) if g == window[0] else cfg.batch_size
+            chain = _gen_segment(
+                chain, g, bs_eff, cfg, seen, slot_shards, delays_ms, graph_ref,
+                corpus_ref, crawl_epoch, parse_listing_fn, parse_doc_fn, out_dir,
+            )
+            if g != window[-1]:
+                # re-block the exploded frontier at fetch granularity so the
+                # next segment fans out (streaming split, no shuffle barrier)
+                chain = chain.repartition(
+                    target_num_rows_per_block=max(cfg.batch_size // 2, 1)
+                )
+        nxt = chain.materialize()
+        t_window = time.perf_counter() - t_iter0
+        if cfg.collect_stats:
+            res.stats.append(nxt.stats())
+        n_frontier = nxt.count()
+        frontier_ds = nxt
+
+        # ---- post-window bookkeeping from lineage (O(hosts) per generation) ----
+        t_meta0 = time.perf_counter()
+        ops_now = _seen_total_ops(seen)
+        survivors_window = 0
+        window_active = False
+        for g in window:
+            lin_dir = os.path.join(out_dir, "lineage", f"gen={g}")
+            stats = _derive_gen_stats(None, lin_dir)
+            if not len(stats):
+                continue
+            window_active = True
+            n_after_seen = int(stats["n"].sum())
+            err_rows = stats[stats["status"] == "error"]
+            ok_rows = stats[stats["status"] == "ok"]
+            n_err = int(err_rows["n"].sum())
+            n_docs = int(ok_rows[ok_rows["kind"] == "doc"]["n"].sum())
+            if n_err:
+                _write_gen_errors(None, out_dir, g, lin_dir)
+            _write_gen_metrics(stats, err_rows, n_err, out_dir, g)
+            _update_clocks(stats, clocks, delays_ms)
+            survivors_window += n_after_seen
+            res.fetched_ok += n_after_seen - n_err
+            res.errors += n_err
+            res.docs_written += n_docs
+            res.generations = max(res.generations, g + 1)
+            res.per_generation.append(
+                {
+                    "generation": g,
+                    "after_seen": n_after_seen,
+                    "fetched_ok": n_after_seen - n_err,
+                    "errors": n_err,
+                    "docs_written": n_docs,
+                    "window": [window[0], window[-1]],
+                    "t_window": round(t_window, 2),
+                }
+            )
+        res.dedup_dropped += (ops_now - ops_prev) - survivors_window
+        ops_prev = ops_now
+        res.timings["meta"] = round(
+            res.timings.get("meta", 0.0) + time.perf_counter() - t_meta0, 2
+        )
+        gen += W
+        if n_frontier == 0 or not window_active:
+            break
+
+
 def _make_dispatch(sources: list, method: str):
     """Per-source UDF dispatch inside one map_batches (SURVEY.md M4): split the
     batch by its ``source`` column, apply each source's vectorized parse
@@ -1117,6 +1384,19 @@ def _project_docs_ok(batch: pa.Table, cols: list[str]) -> pa.Table:
 # ---------------- checkpoint helpers ----------------
 
 
+def _check_seen_mode(state: dict, cfg: CrawlConfig) -> None:
+    """Restoring an 'exact' snapshot into a 'cuckoo' session (or vice versa)
+    would fail deep inside CuckooFilter/ExactSet.deserialize with an obscure
+    numpy load error — validate against the recorded mode up front (ADVICE r2).
+    Manifests written before the mode was recorded validate permissively."""
+    saved = state.get("seen_mode")
+    if saved is not None and saved != cfg.seen_mode:
+        raise ValueError(
+            f"checkpoint was written with seen_mode={saved!r}; "
+            f"got cfg.seen_mode={cfg.seen_mode!r}"
+        )
+
+
 def _save_checkpoint(ckpt_dir, gen, frontier, seen, clocks, per_generation, final=False):
     """``frontier`` is a (materialized) Dataset or None — persisted as a
     parquet DIRECTORY (distributed write; cleared first since write_parquet
@@ -1138,6 +1418,7 @@ def _save_checkpoint(ckpt_dir, gen, frontier, seen, clocks, per_generation, fina
         "next_generation": gen,
         "frontier_file": fpath,
         "shard_files": shard_files,
+        "seen_mode": seen.mode,
         "clocks": clocks,
         "per_generation": per_generation,
         "final": final,

@@ -74,3 +74,37 @@ def test_recrawl_requires_checkpoint(ray_session, t1_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("recrawl_nockpt"))
     with pytest.raises(ValueError, match="checkpoint"):
         run_crawl(t1_dir, out, _cfg(), recrawl=True)
+
+
+def test_recrawl_refuses_midcrawl_checkpoint(ray_session, t1_dir, tmp_path_factory):
+    """ADVICE r2: recrawling an INTERRUPTED crawl would restore a seen set
+    whose pending-frontier pages were marked by their parents but never
+    fetched — silent data loss.  The engine must refuse until the crawl is
+    resumed to completion."""
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("recrawl_midcrawl"))
+    base = dict(n_seen_shards=2, seen_mode="exact", compute="tasks", checkpoint=True)
+    run_crawl(t1_dir, out, CrawlConfig(**base, max_generations=1))  # interrupted
+    with pytest.raises(ValueError, match="mid-crawl"):
+        run_crawl(t1_dir, out, _cfg(), recrawl=True)
+    # resume to completion → recrawl accepted (and a no-op on unchanged corpus)
+    run_crawl(t1_dir, out, CrawlConfig(**base), resume=True)
+    again = run_crawl(t1_dir, out, _cfg(), recrawl=True)
+    assert again.docs_written == 0
+
+
+def test_checkpoint_seen_mode_mismatch(ray_session, t1_dir, tmp_path_factory):
+    """ADVICE r2: the manifest records seen_mode; restoring an 'exact' snapshot
+    into a 'cuckoo' session (or vice versa) must fail with a clear diagnostic,
+    on both the resume and recrawl branches."""
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("seen_mode_mismatch"))
+    base = dict(n_seen_shards=2, compute="tasks", checkpoint=True)
+    run_crawl(t1_dir, out, CrawlConfig(**base, seen_mode="exact", max_generations=1))
+    with pytest.raises(ValueError, match="seen_mode"):
+        run_crawl(t1_dir, out, CrawlConfig(**base, seen_mode="cuckoo"), resume=True)
+    run_crawl(t1_dir, out, CrawlConfig(**base, seen_mode="exact"), resume=True)
+    with pytest.raises(ValueError, match="seen_mode"):
+        run_crawl(t1_dir, out, CrawlConfig(**base, seen_mode="cuckoo"), recrawl=True)
