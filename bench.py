@@ -54,10 +54,17 @@ def _adaptive_batch(n_rows: int, waves: int | None = None) -> int:
     16 slots = 3.4 waves ⇒ a 4th wave at 55% fill — measured 83% occupancy).
     Clamped: below ~4k rows per batch the per-batch overheads (shard-actor
     RPCs, kernel launches, per-task state binds) measurably inflate remote CPU
-    (+10% at 4096, +16% at 2048 vs 8192 — A/B'd on the sustained leg), so at
-    high core counts fewer, fuller waves beat smaller batches."""
+    (+10% at 4096, +16% at 2048 vs 8192 — A/B'd on the sustained leg).
+
+    r3 (pipelined window): the crawl is ONE streaming execution, so wave
+    quantization now bites per GENERATION — the largest generation carries
+    ~70% of the rows and its final partial wave is the drain seam (33 tasks /
+    16 slots = 2.06 waves measured a ~5 s straggler tail; re-batching it to
+    exactly 4 waves, ~5k rows/task, measured 18.9k → 22.0k pages/s at 16
+    pinned cores).  Hence more, finer waves than the pre-r3 tuning; the low
+    clamp still floors the per-batch overhead."""
     if waves is None:
-        waves = 4 if NUM_CPUS <= 16 else 2
+        waves = 6 if NUM_CPUS <= 16 else 3
     return int(np.clip((n_rows + waves * NUM_CPUS - 1) // (waves * NUM_CPUS), 4096, 16384))
 
 
