@@ -445,7 +445,7 @@ def jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8):
 
 def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
                         payload_col: str, num_partitions: int = 8,
-                        broadcast_pairs_max: int = 50_000) -> rd.Dataset | None:
+                        broadcast_pairs_max: int | None = None) -> rd.Dataset | None:
     """Attach per-doc payloads to candidate (doc_a, doc_b) pairs WITHOUT
     broadcasting the corpus: dedupe pairs, then two hash-partitioned
     ``Dataset.join``s against the payload table on each side's id.  Peak state
@@ -459,7 +459,17 @@ def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
     payload rows with a distributed ``is_in`` filter (no shuffle), and
     assemble the paired table directly.  Never holds more than O(pairs)
     payload anywhere, so the 100-TB story is unchanged; at toy scale it
-    avoids ~3 all-to-all launches."""
+    avoids ~3 all-to-all launches.
+
+    ``broadcast_pairs_max=None`` resolves from ``$GRAFT_BROADCAST_PAIRS_MAX``
+    (default 50_000); setting the env var to 0 forces the shuffle-join branch
+    — the at-scale path — so the SAME oracle suite can verify both plans
+    (VERDICT r2 item 2: the shuffle branch had never produced a verified
+    answer)."""
+    if broadcast_pairs_max is None:
+        import os as _os
+
+        broadcast_pairs_max = int(_os.environ.get("GRAFT_BROADCAST_PAIRS_MAX", "50000"))
     uniq = (
         cands.groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
