@@ -794,11 +794,13 @@ FUNNEL_STAGES = ["signup", "click", "purchase"]
 def user_funnel(sf_dir: str):
     """Ordered-sequence (funnel) analytics: how many users reached each stage
     of signup → click → purchase IN ORDER (stage k counts users whose earliest
-    stage-k event follows their earliest stage-(k-1) event).  Distributed
-    shape: per-batch (user, stage) min-ts combiner → groupby min (the shuffle
-    moves one row per user-stage, never events) → vectorized driver-side
-    funnel over the O(users × stages) table — at corpus scale that last step
-    is a ``map_batches`` over user-partitioned rows, same math."""
+    stage-k event follows their earliest stage-(k-1) event).  Fully
+    distributed (r3 — the r2 version pivoted the O(users × stages) table on
+    the driver): per-batch (user, stage) min-ts combiner → two-level
+    ``_add_part(user_id)`` partitioned apply, where each partition pivots ITS
+    users and emits 3 stage counters → a driver sum over O(parts × stages)
+    rows.  No stage holds more than one user partition; driver state is
+    constant-size."""
 
     def partial(t: pa.Table) -> pa.Table:
         mask = pc.is_in(t["event_type"], value_set=pa.array(FUNNEL_STAGES, pa.string()))
@@ -806,28 +808,44 @@ def user_funnel(sf_dir: str):
         g = tt.group_by(["user_id", "event_type"]).aggregate([("ts", "min")])
         return g.rename_columns(["user_id", "event_type", "p_ts"])
 
+    def funnel_part(df: pd.DataFrame) -> pd.DataFrame:
+        # rows are per-BATCH partial minima; finish the min within the
+        # partition (it owns every row of its users), then run the funnel
+        g = df.groupby(["user_id", "event_type"], sort=False)["p_ts"].min().reset_index()
+        wide = g.pivot(index="user_id", columns="event_type", values="p_ts")
+        for st in FUNNEL_STAGES:
+            if st not in wide.columns:
+                wide[st] = pd.NaT
+        reached = pd.notna(wide[FUNNEL_STAGES[0]])
+        counts = []
+        for prev, cur in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
+            counts.append(int(reached.sum()))
+            reached = reached & pd.notna(wide[cur]) & (wide[cur] > wide[prev])
+        counts.append(int(reached.sum()))
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64),
+                "p_users": pd.Series(counts, dtype="int64"),
+            }
+        )
+
     ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
-    agg = (
+    parts = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Min("p_ts", alias_name="first_ts"))
+        .map_batches(_add_part("user_id"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(funnel_part, batch_format="pandas")
         .to_pandas()
     )
-    wide = agg.pivot(index="user_id", columns="event_type", values="first_ts")
-    for st in FUNNEL_STAGES:
-        if st not in wide.columns:
-            wide[st] = pd.NaT
-    reached = pd.notna(wide[FUNNEL_STAGES[0]])
-    counts = []
-    for prev, cur in zip(FUNNEL_STAGES, FUNNEL_STAGES[1:]):
-        counts.append(int(reached.sum()))
-        reached = reached & pd.notna(wide[cur]) & (wide[cur] > wide[prev])
-    counts.append(int(reached.sum()))
+    tot = (
+        parts.groupby("stage_idx", sort=True)["p_users"].sum()
+        .reindex(range(1, len(FUNNEL_STAGES) + 1), fill_value=0)
+    )
     return pd.DataFrame(
         {
             "stage": FUNNEL_STAGES,
             "stage_idx": np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64),
-            "n_users": pd.Series(counts, dtype="int64"),
+            "n_users": tot.astype("int64").to_numpy(),
         }
     )
 
