@@ -122,6 +122,13 @@ class CrawlConfig:
     # espirito_santo.py:69-127, maranhao.py:45-110 — require strictly ordered
     # per-host requests).  Parallelism = host count; lineage gains
     # (fetch_seq, fetch_pid) so the ordering is auditable.
+    session_tokens: bool = False  # S6 end-to-end (r3): thread a per-host
+    # postback token chain through the fetch units — request i must present
+    # the token minted by the host's previous response (state/session.py),
+    # carried ACROSS generations by sharded session actors.  Requires
+    # host_affinity (the chain is sequential by protocol); lineage gains
+    # ``post_token`` so the chain is auditable end-to-end.  Auto-enabled when
+    # any registered Source declares ``stateful_session = True``.
     max_generations: int = 64
     pipeline_generations: int = 4  # single-consumer streaming window (r3): how
     # many BFS generations are chained LAZILY into ONE streaming execution on
@@ -410,6 +417,22 @@ def _run_crawl_inner(
     # sharded politeness slot actors own the per-host virtual clocks for the
     # whole crawl (seeded from the checkpoint's clocks on resume)
     slot_shards = _make_slot_shards(delays_ms, clocks, max(1, cfg.n_seen_shards))
+    # sharded session-token actors (S6 stateful form-POST protocol)
+    session_on = cfg.session_tokens or bool(
+        sources and any(getattr(s, "stateful_session", False) for s in sources)
+    )
+    session_shards = None
+    cfg.session_tokens = session_on  # reflect source-driven auto-enable (lineage cols)
+    if session_on:
+        if not cfg.host_affinity:
+            raise ValueError(
+                "session_tokens (stateful form-POST protocol) requires "
+                "host_affinity=True — the per-host token chain is sequential"
+            )
+        from ..state.session import SessionTokenShard
+
+        Shard = ray.remote(num_cpus=0)(SessionTokenShard)
+        session_shards = [Shard.remote() for _ in range(max(1, cfg.n_seen_shards))]
 
     res.timings["setup"] = round(time.perf_counter() - t_start, 2)
     if cfg.order == "strict":
@@ -437,6 +460,7 @@ def _run_crawl_inner(
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
                 crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
                 parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
+                session_shards=session_shards,
                 # strict mode IS the per-generation attribution harness (wave-
                 # order parity vs the simulator) — keep the serial barrier
                 allow_pipelined=False,
@@ -447,10 +471,11 @@ def _run_crawl_inner(
             ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
             crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
             parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
+            session_shards=session_shards,
         )
 
     t_td = time.perf_counter()
-    for sh in slot_shards:
+    for sh in slot_shards + (session_shards or []):
         ray.kill(sh)
     stats = seen.stats()
     res.seen_total = sum(s["count"] for s in stats)
@@ -560,13 +585,15 @@ def _seen_total_ops(seen) -> int:
     return sum(st["ops"] for st in seen.stats())
 
 
-def _write_gen_lineage(fetched: rd.Dataset, out_dir: str, gen: int, host_affinity: bool) -> str:
+def _write_gen_lineage(fetched: rd.Dataset, out_dir: str, gen: int, cfg: CrawlConfig) -> str:
     """ONE distributed lineage write for the generation (hive dir, cleared
     first since write_parquet appends)."""
     lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
     if os.path.exists(lin_dir):
         shutil.rmtree(lin_dir)
-    lin_cols = LINEAGE_COLUMNS + (["fetch_seq", "fetch_pid"] if host_affinity else [])
+    lin_cols = LINEAGE_COLUMNS + (["fetch_seq", "fetch_pid"] if cfg.host_affinity else [])
+    if cfg.session_tokens:
+        lin_cols = lin_cols + ["post_token"]
     fetched.select_columns(lin_cols).write_parquet(lin_dir)
     return lin_dir
 
@@ -757,6 +784,7 @@ def _bfs(
     parse_listing_fn=None,
     parse_doc_fn=None,
     slot_shards: list | None = None,
+    session_shards: list | None = None,
     allow_pipelined: bool = True,
 ) -> None:
     import pandas as pd
@@ -853,7 +881,7 @@ def _bfs(
                 # order within it — no re-split (splitting would break the
                 # per-host request chain a stateful postback protocol needs)
                 fetched = frontier.groupby("host").map_groups(
-                    _make_host_fetch_fn(*fetch_args),
+                    _make_host_fetch_fn(*fetch_args, session_shards=session_shards),
                     batch_format="pyarrow",
                 )
             elif cfg.compute == "actors":
@@ -911,7 +939,7 @@ def _bfs(
                 def _meta(fetched=fetched, gen=gen, d=d, n_after_seen=n_after_seen):
                     t0 = time.perf_counter()
                     lin_dir = (
-                        _write_gen_lineage(fetched, out_dir, gen, cfg.host_affinity)
+                        _write_gen_lineage(fetched, out_dir, gen, cfg)
                         if cfg.write_lineage else None
                     )
                     stats = _derive_gen_stats(fetched, lin_dir)
@@ -949,7 +977,7 @@ def _bfs(
             # ---- lineage sink + derived bookkeeping (sync: checkpoint/budget
             # path — the fast path above runs the same helpers async) ----
             lin_dir = (
-                _write_gen_lineage(fetched, out_dir, gen, cfg.host_affinity)
+                _write_gen_lineage(fetched, out_dir, gen, cfg)
                 if cfg.write_lineage else None
             )
             stats = _derive_gen_stats(fetched, lin_dir)
@@ -1335,11 +1363,18 @@ def _make_fetch_fn(*fetch_args):
     return fetch
 
 
-def _make_host_fetch_fn(*fetch_args):
+def _make_host_fetch_fn(*fetch_args, session_shards: list | None = None):
     """S6 sequential-protocol fetch: one ``groupby(host)`` group = one fetch
     unit; rows are processed strictly in scheduled order and stamped with a
     dense per-host sequence + the worker pid, so tests (and operators) can
-    audit that a host's request chain never interleaved across workers."""
+    audit that a host's request chain never interleaved across workers.
+
+    With ``session_shards`` (cfg.session_tokens), each unit additionally
+    threads the host's postback token chain (state/session.py): it fetches the
+    host's tail token from the owning shard, presents ``token_i`` with request
+    *i* (recorded in the ``post_token`` lineage column), and persists the new
+    tail — so the chain survives batches AND generations, exactly like the
+    reference's per-host requests.Session holding a live ViewState."""
 
     def fetch_host(group: pa.Table) -> pa.Table:
         import os
@@ -1350,6 +1385,17 @@ def _make_host_fetch_fn(*fetch_args):
         group = group.take(order)
         out = FetchActor(*fetch_args)(group)
         n = out.num_rows
+        if session_shards is not None:
+            from ..state.politeness import host_shard_of
+            from ..state.session import advance_chain
+
+            host = group["host"][0].as_py() if n else ""
+            shard = session_shards[host_shard_of(host, len(session_shards))]
+            tok0 = ray.get(shard.get.remote(host))
+            hashes = out["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            toks, tail = advance_chain(tok0, hashes)
+            ray.get(shard.put.remote(host, tail))
+            out = out.append_column("post_token", pa.array(toks, pa.uint64()))
         out = out.append_column("fetch_seq", pa.array(np.arange(n, dtype=np.int64)))
         return out.append_column(
             "fetch_pid", pa.array(np.full(n, os.getpid(), np.int64))

@@ -175,9 +175,30 @@ class RestApiSource:
             return json.load(f)["robots_delay_ms"]
 
 
+@dataclass
+class FormPostSource(SyntheticCorpusSource):
+    """Third registered source (r3): a stateful form-POST protocol — every
+    request to a host must present the postback token minted by that host's
+    previous response (the reference's JSF/ViewState chains,
+    src/scraper/state_legislation/espirito_santo.py:69-127,
+    src/scraper/state_legislation/maranhao.py:45-110).
+
+    ``stateful_session = True`` makes ``run_crawl`` thread the per-host token
+    chain through the host-affinity fetch units (sharded SessionTokenShard
+    state, lineage ``post_token`` audit column) and refuse to run without
+    ``host_affinity=True`` — the chain is sequential by protocol.  Parsing is
+    inherited (the form pages resolve like the synthetic HTML source); the
+    corpus lives on the disjoint ``form{i}.legis.example`` namespace
+    (corpus.generate_form)."""
+
+    name: str = "form"
+    stateful_session: bool = True
+
+
 REGISTRY: dict[str, Callable[..., Source]] = {
     "synthetic": SyntheticCorpusSource,
     "rest": RestApiSource,
+    "form": FormPostSource,
 }
 
 

@@ -111,14 +111,18 @@ def _make_images(spec: ScaleSpec, rng: np.random.Generator):
     }
 
 
-def generate(scale: str, root: str | None = None, force: bool = False) -> str:
+def generate(scale: str, root: str | None = None, force: bool = False,
+             host_prefix: str = "host", variant: str | None = None) -> str:
     """Generate (or return cached) corpus/web_graph/seeds/subjects parquet for a scale.
 
     Returns the directory containing ``corpus.parquet``, ``web_graph.parquet``,
     ``seeds.parquet``, ``subjects.parquet``, ``manifest.json``.
-    """
+
+    ``host_prefix``/``variant`` produce a structurally identical corpus on a
+    DISJOINT host namespace under its own cache dir — used by source variants
+    (e.g. the form-POST source) so union crawls never collide."""
     spec = SCALES[scale]
-    out = os.path.join(root or CACHE_ROOT, scale)
+    out = os.path.join(root or CACHE_ROOT, f"{scale}-{variant}" if variant else scale)
     manifest = os.path.join(out, "manifest.json")
     if os.path.exists(manifest) and not force:
         return out
@@ -146,7 +150,7 @@ def generate(scale: str, root: str | None = None, force: bool = False) -> str:
     )
 
     # ---- hosts: Zipf-skewed doc allocation (one hot host for skew tests) ----
-    hosts = [f"host{i}.legis.example" for i in range(spec.n_hosts)]
+    hosts = [f"{host_prefix}{i}.legis.example" for i in range(spec.n_hosts)]
     zipf_w = 1.0 / np.arange(1, spec.n_hosts + 1)
     zipf_w /= zipf_w.sum()
     docs_per_host = np.maximum((zipf_w * spec.n_doc_urls).astype(int), 1)
@@ -467,6 +471,17 @@ def generate_rest(scale: str, root: str | None = None, force: bool = False) -> s
             f, indent=2,
         )
     return out
+
+
+def generate_form(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Corpus for the stateful form-POST source (S6 end-to-end): structurally
+    the synthetic web on the disjoint ``form{i}.legis.example`` host namespace.
+    The statefulness lives in the PROTOCOL, not the graph: every request to a
+    host must present the token minted by the previous response
+    (state/session.py), which FormPostSource declares via
+    ``stateful_session = True`` (reference: the JSF/ViewState postbacks of
+    espirito_santo.py:69-127, maranhao.py:45-110)."""
+    return generate(scale, root=root, force=force, host_prefix="form", variant="form")
 
 
 def corpus_dir_for_sf(sf_dir: str) -> str:
