@@ -54,9 +54,13 @@ def _resolve(base: str, u: str) -> str:
 
 
 def simulate(corpus_dir: str) -> SimResult:
+    import json
+
     graph = pq.read_table(f"{corpus_dir}/web_graph.parquet")
     corpus = pq.read_table(f"{corpus_dir}/corpus.parquet")
     seeds = pq.read_table(f"{corpus_dir}/seeds.parquet")
+    with open(f"{corpus_dir}/manifest.json") as f:
+        pagination = json.load(f).get("pagination", "probe")
 
     rows = graph.to_pylist()
     by_url = {r["url"]: r for r in rows}
@@ -86,6 +90,27 @@ def simulate(corpus_dir: str) -> SimResult:
     # main.py:359-365), then (year, situation, type) in declared order within a
     # source (O2).  Sort key = (host, priority).
     seed_rows = sorted(seeds.to_pylist(), key=lambda r: (r["host"], r["priority"]))
+
+    if pagination == "speculative":
+        # Grow-until-empty protocol (espirito_santo.py:238-269,
+        # minas_gerais.py:222-252): no page reveals the total — the scraper
+        # keeps requesting the next page (processing each page's docs as it
+        # goes) until a page comes back empty.  Per unit that IS a BFS over
+        # the link graph: wave k+1 = docs of wave-k pages + the next probe
+        # page, so strict-mode engine generations match sim waves exactly.
+        for seed in seed_rows:
+            frontier = [seed["url"]]
+            while frontier:
+                nxt: list[str] = []
+                for u in frontier:
+                    r = fetch(u, wave)
+                    if r is not None:
+                        nxt.extend(_resolve(r["url"], x) for x in r["out_links"])
+                wave += 1
+                frontier = nxt
+        res.n_waves = wave
+        return res
+
     for seed in seed_rows:
         page1 = fetch(seed["url"], wave)
         if page1 is None:

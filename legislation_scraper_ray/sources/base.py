@@ -195,10 +195,25 @@ class FormPostSource(SyntheticCorpusSource):
     stateful_session: bool = True
 
 
+@dataclass
+class SpeculativePagedSource(SyntheticCorpusSource):
+    """Fourth registered source (r3): UNKNOWN-total pagination — no page
+    reveals how many pages exist; each listing links only its docs and the
+    next probe page, and the chain ends at an empty page (reference:
+    src/scraper/state_legislation/espirito_santo.py:238-269,
+    src/scraper/state_legislation/minas_gerais.py:222-252).  The engine needs
+    no special mode: the BFS frontier grows exactly one probe wave per page
+    until discovery dries up — fan-out bounded by discovery, not by a count
+    probe.  Corpus: corpus.generate_speculative (``spec{i}.legis.example``)."""
+
+    name: str = "paged"
+
+
 REGISTRY: dict[str, Callable[..., Source]] = {
     "synthetic": SyntheticCorpusSource,
     "rest": RestApiSource,
     "form": FormPostSource,
+    "paged": SpeculativePagedSource,
 }
 
 

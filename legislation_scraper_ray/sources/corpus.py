@@ -112,7 +112,8 @@ def _make_images(spec: ScaleSpec, rng: np.random.Generator):
 
 
 def generate(scale: str, root: str | None = None, force: bool = False,
-             host_prefix: str = "host", variant: str | None = None) -> str:
+             host_prefix: str = "host", variant: str | None = None,
+             pagination: str = "probe") -> str:
     """Generate (or return cached) corpus/web_graph/seeds/subjects parquet for a scale.
 
     Returns the directory containing ``corpus.parquet``, ``web_graph.parquet``,
@@ -120,7 +121,16 @@ def generate(scale: str, root: str | None = None, force: bool = False,
 
     ``host_prefix``/``variant`` produce a structurally identical corpus on a
     DISJOINT host namespace under its own cache dir — used by source variants
-    (e.g. the form-POST source) so union crawls never collide."""
+    (e.g. the form-POST source) so union crawls never collide.
+
+    ``pagination``:
+    - ``"probe"`` (default) — page 1 is a count probe that links every other
+      listing page up front (reference: federal scrape.py:259-285);
+    - ``"speculative"`` — NO total is revealed: each page links only its docs
+      and the NEXT page, and the chain ends at an EMPTY terminal page — the
+      grow-until-empty protocol of espirito_santo.py:238-269,
+      minas_gerais.py:222-252 (the frontier must keep probing waves until an
+      empty page, so total pages is discovered, not read)."""
     spec = SCALES[scale]
     out = os.path.join(root or CACHE_ROOT, f"{scale}-{variant}" if variant else scale)
     manifest = os.path.join(out, "manifest.json")
@@ -176,7 +186,12 @@ def generate(scale: str, root: str | None = None, force: bool = False,
                     ci += 1
                     base = f"https://{host}/busca?ano={year}&situacao={sit}&tipo={typ}"
                     n_pages = max(nd // spec.per_page + (1 if nd % spec.per_page else 0), 1)
-                    listing_urls = [f"{base}&pagina={p}" for p in range(1, n_pages + 1)]
+                    if pagination == "speculative":
+                        # the chain includes one EMPTY terminal page — the probe
+                        # only learns the total by fetching until a page is empty
+                        listing_urls = [f"{base}&pagina={p}" for p in range(1, n_pages + 2)]
+                    else:
+                        listing_urls = [f"{base}&pagina={p}" for p in range(1, n_pages + 1)]
                     seed_rows.append(
                         {
                             "url": listing_urls[0],
@@ -192,7 +207,7 @@ def generate(scale: str, root: str | None = None, force: bool = False,
                     for d in range(nd):
                         doc_urls.append(f"https://{host}/doc/{year}/{typ}/{sit}/{doc_counter + d}")
                     # page p's out_links = its slice of docs (+ all other listing pages on p1:
-                    # the count-probe fan-out, scrape.py:267-285)
+                    # the count-probe fan-out, scrape.py:267-285; speculative: + next page only)
                     for p, lurl in enumerate(listing_urls):
                         links = doc_urls[p * spec.per_page : (p + 1) * spec.per_page]
                         # duplicate ~dup_link_frac of the previous page's links (cross-page dups)
@@ -201,7 +216,10 @@ def generate(scale: str, root: str | None = None, force: bool = False,
                             k = int(len(prev) * spec.dup_link_frac)
                             if k:
                                 links = list(rng.choice(prev, size=k, replace=False)) + links
-                        if p == 0 and len(listing_urls) > 1:
+                        if pagination == "speculative":
+                            if p + 1 < len(listing_urls):
+                                links = links + [listing_urls[p + 1]]
+                        elif p == 0 and len(listing_urls) > 1:
                             links = listing_urls[1:] + links
                         g_urls.append(lurl)
                         g_hosts.append(host)
@@ -288,8 +306,9 @@ def generate(scale: str, root: str | None = None, force: bool = False,
     with open(manifest, "w") as f:
         json.dump(
             {
-                "scale": scale,
+                "scale": f"{scale}-{variant}" if variant else scale,
                 "seed": 42,
+                "pagination": pagination,
                 "n_doc_urls": spec.n_doc_urls,
                 "n_images": spec.n_images,
                 "n_graph_rows": n_g,
@@ -482,6 +501,16 @@ def generate_form(scale: str, root: str | None = None, force: bool = False) -> s
     ``stateful_session = True`` (reference: the JSF/ViewState postbacks of
     espirito_santo.py:69-127, maranhao.py:45-110)."""
     return generate(scale, root=root, force=force, host_prefix="form", variant="form")
+
+
+def generate_speculative(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Corpus for the speculative-pagination source: listings reveal NO total —
+    each page links only its docs and the next page, and the crawl discovers
+    the page count by probing until an empty page (the frontier grows by
+    discovery, not by a known fan-out).  Disjoint ``spec{i}.legis.example``
+    host namespace."""
+    return generate(scale, root=root, force=force, host_prefix="spec",
+                    variant="spec", pagination="speculative")
 
 
 def corpus_dir_for_sf(sf_dir: str) -> str:
