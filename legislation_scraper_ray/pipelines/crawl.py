@@ -338,8 +338,12 @@ def _run_crawl_inner(
             prepared.append(p)
             corpora.append(c)
             offset += c.num_rows
-        graph_ref = ray.put(pa.concat_tables(prepared).sort_by("url_hash"))
-        corpus_ref = ray.put(pa.concat_tables(corpora))
+        # promote: source graphs may differ by optional columns (e.g. the b64
+        # source's payload_encoding) — missing columns fill with nulls
+        graph_ref = ray.put(
+            pa.concat_tables(prepared, promote_options="default").sort_by("url_hash")
+        )
+        corpus_ref = ray.put(pa.concat_tables(corpora, promote_options="default"))
         seed_tbls = []
         for s in sources:
             t = s.seeds()

@@ -209,11 +209,25 @@ class SpeculativePagedSource(SyntheticCorpusSource):
     name: str = "paged"
 
 
+@dataclass
+class Base64JsonSource(SyntheticCorpusSource):
+    """Fifth registered source (r3): doc payloads arrive base64-encoded inside
+    a JSON body (reference: src/scraper/state_legislation/alagoas.py:104-107,
+    src/scraper/state_legislation/rio_de_janeiro.py:136-141).  The web graph
+    marks the rows (``payload_encoding='b64json'``) and the fetch stage
+    unwraps BEFORE the fused decode (stages/fetch.py ``unwrap_b64json``), so
+    the decode invariants — pixel checksum, phash, PSNR vs raw-image ground
+    truth — verify the unwrap end-to-end.  Corpus: corpus.generate_b64."""
+
+    name: str = "b64"
+
+
 REGISTRY: dict[str, Callable[..., Source]] = {
     "synthetic": SyntheticCorpusSource,
     "rest": RestApiSource,
     "form": FormPostSource,
     "paged": SpeculativePagedSource,
+    "b64": Base64JsonSource,
 }
 
 

@@ -113,7 +113,7 @@ def _make_images(spec: ScaleSpec, rng: np.random.Generator):
 
 def generate(scale: str, root: str | None = None, force: bool = False,
              host_prefix: str = "host", variant: str | None = None,
-             pagination: str = "probe") -> str:
+             pagination: str = "probe", payload_encoding: str | None = None) -> str:
     """Generate (or return cached) corpus/web_graph/seeds/subjects parquet for a scale.
 
     Returns the directory containing ``corpus.parquet``, ``web_graph.parquet``,
@@ -130,7 +130,15 @@ def generate(scale: str, root: str | None = None, force: bool = False,
       and the NEXT page, and the chain ends at an EMPTY terminal page — the
       grow-until-empty protocol of espirito_santo.py:238-269,
       minas_gerais.py:222-252 (the frontier must keep probing waves until an
-      empty page, so total pages is discovered, not read)."""
+      empty page, so total pages is discovered, not read).
+
+    ``payload_encoding="b64json"`` stores every doc payload base64-encoded
+    inside a JSON body (``{"doc": {"conteudo": "<b64>"}}``) and marks the doc
+    rows in ``web_graph.payload_encoding`` — the reference's API-shaped sources
+    deliver binaries exactly this way (alagoas.py:104-107,
+    rio_de_janeiro.py:136-141); the fetch stage must unwrap before decode.
+    Ground-truth ``dec_sum``/``phash``/``psnr_db`` stay computed from the RAW
+    image, so the decode invariants verify the unwrap end-to-end."""
     spec = SCALES[scale]
     out = os.path.join(root or CACHE_ROOT, f"{scale}-{variant}" if variant else scale)
     manifest = os.path.join(out, "manifest.json")
@@ -141,6 +149,16 @@ def generate(scale: str, root: str | None = None, force: bool = False,
 
     # ---- corpus (F1) ----
     corpus = _make_images(spec, rng)
+    if payload_encoding == "b64json":
+        import base64
+
+        # ground-truth dec_sum/phash/psnr were computed from the RAW image
+        # above — wrapping only the stored payload makes the decode-stage
+        # invariants verify the unwrap end-to-end
+        corpus["bytes"] = [
+            json.dumps({"doc": {"conteudo": base64.b64encode(b).decode("ascii")}}).encode()
+            for b in corpus["bytes"]
+        ]
     pq.write_table(
         pa.table(
             {
@@ -253,24 +271,24 @@ def generate(scale: str, root: str | None = None, force: bool = False,
     fail[(fr >= spec.fail_frac * 0.9) & (fr < spec.fail_frac)] = "hard_error"
     robots = {h: int(d) for h, d in zip(hosts, rng.integers(0, 30, size=len(hosts)))}
 
-    pq.write_table(
-        pa.table(
-            {
-                "url": pa.array(g_urls, pa.string()),
-                "host": pa.array(g_hosts, pa.string()),
-                "kind": pa.array(g_kind, pa.string()),
-                "out_links": pa.array(g_out, pa.list_(pa.string())),
-                "image_id": pa.array(g_img, pa.string()),
-                "year": pa.array(g_year, pa.int32()),
-                "situation": pa.array(g_sit, pa.string()),
-                "type": pa.array(g_typ, pa.string()),
-                "subject_ids": pa.array(g_subjects, pa.list_(pa.int32())),
-                "robots_delay_ms": pa.array([robots[h] for h in g_hosts], pa.int32()),
-                "fail_mode": pa.array(fail.tolist(), pa.string()),
-            }
-        ),
-        os.path.join(out, "web_graph.parquet"),
-    )
+    graph_cols = {
+        "url": pa.array(g_urls, pa.string()),
+        "host": pa.array(g_hosts, pa.string()),
+        "kind": pa.array(g_kind, pa.string()),
+        "out_links": pa.array(g_out, pa.list_(pa.string())),
+        "image_id": pa.array(g_img, pa.string()),
+        "year": pa.array(g_year, pa.int32()),
+        "situation": pa.array(g_sit, pa.string()),
+        "type": pa.array(g_typ, pa.string()),
+        "subject_ids": pa.array(g_subjects, pa.list_(pa.int32())),
+        "robots_delay_ms": pa.array([robots[h] for h in g_hosts], pa.int32()),
+        "fail_mode": pa.array(fail.tolist(), pa.string()),
+    }
+    if payload_encoding:
+        graph_cols["payload_encoding"] = pa.array(
+            [payload_encoding if k == "doc" else None for k in g_kind], pa.string()
+        )
+    pq.write_table(pa.table(graph_cols), os.path.join(out, "web_graph.parquet"))
 
     # ---- seeds (F2): priority = lexicographic (year, situation_idx, type_idx) — O2 ----
     year0 = spec.years[0]
@@ -511,6 +529,16 @@ def generate_speculative(scale: str, root: str | None = None, force: bool = Fals
     host namespace."""
     return generate(scale, root=root, force=force, host_prefix="spec",
                     variant="spec", pagination="speculative")
+
+
+def generate_b64(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Corpus for the base64-in-JSON payload source: doc payloads arrive
+    wrapped as ``{"doc": {"conteudo": "<base64>"}}`` (alagoas.py:104-107,
+    rio_de_janeiro.py:136-141); ``web_graph.payload_encoding`` marks the rows
+    so the fetch stage unwraps before decode.  Disjoint
+    ``b64h{i}.legis.example`` host namespace."""
+    return generate(scale, root=root, force=force, host_prefix="b64h",
+                    variant="b64", payload_encoding="b64json")
 
 
 def corpus_dir_for_sf(sf_dir: str) -> str:

@@ -38,6 +38,21 @@ MAX_ATTEMPTS = 5  # mirrors the reference's 5-attempt budget
 
 FAIL_NONE, FAIL_SOFT, FAIL_HARD = 0, 1, 2
 
+
+def unwrap_b64json(buf) -> bytes:
+    """base64-in-JSON payload decode: the reference's API-shaped sources
+    deliver binaries as ``{"doc": {"conteudo": "<base64>"}}`` bodies and
+    decode them in the response handler (alagoas.py:104-107,
+    rio_de_janeiro.py:136-141).  Rows marked ``payload_encoding='b64json'``
+    in the web graph are unwrapped here, BEFORE the fused decode — so the
+    decode-stage invariants (checksum / phash / PSNR vs raw-image ground
+    truth) verify the unwrap end-to-end.  json/binascii are C-backed; the
+    base64 copy is inherent to the wire format, not an engine copy."""
+    import binascii
+    import json as _json
+
+    return binascii.a2b_base64(_json.loads(bytes(buf))["doc"]["conteudo"])
+
 OUT_SCHEMA_EXTRA = [
     ("status", pa.string()),  # ok | error
     ("attempts", pa.int32()),
@@ -135,6 +150,8 @@ class FetchActor:
         # share of crawl memory traffic — and this box's effective DRAM
         # bandwidth, not CPU, is what caps fetch+decode scaling.
         self.corpus_small = self.corpus.drop_columns(["bytes"])
+        # graphs without encoded payloads skip the unwrap path entirely
+        self.has_enc = "payload_encoding" in self.graph.schema.names
         if decode:
             from .decode import ChunkedBlobs
 
@@ -198,14 +215,31 @@ class FetchActor:
                 "subject_ids": g["subject_ids"],
             }
         )
+        enc = g["payload_encoding"].to_pylist() if self.has_enc else None
         if self.keep_payloads:
-            cols["bytes"] = self.corpus.select(["bytes"]).take(take_corpus)["bytes"]
+            payload_col = self.corpus.select(["bytes"]).take(take_corpus)["bytes"]
+            if enc is not None and any(e == "b64json" for e in enc):
+                # emit the DECODED payload (the reference's saver writes the
+                # unwrapped binary, not the JSON body) — per-row cost only on
+                # encoded rows of encoded corpora
+                vals = payload_col.to_pylist()
+                vals = [
+                    unwrap_b64json(v) if (e == "b64json" and v is not None) else v
+                    for v, e in zip(vals, enc)
+                ]
+                payload_col = pa.array(vals, pa.binary())
+            cols["bytes"] = payload_col
         if self.decode:
             from .decode import decode_compute
 
             blob_views = [
                 self.blobs.get(int(j)) if j >= 0 else None for j in img_idx
             ]
+            if enc is not None:
+                blob_views = [
+                    unwrap_b64json(v) if (e == "b64json" and v is not None) else v
+                    for v, e in zip(blob_views, enc)
+                ]
             dec = decode_compute(
                 blob_views,
                 c["fmt"].to_pylist(),
