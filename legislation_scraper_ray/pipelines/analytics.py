@@ -398,6 +398,62 @@ def value_quantiles_sample(sf_dir: str, k: int = 4096):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def value_quantiles_kll(sf_dir: str, k: int = 256):
+    """KLL-sketch quantiles per event_type — the DETERMINISTIC rank-error path
+    for unbounded value domains (VERDICT r2 item 7), replacing the
+    bounded-cardinality assumption of the exact frequency-table operator
+    (which stays as the exact path for bounded domains).
+
+    Shape: per-batch per-group KLL partial (functions/sketch.py) serialized as
+    (event_type, level, value) rows — O(k·log log n) rows per group per batch,
+    independent of input size — then one tiny ``groupby(event_type)`` merge
+    that rebuilds and re-compacts the sketch (KLL merges compose the error
+    bound).  Output carries the explicit bound: |est_rank − true_rank| ≤
+    ``eps_rank``·n.  Deterministic (parity-alternating compaction, no RNG) →
+    identical estimates across runs, batch splits and cluster sizes.  No SQL
+    oracle by design (approximate); pytest asserts the rank-error band on a
+    continuous corpus."""
+    from ..functions.sketch import KLL
+
+    def partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        ets, lvs, vls = [], [], []
+        for et, g in pdf.groupby("event_type", sort=False):
+            sk = KLL(k)
+            sk.update_many(g["value"].to_numpy(dtype=np.float64))
+            lv, vals = sk.items()
+            ets.extend([et] * (len(lv) + 1))
+            lvs.extend(lv.tolist() + [-1])  # sentinel row carries exact n
+            vls.extend(vals.tolist() + [float(sk.n)])
+        return pa.table(
+            {"event_type": pa.array(ets, pa.string()),
+             "level": pa.array(lvs, pa.int32()),
+             "value": pa.array(vls, pa.float64())}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lv = g["level"].to_numpy()
+        vals = g["value"].to_numpy()
+        n = int(vals[lv == -1].sum())
+        sk = KLL.from_items(lv[lv >= 0], vals[lv >= 0], n, k)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p25_est": _round(sk.quantile(0.25), 4),
+                "p50_est": _round(sk.quantile(0.50), 4),
+                "p75_est": _round(sk.quantile(0.75), 4),
+                "p90_est": _round(sk.quantile(0.90), 4),
+                "eps_rank": [sk.eps()],
+                "n": [np.int64(n)],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby("event_type").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # sentinel token row that carries each batch's truncation bound through the
 # summary groupby ("\x00" cannot be produced by splitting text on spaces)
 _HH_SENTINEL = "\x00batch_bound"
@@ -978,6 +1034,7 @@ ANALYTICS_QUERIES = {
     "value_rank_in_type": value_rank_in_type,
     "lineitem_big_orders_semi": lineitem_big_orders_semi,
     "value_quantiles_sample": value_quantiles_sample,
+    "value_quantiles_kll": value_quantiles_kll,
     "top_tokens_sketch": top_tokens_sketch,
     "training_data_prep": training_data_prep,
     "value_ts_regression": value_ts_regression,
