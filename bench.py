@@ -69,13 +69,13 @@ def _adaptive_batch(n_rows: int, waves: int | None = None) -> int:
 
 
 def rd_from_slices(tbl, bounds):
-    """Pre-blocked MaterializedDataset from driver-side zero-copy slices."""
-    import ray
-    import ray.data as rd
+    """Pre-blocked MaterializedDataset from driver-side zero-copy slices
+    (local metadata — no remote tasks that would queue behind fetch work)."""
+    from legislation_scraper_ray.pipelines.common import from_local_tables
 
-    return rd.from_arrow_refs(
-        [ray.put(tbl.slice(int(a), int(b - a))) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-    ).materialize()
+    return from_local_tables(
+        [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+    )
 
 
 BENCH_QUERIES = [

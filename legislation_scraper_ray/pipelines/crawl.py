@@ -61,6 +61,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from .common import from_local_tables
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.fetch import FetchActor, prepare_web_cached
 from ..state.politeness import PolitenessSlotShard, SlotAssigner, host_shard_of
@@ -753,9 +754,9 @@ def _stage_frontier(
             bs_plan = _small_frontier_batch(n_frontier, cfg)
             k = max(1, min(256, n_frontier // max(bs_plan, 1)))
             bounds = np.linspace(0, n_frontier, k + 1).astype(int)
-            frontier_ds = rd.from_arrow_refs(
+            frontier_ds = from_local_tables(
                 [
-                    ray.put(frontier_tbl.slice(int(a), int(b - a)))
+                    frontier_tbl.slice(int(a), int(b - a))
                     for a, b in zip(bounds[:-1], bounds[1:])
                     if b > a
                 ]
