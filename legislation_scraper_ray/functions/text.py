@@ -181,3 +181,43 @@ def _trigram_hashes(word_hashes: np.ndarray, parents: np.ndarray):
     h = (a * mix + b) * mix + c
     same = (parents[:-2] == parents[1:-1]) & (parents[1:-1] == parents[2:])
     return h[same], parents[:-2][same]
+
+
+def kgram_hashes(word_hashes: np.ndarray, parents: np.ndarray, k: int):
+    """Generalized :func:`_trigram_hashes`: hashes of consecutive word
+    ``k``-grams that do not cross doc boundaries (same golden-ratio Horner
+    mix, so ``k=3`` is bit-identical to the trigram kernel).  Returns
+    ``(kgram_hash uint64[], parent_doc int64[])``."""
+    n = len(word_hashes)
+    if n < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    h = word_hashes[: n - k + 1].copy()
+    same = np.ones(n - k + 1, dtype=bool)
+    for i in range(1, k):
+        h = h * mix + word_hashes[i : n - k + 1 + i]
+        same &= parents[: n - k + 1] == parents[i : n - k + 1 + i]
+    return h[same], parents[: n - k + 1][same]
+
+
+def doc_distinct_kgrams(
+    texts: pa.Array | pa.ChunkedArray, k: int
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:
+    """Per-doc DISTINCT word-k-gram hashes for a batch of texts, fully
+    vectorized: tokenize → hash words → k-gram Horner mix → per-(doc, hash)
+    dedup via one lexsort.  Returns ``(hashes, parent_doc, n_docs, n_total)``
+    where ``hashes``/``parent_doc`` hold the distinct k-grams per doc (sorted
+    by doc then hash) and ``n_total[d]`` is doc d's TOTAL (with-duplicate)
+    k-gram count."""
+    flat, parents, _counts = _flat_tokens(texts)
+    wh = hash64(flat)
+    h, par = kgram_hashes(wh, parents, k)
+    n_docs = len(texts)
+    n_total = np.bincount(par, minlength=n_docs).astype(np.int64) if len(par) else np.zeros(n_docs, np.int64)
+    if not len(h):
+        return h, par, n_docs, n_total
+    order = np.lexsort((h, par))
+    h, par = h[order], par[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (h[1:] != h[:-1]) | (par[1:] != par[:-1])
+    return h[keep], par[keep], n_docs, n_total

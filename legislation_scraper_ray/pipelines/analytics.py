@@ -998,6 +998,96 @@ def training_data_prep(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# decontamination + repetition quality (training-data hygiene operators)
+# --------------------------------------------------------------------------
+
+
+def decontaminate_docs(sf_dir: str, k: int = 4, eval_mod: int = 20):
+    """Benchmark decontamination: flag every corpus document sharing ≥1 word
+    ``k``-gram with the held-out eval set (here: ``doc_id % eval_mod == 0`` —
+    the deterministic stand-in for a benchmark suite).  Output = contaminated
+    non-eval docs with their distinct-shared-k-gram count.
+
+    100-TB shape: the eval side is benchmark-sized BY DEFINITION (an eval
+    suite is a few MB even when the corpus is 100 TB), so its distinct k-gram
+    hash set is mined distributed (per-batch dedup combiner), collected
+    output-sized, and BROADCAST via ``ray.put``; the corpus pass is then a
+    single stateless ``map_batches`` doing a vectorized ``np.isin`` against
+    the sorted eval array — no shuffle at all.  64-bit k-gram hashes stand in
+    for strings (expected cross-set collisions ≈ |corpus|·|eval| / 2^64 — nil).
+
+    Reference analog: the dataset builder's subject/keyword screening over
+    assembled corpora (/root/reference/src/datasets/build_dataset.py:195-215),
+    upgraded to the n-gram-overlap decontamination a training corpus needs."""
+    import ray
+
+    from ..functions.text import doc_distinct_kgrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_kgrams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(ids % eval_mod == 0))
+        if not tt.num_rows:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h, _par, _n, _tot = doc_distinct_kgrams(tt["text"], k)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    # benchmark-sized collect: distinct k-gram hashes of the eval slice only
+    rows = ds.map_batches(eval_kgrams, batch_format="pyarrow", batch_size=8192).take_all()
+    eval_h = (np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
+              if rows else np.empty(0, np.uint64))
+    eval_ref = ray.put(eval_h)
+
+    def hits(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tt = t.filter(pa.array(ids % eval_mod != 0))
+        if not tt.num_rows or not len(ev):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        h, par, n_docs, _tot = doc_distinct_kgrams(tt["text"], k)
+        hit = np.isin(h, ev)
+        n_hits = np.bincount(par[hit], minlength=n_docs).astype(np.int64)
+        keep = n_hits > 0
+        out_ids = tt["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_hits": pa.array(n_hits[keep], pa.int64())})
+
+    out = ds.map_batches(hits, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_ratio_docs(sf_dir: str, k: int = 3):
+    """Gopher-style repetition quality rule: per-doc fraction of duplicate
+    word ``k``-grams (1 − distinct/total; 0 for docs shorter than ``k``
+    tokens).  High values mark boilerplate/spam for corpus filtering.
+
+    Single stateless ``map_batches`` pass — tokenize, Horner-mix k-grams, one
+    lexsort for the per-doc distinct count — no shuffle, no driver state."""
+    from ..functions.text import doc_distinct_kgrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        h, par, n_docs, n_total = doc_distinct_kgrams(t["text"], k)
+        n_distinct = (np.bincount(par, minlength=n_docs).astype(np.int64)
+                      if len(par) else np.zeros(n_docs, np.int64))
+        ratio = np.zeros(n_docs, np.float64)
+        nz = n_total > 0
+        ratio[nz] = 1.0 - n_distinct[nz] / n_total[nz]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_kgrams": pa.array(n_total, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "rep_ratio": pa.array(_round(ratio, 4), pa.float64()),
+        })
+
+    out = ds.map_batches(rep, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
 
@@ -1039,9 +1129,61 @@ ANALYTICS_QUERIES = {
     "training_data_prep": training_data_prep,
     "value_ts_regression": value_ts_regression,
     "user_funnel": user_funnel,
+    "decontaminate_docs": decontaminate_docs,
+    "repetition_ratio_docs": repetition_ratio_docs,
 }
 
+_KGRAM4_CTES = """w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT a.doc_id,
+               a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word AS ng
+        FROM w a
+        JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        JOIN w d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+    ),
+    gd AS (SELECT DISTINCT doc_id, ng FROM g)"""
+
+
 ANALYTICS_ORACLE_SQL = {
+    "decontaminate_docs": f"""
+        WITH {_KGRAM4_CTES},
+        ev AS (SELECT DISTINCT ng FROM gd WHERE doc_id % 20 = 0)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM gd JOIN ev USING (ng)
+        WHERE doc_id % 20 <> 0
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "repetition_ratio_docs": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        g AS (
+            SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS ng
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ),
+        stats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+                   CAST(COUNT(DISTINCT ng) AS BIGINT) AS n_distinct
+            FROM g GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_kgrams, 0) AS n_kgrams,
+               COALESCE(s.n_distinct, 0) AS n_distinct,
+               COALESCE(ROUND(1.0 - s.n_distinct * 1.0 / s.n_kgrams, 4), 0.0)
+                   AS rep_ratio
+        FROM documents d LEFT JOIN stats s USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "distinct_users_by_type": """
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type

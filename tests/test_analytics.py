@@ -376,3 +376,69 @@ def test_user_type_pivot(ray_session, events):
     assert (got[[f"n_{t}" for t in EVENT_TYPES]].sum(axis=1) == events.groupby("user_id").size()).all()
     for et in want.columns:
         assert (got[f"n_{et}"].to_numpy() == want[et].to_numpy()).all()
+
+
+def test_kgram_hashes_matches_trigram_kernel(ray_session):
+    """kgram_hashes(k=3) must be bit-identical to the trigram kernel the
+    fingerprint operator uses (same Horner mix, same boundary mask)."""
+    from legislation_scraper_ray.functions.hashing import hash64
+    from legislation_scraper_ray.functions.text import _trigram_hashes, kgram_hashes
+
+    rng = np.random.default_rng(7)
+    wh = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+    parents = np.sort(rng.integers(0, 12, size=200)).astype(np.int64)
+    h3, p3 = _trigram_hashes(wh, parents)
+    hk, pk = kgram_hashes(wh, parents, 3)
+    assert (h3 == hk).all() and (p3 == pk).all()
+    # short input edge
+    assert kgram_hashes(wh[:2], parents[:2], 3)[0].size == 0
+
+
+def test_doc_distinct_kgrams(ray_session):
+    from legislation_scraper_ray.functions.text import doc_distinct_kgrams
+
+    texts = pa.array([
+        "a b c a b c a b",   # 4-grams: abca bcab cabc abca bcab → 5 total, 3 distinct
+        "x y",                # shorter than k → 0
+        "p q r s",            # exactly one 4-gram
+    ])
+    h, par, n_docs, n_total = doc_distinct_kgrams(texts, 4)
+    assert n_docs == 3
+    assert n_total.tolist() == [5, 0, 1]
+    n_distinct = np.bincount(par, minlength=n_docs)
+    assert n_distinct.tolist() == [3, 0, 1]
+
+
+def test_decontaminate_and_repetition(ray_session, docs):
+    """Brute-force pandas oracles at sf0.001 for the two hygiene operators."""
+    from legislation_scraper_ray.pipelines.analytics import (
+        decontaminate_docs,
+        repetition_ratio_docs,
+    )
+
+    def kgrams(text, k=4):
+        tok = text.split(" ")
+        return {" ".join(tok[i : i + k]) for i in range(len(tok) - k + 1)}
+
+    ev = set()
+    for r in docs.itertuples():
+        if r.doc_id % 20 == 0:
+            ev |= kgrams(r.text)
+    want = {
+        r.doc_id: len(kgrams(r.text) & ev)
+        for r in docs.itertuples()
+        if r.doc_id % 20 != 0 and kgrams(r.text) & ev
+    }
+    got = _df(decontaminate_docs(SF))
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+
+    got_rep = _df(repetition_ratio_docs(SF)).set_index("doc_id")
+    assert len(got_rep) == len(docs)
+    for r in docs.itertuples():
+        tok = r.text.split(" ")
+        grams = [" ".join(tok[i : i + 3]) for i in range(len(tok) - 2)]
+        row = got_rep.loc[r.doc_id]
+        assert row["n_kgrams"] == len(grams)
+        assert row["n_distinct"] == len(set(grams))
+        exp = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert abs(row["rep_ratio"] - exp) < 5e-5
