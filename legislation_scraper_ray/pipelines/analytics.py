@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import splitmix64
 from .common import _MINHASH_PAIRS_CTES, _add_part, _mul64_sql, _read, _round
@@ -1087,6 +1087,126 @@ def repetition_ratio_docs(sf_dir: str, k: int = 3):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def export_shards(sf_dir: str, n_shards: int = 32):
+    """Training-shard export: assign every doc to a deterministic shard
+    (splitmix64(doc_id) % n_shards — reproducible across runs AND cluster
+    sizes, unlike RNG-based shuffles), write one hive partition per shard
+    (the resumable layout: a failed export skips finished ``shard=N/`` dirs),
+    and return the per-shard manifest (n_docs, n_tokens, doc_id range).
+
+    Two streaming passes over the source, neither materializing: the write
+    consumes the full rows; the manifest aggregates a COLUMN-PRUNED re-read
+    (doc_id only + re-derived token counts), a per-batch partial → 1 tiny
+    shuffle.  Reference analog: the dataset builder's CSV/hub export tail
+    (/root/reference/src/datasets/build_dataset.py:220-248), re-expressed as
+    a partitioned distributed write."""
+    import os
+    import shutil
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (splitmix64(ids) % np.uint64(n_shards)).astype(np.int64)
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t["text"].combine_chunks(), " ")
+        ).cast(pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"], "text": t["text"],
+            "shard": pa.array(shard), "n_tokens": n_tok,
+        })
+
+    out_dir = f"/tmp/graft_export/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)  # write_parquet APPENDS by default
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=8192).write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shard = (splitmix64(ids.astype(np.uint64)) % np.uint64(n_shards)).astype(np.int64)
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t["text"].combine_chunks(), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"shard": shard, "doc_id": ids, "n_tokens": n_tok})
+        g = df.groupby("shard", sort=True)
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "shard": np.asarray(list(g.groups), np.int64),
+                "n_docs": g.size().to_numpy(np.int64),
+                "n_tokens": g["n_tokens"].sum().to_numpy(np.int64),
+                "min_doc_id": g["doc_id"].min().to_numpy(np.int64),
+                "max_doc_id": g["doc_id"].max().to_numpy(np.int64),
+            }),
+            preserve_index=False,
+        )
+
+    parts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    )
+    agg = parts.groupby("shard").aggregate(
+        Sum("n_docs"), Sum("n_tokens"), Min("min_doc_id"), Max("max_doc_id")
+    ).to_pandas()
+    agg = agg.rename(columns={
+        "sum(n_docs)": "n_docs", "sum(n_tokens)": "n_tokens",
+        "min(min_doc_id)": "min_doc_id", "max(max_doc_id)": "max_doc_id",
+    })
+    return agg.sort_values("shard").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str, budget: int = 256, n_shards: int = 8):
+    """Greedy sequence packing — the LLM-training step that concatenates docs
+    into fixed-token-budget training sequences.  Docs are packed in doc_id
+    order WITHIN a deterministic shard (splitmix64 % n_shards): the shard is
+    the unit of parallelism (packing is inherently sequential, so at 100 TB
+    you pack thousands of shards concurrently, never one global stream).
+    Returns per-pack (shard, pack_id, n_docs, n_tokens).
+
+    Greedy rule: a doc opens a new pack iff the current pack is nonempty and
+    would overflow ``budget``; an oversized doc occupies a pack alone.  The
+    inner kernel loops per PACK (searchsorted on the token cumsum), not per
+    row.  Oracle: an order-dependent recursive CTE — one of the few operators
+    whose SQL mirror needs recursion."""
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (splitmix64(ids) % np.uint64(n_shards)).astype(np.int64)
+        n_tok = pc.list_value_length(
+            pc.split_pattern(t["text"].combine_chunks(), " ")
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "shard": pa.array(shard), "n_tokens": n_tok})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy(np.int64)
+        cum = np.cumsum(n)
+        shard = int(g["shard"].iloc[0])
+        bounds = [0]
+        while bounds[-1] < len(n):
+            start = bounds[-1]
+            base = cum[start - 1] if start else 0
+            # last doc index whose cumulative total stays within budget
+            end = int(np.searchsorted(cum, base + budget, side="right"))
+            bounds.append(max(end, start + 1))  # oversized doc → alone in its pack
+        bounds = np.asarray(bounds, np.int64)
+        n_docs = np.diff(bounds)
+        tot = np.diff(np.concatenate([[0], cum[bounds[1:] - 1]]))
+        return pd.DataFrame({
+            "shard": np.full(len(n_docs), shard, np.int64),
+            "pack_id": np.arange(len(n_docs), dtype=np.int64),
+            "n_docs": n_docs.astype(np.int64),
+            "n_tokens": tot.astype(np.int64),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(add_shard, batch_format="pyarrow", batch_size=8192)
+        .groupby("shard")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["shard", "pack_id"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
@@ -1131,6 +1251,8 @@ ANALYTICS_QUERIES = {
     "user_funnel": user_funnel,
     "decontaminate_docs": decontaminate_docs,
     "repetition_ratio_docs": repetition_ratio_docs,
+    "export_shards": export_shards,
+    "pack_sequences": pack_sequences,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -1158,6 +1280,44 @@ ANALYTICS_ORACLE_SQL = {
         WHERE doc_id % 20 <> 0
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "export_shards": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, text')},
+        t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(skey % 32 AS BIGINT) AS shard
+            FROM smx
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM t GROUP BY shard ORDER BY shard
+    """,
+    "pack_sequences": f"""
+        WITH RECURSIVE {_splitmix64_ctes('documents', 'doc_id', 'doc_id, text')},
+        toks0 AS (
+            SELECT doc_id, CAST(skey % 8 AS BIGINT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM smx
+        ),
+        toks AS (
+            SELECT doc_id, shard, n,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM toks0
+        ),
+        walk AS (
+            SELECT shard, rn, n, CAST(0 AS BIGINT) AS pack_id, n AS cum
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.shard, t.rn, t.n,
+                   CASE WHEN w.cum + t.n > 256 THEN w.pack_id + 1 ELSE w.pack_id END,
+                   CASE WHEN w.cum + t.n > 256 THEN t.n ELSE w.cum + t.n END
+            FROM toks t JOIN walk w ON t.shard = w.shard AND t.rn = w.rn + 1
+        )
+        SELECT shard, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM walk GROUP BY shard, pack_id ORDER BY shard, pack_id
     """,
     "repetition_ratio_docs": """
         WITH w AS (

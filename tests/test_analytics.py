@@ -442,3 +442,43 @@ def test_decontaminate_and_repetition(ray_session, docs):
         assert row["n_distinct"] == len(set(grams))
         exp = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
         assert abs(row["rep_ratio"] - exp) < 5e-5
+
+
+def test_export_shards_and_pack_sequences(ray_session, docs):
+    from legislation_scraper_ray.functions.hashing import splitmix64
+    from legislation_scraper_ray.pipelines.analytics import export_shards, pack_sequences
+
+    shard = splitmix64(docs["doc_id"].to_numpy().astype(np.uint64)) % np.uint64(32)
+    ntok = docs["text"].str.split(" ").str.len().to_numpy()
+
+    man = _df(export_shards(SF)).set_index("shard")
+    assert man["n_docs"].sum() == len(docs)
+    assert man["n_tokens"].sum() == ntok.sum()
+    for s in man.index:
+        m = shard == np.uint64(s)
+        assert man.loc[s, "n_docs"] == m.sum()
+        assert man.loc[s, "min_doc_id"] == docs["doc_id"][m].min()
+    # hive layout on disk, one dir per shard
+    import os
+    dirs = sorted(os.listdir(f"/tmp/graft_export/{os.path.basename(SF)}"))
+    assert all(d.startswith("shard=") for d in dirs) and len(dirs) == len(man)
+
+    packs = _df(pack_sequences(SF))
+    assert packs["n_docs"].sum() == len(docs)
+    assert packs["n_tokens"].sum() == ntok.sum()
+    # greedy invariants: every pack within budget unless a single oversized
+    # doc; consecutive pack of same shard could not absorb the next pack's
+    # first doc (budget=256, all docs < 256 tokens here → packs ≤ 256)
+    assert (packs["n_tokens"] <= 256).all()
+    shard8 = splitmix64(docs["doc_id"].to_numpy().astype(np.uint64)) % np.uint64(8)
+    for s, grp in packs.groupby("shard"):
+        order = docs.loc[shard8 == np.uint64(s)].sort_values("doc_id")
+        toks = order["text"].str.split(" ").str.len().to_numpy()
+        # replay greedy
+        cur, pid, sizes = 0, 0, []
+        for n in toks:
+            if cur and cur + n > 256:
+                sizes.append(cur); cur = 0
+            cur += n
+        sizes.append(cur)
+        assert grp.sort_values("pack_id")["n_tokens"].tolist() == sizes
