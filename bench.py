@@ -236,13 +236,17 @@ def run_scaling() -> dict:
     run(N_LO, "--sustained")  # warm OS page cache + corpus cache (untimed)
     sus_lo = best(N_LO, "--sustained")
     sus_hi = best(N_HI, "--sustained")
-    full_lo = best(N_LO, "--crawl-full")
-    full_hi = best(N_HI, "--crawl-full")
+    # full-crawl legs get a third trial: the 3-generation crawl is the
+    # noise-sensitive mode (identical 16-core legs measured 17.7-30.0 s in one
+    # hour on this multi-tenant box), and the scaling criterion is about the
+    # SOFTWARE's behavior, which the least-interfered sample reflects
+    full_lo = best(N_LO, "--crawl-full", trials=3)
+    full_hi = best(N_HI, "--crawl-full", trials=3)
     ratio = N_HI / N_LO
     sus_eff = (sus_hi["value"] / sus_lo["value"]) / ratio
     full_eff = (full_hi["value"] / full_lo["value"]) / ratio
     return {
-        "metric": f"scaling efficiency (full-crawl pages/sec, {N_LO}->{N_HI} pinned cores, best-of-2 legs)",
+        "metric": f"scaling efficiency (full-crawl pages/sec, {N_LO}->{N_HI} pinned cores, best-of-3 full / best-of-2 sustained legs)",
         "value": round(full_eff, 3),
         "unit": "ratio",
         "sustained_efficiency": round(sus_eff, 3),
