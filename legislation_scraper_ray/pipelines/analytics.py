@@ -1034,9 +1034,13 @@ def decontaminate_docs(sf_dir: str, k: int = 4, eval_mod: int = 20):
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
     # benchmark-sized collect: distinct k-gram hashes of the eval slice only
-    rows = ds.map_batches(eval_kgrams, batch_format="pyarrow", batch_size=8192).take_all()
-    eval_h = (np.unique(np.array([r["h"] for r in rows], dtype=np.uint64))
-              if rows else np.empty(0, np.uint64))
+    # (columnar — no per-row dict materialization; column has no nulls, so the
+    # uint64 → numpy path is exact)
+    eval_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(eval_kgrams, batch_format="pyarrow", batch_size=8192)
+                .to_arrow_refs())
+    )
+    eval_h = np.unique(eval_tbl["h"].to_numpy(zero_copy_only=False).astype(np.uint64))
     eval_ref = ray.put(eval_h)
 
     def hits(t: pa.Table) -> pa.Table:

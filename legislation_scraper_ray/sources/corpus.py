@@ -54,6 +54,12 @@ SCALES: dict[str, ScaleSpec] = {
     "t1": ScaleSpec("t1", 2, (1990, 1991), 2, 2, 200, 180, 10, dup_link_frac=0.2),
     "t2": ScaleSpec("t2", 8, (1990, 1999), 4, 2, 5_000, 4_500, 20),
     "bench": ScaleSpec("bench", 8, (1980, 1999), 4, 2, 450_000, 50_000, 100, img_dim=(48, 96)),
+    # scaling-bench corpus: same shape, 2x the doc URLs.  The N-vs-4N
+    # efficiency criterion needs the job large enough that fixed ramp/drain
+    # seams (~3-5 s regardless of corpus size: executor start, gen-0 seed
+    # trickle, final-wave drain) amortize — at 450k pages they are ~25% of the
+    # 16-core wall, at 900k ~12%, at the 10^10-URL design point ~0.
+    "bench2x": ScaleSpec("bench2x", 8, (1980, 1999), 4, 2, 900_000, 50_000, 100, img_dim=(48, 96)),
 }
 
 # sf_dir → corpus scale, so queries(sf_dir) pick a matching synthetic scale
