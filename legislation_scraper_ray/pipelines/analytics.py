@@ -1211,6 +1211,53 @@ def pack_sequences(sf_dir: str, budget: int = 256, n_shards: int = 8):
     return out.sort_values(["shard", "pack_id"]).reset_index(drop=True)
 
 
+def embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes — the reduction behind
+    nearest-centroid classification, IVF coarse quantizers, and per-class
+    drift monitoring).  Output long-format (label, dim, c) so the SQL oracle
+    can mirror it with unnest + group-by.
+
+    One pass: each batch reduces its vectors to per-label (sum, count)
+    partials via a segmented reduceat over the zero-copy flattened float
+    buffer — output is O(labels × dims) per batch regardless of batch size —
+    then a tiny groupby merges partials.  Sums accumulate in float64 on both
+    sides (engine and DOUBLE-cast SQL), so divergence is summation order only
+    (~1e-15 relative), far inside the 4-decimal round."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        n = len(emb)
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        d = flat.size // n
+        mat = flat.reshape(n, d)
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        uniq, starts = np.unique(sl, return_index=True)
+        sums = np.add.reduceat(mat[order], starts, axis=0)  # (n_labels, d)
+        counts = np.diff(np.append(starts, n))
+        lab_rep = np.repeat(uniq, d)
+        dim_rep = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            "key": pa.array(lab_rep * 100_000 + dim_rep, pa.int64()),
+            "label": pa.array(lab_rep, pa.int64()),
+            "dim": pa.array(dim_rep, pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    agg = parts.groupby("key").aggregate(Sum("s"), Sum("n")).to_pandas()
+    key = agg["key"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "label": key // 100_000,
+        "dim": key % 100_000,
+        "c": _round(agg["sum(s)"].to_numpy() / agg["sum(n)"].to_numpy(), 4),
+    })
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # SQL oracles
 # --------------------------------------------------------------------------
@@ -1257,6 +1304,7 @@ ANALYTICS_QUERIES = {
     "repetition_ratio_docs": repetition_ratio_docs,
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
+    "embedding_centroids": embedding_centroids,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -1284,6 +1332,17 @@ ANALYTICS_ORACLE_SQL = {
         WHERE doc_id % 20 <> 0
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "embedding_centroids": """
+        SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+               ROUND(AVG(CAST(v AS DOUBLE)), 4) AS c
+        FROM (
+            SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings
+        )
+        GROUP BY label, dim
+        ORDER BY label, dim
     """,
     "export_shards": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, text')},

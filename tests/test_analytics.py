@@ -482,3 +482,16 @@ def test_export_shards_and_pack_sequences(ray_session, docs):
             cur += n
         sizes.append(cur)
         assert grp.sort_values("pack_id")["n_tokens"].tolist() == sizes
+
+
+def test_embedding_centroids(ray_session):
+    from legislation_scraper_ray.pipelines.analytics import embedding_centroids
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    got = _df(embedding_centroids(SF))
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    for lab, grp in emb.groupby("label"):
+        want = mat[grp.index].mean(axis=0)
+        g = got[got["label"] == lab].sort_values("dim")["c"].to_numpy()
+        assert len(g) == mat.shape[1]
+        assert np.allclose(g, want, atol=5.1e-5)
