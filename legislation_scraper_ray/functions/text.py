@@ -183,6 +183,36 @@ def _trigram_hashes(word_hashes: np.ndarray, parents: np.ndarray):
     return h[same], parents[:-2][same]
 
 
+# PII patterns a training-corpus scrub removes (emails, international-ish
+# phone numbers, 16-digit card-like runs, IPv4).  Order matters: the card rule
+# must run before the phone rule would eat its digit groups.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d[ -]?){15}\d\b", "<CARD>"),
+    (r"\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3,4}[ -]?\d{3,4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized PII redaction over a text column: each pattern is one Arrow
+    ``replace_substring_regex`` kernel pass (no Python row loop), plus a
+    per-row redaction count so downstream quality filters can drop
+    PII-saturated documents.  Adds ``text`` (redacted in place) and
+    ``n_redactions``."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_red = np.zeros(len(texts), np.int64)
+    for pat, token in PII_PATTERNS:
+        n_red += pc.count_substring_regex(texts, pat).to_numpy(zero_copy_only=False)
+        texts = pc.replace_substring_regex(texts, pat, token)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, texts).append_column(
+        "n_redactions", pa.array(n_red, pa.int64())
+    )
+
+
 def kgram_hashes(word_hashes: np.ndarray, parents: np.ndarray, k: int):
     """Generalized :func:`_trigram_hashes`: hashes of consecutive word
     ``k``-grams that do not cross doc boundaries (same golden-ratio Horner

@@ -90,3 +90,29 @@ def test_resume_exactness(ray_session, t1_dir, tmp_path_factory):
     # no re-fetch of completed work: lineage url_hashes unique across the resumed run
     lin = _lineage(part)
     assert lin["url_hash"].nunique() == len(lin)
+
+
+def test_pipelined_window_boundary_parity(ray_session, t1_dir, tmp_path_factory):
+    """Multi-WINDOW pipelined crawl (pipeline_generations=2 over the 3-gen t1
+    corpus → windows [0,1] and [2]): the window boundary re-materializes the
+    frontier and accumulates counters per window; final doc/seen/error sets
+    and counters must match the classic per-generation path exactly."""
+    from legislation_scraper_ray.oracle.simulator import simulate
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("pipew"))
+    cfg = CrawlConfig(
+        n_seen_shards=2, fetch_concurrency=2, checkpoint=False,
+        pipeline_generations=2,
+    )
+    res = run_crawl(t1_dir, out, cfg)
+    sim = simulate(t1_dir)
+    lin = _lineage(out)
+    assert set(int(h) for h in lin["url_hash"]) == sim.seen_hashes
+    docs = _docs(out)
+    assert dict(zip(docs["url"], docs["caption"])) == sim.docs
+    assert res.generations == 3
+    assert res.docs_written == len(sim.docs)
+    # window attribution recorded per generation
+    wins = {g["generation"]: tuple(g["window"]) for g in res.per_generation}
+    assert wins[0] == (0, 1) and wins[2][0] == 2

@@ -75,3 +75,26 @@ def test_segmented_reductions_trailing_empty():
     assert o2[:2].tolist() == [[3, 1], [1, 0]]
     # empty input
     assert segmented_min(np.empty((0,), np.uint64), np.empty((0,), np.int64), 2, ident).tolist() == [int(ident)] * 2
+
+
+def test_redact_pii():
+    import pyarrow as pa
+
+    from legislation_scraper_ray.functions.text import redact_pii
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "contact me at jane.doe+x@example.co.uk for details",
+            "call +55 11 9123 4567 or 192.168.0.1",
+            "card 4111 1111 1111 1111 expires soon",
+            "clean text with no pii at all",
+        ],
+    })
+    out = redact_pii(t)
+    texts = out["text"].to_pylist()
+    assert texts[0] == "contact me at <EMAIL> for details"
+    assert "<PHONE>" in texts[1] and "<IP>" in texts[1]
+    assert "<CARD>" in texts[2] and "4111" not in texts[2]
+    assert texts[3] == "clean text with no pii at all"
+    assert out["n_redactions"].to_pylist() == [1, 2, 1, 0]
