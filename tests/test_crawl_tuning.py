@@ -35,3 +35,34 @@ def test_small_frontier_batch():
     assert _small_frontier_batch(64_000, cfg) == 2000
     # the floor keeps degenerate frontiers from producing 1-row batches
     assert _small_frontier_batch(10, cfg) == 64
+
+
+def test_from_local_tables_matches_from_arrow_refs(ray_session):
+    """from_local_tables builds the same MaterializedDataset from_arrow_refs
+    would (schema, block count, rows, values) while doing ZERO remote work for
+    metadata — this pins the internal-constructor dependency so a Ray upgrade
+    that changes FromArrow/ExecutionPlan internals fails loudly here."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from legislation_scraper_ray.pipelines.common import from_local_tables
+
+    tbl = pa.table({
+        "url": [f"http://h{i % 5}.example/p{i}" for i in range(1000)],
+        "depth": pa.array(np.arange(1000, dtype=np.int32)),
+    })
+    bounds = np.linspace(0, 1000, 9).astype(int)
+    slices = [tbl.slice(int(a), int(b - a)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+    mine = from_local_tables(slices)
+    ref = rd.from_arrow_refs([ray.put(s) for s in slices])
+    assert mine.schema().names == ref.schema().names
+    assert mine.num_blocks() == ref.num_blocks() == 8
+    assert mine.count() == ref.count() == 1000
+    a = mine.to_pandas().sort_values("depth").reset_index(drop=True)
+    b = ref.to_pandas().sort_values("depth").reset_index(drop=True)
+    assert a.equals(b)
+    # downstream transforms work off the locally built plan
+    assert mine.map_batches(lambda t: t, batch_format="pyarrow").count() == 1000
