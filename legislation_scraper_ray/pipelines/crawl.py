@@ -33,6 +33,17 @@ completed generations exactly (vs the reference's lossy resume-at-last-year-1,
 src/database/saver.py:48-61).  Lineage records (url_hash, generation, host,
 scheduled_ts, status, attempts) are written per generation.
 
+Hot-host skew (north_rule "salted repartitioning for hot-host skew"): the BFS
+fetch path goes one step further than salting — it does not partition by host
+AT ALL.  Frontier order spreads a Zipf hot host's URLs uniformly across fetch
+batches (tests/test_crawl_t2.py::test_hot_host_skew_spreads_across_tasks), so
+no task can become the hot-host straggler, while per-host politeness spacing
+is enforced by the sharded slot actors rather than by co-locating a host's
+rows (the co-location a salted shuffle would merely mitigate).  Only
+``host_affinity=True`` trades this back deliberately — sequential per-host
+protocols (S6 postback chains) REQUIRE one fetch unit per host; there the hot
+host is the protocol's own serial floor, not a partitioning artifact.
+
 Streaming-frontier design (r2): the frontier never lands on the driver — it is
 a materialized Dataset whose blocks live in the object store; the checkpoint
 persists it with ``write_parquet``.  The only synchronization a generation
