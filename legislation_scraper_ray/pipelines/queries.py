@@ -311,6 +311,50 @@ def fingerprint_docs(sf_dir: str):
     )
 
 
+def bpe_token_stats_props(sf_dir: str):
+    """BPE-ish regex token counting (the engine's second token model — alpha
+    runs + digit runs + single symbols, functions/text.py TOKEN_REGEX) over the
+    one driver table whose text mixes all three classes: ``events.props`` JSON
+    bodies.  Whitespace tokenization alone under-counts code/JSON-like text;
+    training-token budgets need the regex model."""
+    from ..functions.text import token_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return ds.map_batches(
+        lambda t: token_stats(t, text_col="props").select(["event_id", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def redact_pii_customers(sf_dir: str):
+    """PII redaction (training-corpus scrub): build a deterministic contact
+    string per customer (name-derived email + custkey-derived phone number),
+    then run the vectorized redaction kernel (functions/text.py redact_pii —
+    one Arrow regex pass per pattern, no row loop).  Both engines construct
+    the identical string, so the oracle verifies the actual replacements and
+    counts bit-exactly (Arrow and DuckDB share RE2 semantics).  Assumes
+    c_custkey < 10^8 (lpad width 8 — DuckDB's lpad truncates longer inputs)."""
+    from ..functions.text import redact_pii
+
+    def build_and_redact(t: pa.Table) -> pa.Table:
+        key8 = pc.utf8_lpad(pc.cast(t["c_custkey"], pa.string()), 8, "0")
+        text = pc.binary_join_element_wise(
+            "contact ",
+            t["c_name"],
+            " at ",
+            pc.replace_substring(t["c_name"], "#", "."),
+            "@example.com or +55 11 9",
+            key8,
+            " today",
+            "",
+        )
+        tt = pa.table({"c_custkey": t["c_custkey"], "text": text})
+        return redact_pii(tt).select(["c_custkey", "text", "n_redactions"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(build_and_redact, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -1149,6 +1193,8 @@ QUERIES = {
     "stopword_ratio_docs": stopword_ratio_docs,
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
+    "bpe_token_stats_props": bpe_token_stats_props,
+    "redact_pii_customers": redact_pii_customers,
     "dedup_first_by_text": dedup_first_by_text,
     "minhash_dup_pairs": minhash_dup_pairs,
     "jaccard_dup_pairs": jaccard_dup_pairs,
@@ -1235,6 +1281,41 @@ def _fnv_sql(col: str) -> str:
         list_transform(range(1, strlen({col})+1), i -> ord(substr({col}, i, 1))::HUGEINT),
         (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}
       )::UBIGINT, strlen({col})::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}"""
+
+
+def _redact_pii_sql() -> str:
+    """SQL oracle for redact_pii_customers, generated from the SAME
+    ``PII_PATTERNS`` tuple the kernel applies (functions/text.py): one CTE per
+    pattern, counting matches on the CURRENT text then replacing globally —
+    the exact progressive order of redact_pii.  DuckDB and Arrow both compile
+    the patterns with RE2, so replacements and counts are bit-identical."""
+    from ..functions.text import PII_PATTERNS
+
+    ctes = [
+        """c0 AS (
+            SELECT c_custkey,
+                   'contact ' || c_name || ' at ' || replace(c_name, '#', '.') ||
+                   '@example.com or +55 11 9' ||
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') || ' today' AS t,
+                   0::BIGINT AS nred
+            FROM customer
+        )"""
+    ]
+    for i, (pat, token) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"""c{i + 1} AS (
+            SELECT c_custkey,
+                   regexp_replace(t, '{pat}', '{token}', 'g') AS t,
+                   nred + len(regexp_extract_all(t, '{pat}')) AS nred
+            FROM c{i}
+        )"""
+        )
+    last = len(PII_PATTERNS)
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT c_custkey, t AS text, nred AS n_redactions FROM c{last}"
+    )
 
 
 def _fingerprint_sql() -> str:
@@ -1487,6 +1568,14 @@ ORACLE_SQL = {
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "fingerprint_docs": _fingerprint_sql(),
+    "bpe_token_stats_props": r"""
+        SELECT event_id,
+               len(regexp_extract_all(props, '[A-Za-z]+'))
+             + len(regexp_extract_all(props, '[0-9]+'))
+             + len(regexp_extract_all(props, '[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        FROM events
+    """,
+    "redact_pii_customers": _redact_pii_sql(),
     "simhash_dup_pairs": _simhash_pairs_sql(),
     # exact similarity join at 0.8 — same shingle/Jaccard ground truth as the
     # minhash oracle, lower threshold (the engine side is exact, not LSH)
