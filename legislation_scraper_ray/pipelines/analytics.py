@@ -1091,6 +1091,91 @@ def repetition_ratio_docs(sf_dir: str, k: int = 3):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dup_ngram_docs(sf_dir: str, k: int = 4):
+    """Cross-document duplicate n-gram detection — the substring-dedup signal
+    of "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    2022) at word-k-gram granularity: for each doc, count how many of its
+    DISTINCT word ``k``-grams also occur in at least one OTHER document.
+    Docs with a high shared fraction are near-copies / boilerplate carriers.
+
+    100-TB shape: the only exchange is (kgram_hash uint64, doc_id int64)
+    rows — 16 bytes per distinct k-gram, never the text.  Hash-partitioning
+    on the k-gram hash co-locates each n-gram's postings (the classic
+    inverted-index shard), each partition counts postings locally and emits
+    per-doc partials, and the final ``groupby(doc_id)`` moves one row per
+    (partition × doc).  Within-doc dedup happens batch-side in
+    ``doc_distinct_kgrams`` (a doc's text is one row, so per-batch distinct
+    is globally distinct)."""
+    from ..functions.text import doc_distinct_kgrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kgram_rows(t: pa.Table) -> pa.Table:
+        h, par, _n_docs, _tot = doc_distinct_kgrams(t["text"], k)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(h, pa.uint64()),
+                         "doc_id": pa.array(ids[par], pa.int64())})
+
+    rows = ds.map_batches(kgram_rows, batch_format="pyarrow", batch_size=8192)
+    rows = rows.map_batches(_add_part("h"), batch_format="pyarrow")
+
+    def shared_partial(part_df: pd.DataFrame) -> pd.DataFrame:
+        # all postings of a hash co-locate here; (h, doc_id) is globally
+        # distinct, so the posting count IS the distinct-doc count
+        cnt = part_df.groupby("h", sort=False)["doc_id"].transform("size")
+        hits = part_df[cnt > 1]
+        if hits.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "p_shared": pd.Series([], dtype="int64")})
+        g = hits.groupby("doc_id", sort=False).size().rename("p_shared").reset_index()
+        return g.astype({"doc_id": "int64", "p_shared": "int64"})
+
+    partials = rows.groupby("part").map_groups(shared_partial, batch_format="pandas")
+    agg = partials.groupby("doc_id").aggregate(Sum("p_shared", alias_name="n_shared"))
+    out = agg.to_pandas().astype({"doc_id": "int64", "n_shared": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def c4_filter_docs(sf_dir: str):
+    """C4-style heuristic quality gate (Raffel et al. 2020, §2.2 adapted to
+    this corpus's whitespace token model): per doc — word count, mean word
+    length, curly-brace presence — and the resulting keep flag
+    (``n_words ≥ 10 AND 3 ≤ mean_wl ≤ 10 AND no '{'``).  Returned for EVERY
+    doc (flag, not filter) so downstream stages choose drop vs. weight.
+
+    One stateless column-pruned ``map_batches`` pass: tokenize (space-split,
+    byte-identical to the SQL oracle's ``string_split``), segmented sum of
+    word lengths, vectorized substring test — no shuffle, no driver state."""
+    from ..functions.text import _flat_tokens, segmented_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        flat, parents, counts = _flat_tokens(texts)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = t.num_rows
+        tot_wl = segmented_sum(wl, parents, n_docs)
+        mean_wl = np.zeros(n_docs, np.float64)
+        nz = counts > 0
+        mean_wl[nz] = tot_wl[nz] / counts[nz]
+        mean_wl = _round(mean_wl, 4)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        has_brace = pc.match_substring(texts, "{").to_numpy(zero_copy_only=False)
+        keep = ((counts >= 10) & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+                & ~has_brace).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(counts, pa.int64()),
+            "mean_wl": pa.array(mean_wl, pa.float64()),
+            "keep": pa.array(keep, pa.int64()),
+        })
+
+    out = ds.map_batches(flags, batch_format="pyarrow", batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def export_shards(sf_dir: str, n_shards: int = 32):
     """Training-shard export: assign every doc to a deterministic shard
     (splitmix64(doc_id) % n_shards — reproducible across runs AND cluster
@@ -1302,6 +1387,8 @@ ANALYTICS_QUERIES = {
     "user_funnel": user_funnel,
     "decontaminate_docs": decontaminate_docs,
     "repetition_ratio_docs": repetition_ratio_docs,
+    "dup_ngram_docs": dup_ngram_docs,
+    "c4_filter_docs": c4_filter_docs,
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
     "embedding_centroids": embedding_centroids,
@@ -1332,6 +1419,29 @@ ANALYTICS_ORACLE_SQL = {
         WHERE doc_id % 20 <> 0
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "dup_ngram_docs": f"""
+        WITH {_KGRAM4_CTES},
+        df AS (SELECT ng FROM gd GROUP BY ng HAVING COUNT(*) >= 2)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM gd JOIN df USING (ng)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "c4_filter_docs": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        s AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   ROUND(AVG(len(word)), 4) AS mean_wl
+            FROM w GROUP BY doc_id
+        )
+        SELECT d.doc_id, s.n_words, s.mean_wl,
+               CAST((s.n_words >= 10 AND s.mean_wl BETWEEN 3 AND 10
+                     AND NOT contains(d.text, '{')) AS BIGINT) AS keep
+        FROM documents d JOIN s USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "embedding_centroids": """
         SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,

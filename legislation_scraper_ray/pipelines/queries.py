@@ -734,6 +734,67 @@ def ann_topk(sf_dir: str, k: int = 10):
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+def knn_join_embeddings(sf_dir: str, k: int = 5):
+    """Exact k-nearest-neighbor SELF-join: every vector → its top-``k``
+    cosine neighbors (self excluded).  The batch-level primitive behind
+    embedding dedup, clustering seeds, and hard-negative mining.
+
+    Shape: the index side (vec_id-sorted, L2-normalized matrix) is collected
+    index-sized and broadcast ONCE via ``ray.put``; the query side is a
+    single stateless ``map_batches`` — one numpy matmul per batch, stable
+    per-row argsort for tie-determinism, no shuffle, embarrassingly parallel
+    in the query dimension.  Valid while the INDEX fits a worker heap (the
+    standard ANN-serving regime); for a corpus×corpus join past that,
+    co-partition both sides by IVF cell (``ann_topk_ivf``'s centroid
+    assignment) and run this same kernel per cell.
+
+    Tie handling: similarities are quantized to 12 dp on BOTH engines before
+    ranking (ties then break by ascending neighbor id), so float summation
+    order can't flip near-equal ranks between numpy and DuckDB."""
+    import ray
+
+    from ..functions.ann import _as_matrix, normalize
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = normalize(_as_matrix(t["embedding"]))
+        return pa.table(
+            {"vec_id": t["vec_id"].cast(pa.int64()),
+             "emb": pa.FixedSizeListArray.from_arrays(
+                 pa.array(m.reshape(-1), pa.float64()), m.shape[1])})
+
+    idx_tbl = pa.concat_tables(
+        ray.get(ds.map_batches(pack, batch_format="pyarrow", batch_size=8192)
+                .to_arrow_refs())
+    )
+    idx_ids = idx_tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dim = idx_tbl["emb"].type.list_size
+    idx_m = np.asarray(idx_tbl["emb"].combine_chunks().flatten(),
+                       dtype=np.float64).reshape(-1, dim)
+    order = np.argsort(idx_ids)  # id-ascending columns → stable sort == id tie-break
+    idx_ref = ray.put((idx_ids[order], np.ascontiguousarray(idx_m[order].T)))
+
+    def topk(t: pa.Table) -> pa.Table:
+        ids, mat_t = ray.get(idx_ref)
+        q_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = normalize(_as_matrix(t["embedding"]))
+        cs = np.round(q @ mat_t, 12)                      # (B, N), tie-quantized
+        self_col = np.searchsorted(ids, q_ids)
+        hit = (self_col < len(ids)) & (ids[np.minimum(self_col, len(ids) - 1)] == q_ids)
+        cs[np.arange(len(q_ids))[hit], self_col[hit]] = -np.inf
+        nbr = np.argsort(-cs, axis=1, kind="stable")[:, :k]  # stable → id asc on ties
+        b = len(q_ids)
+        rowsel = np.repeat(np.arange(b), k)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(q_ids, k), pa.int64()),
+            "nbr_id": pa.array(ids[nbr.reshape(-1)], pa.int64()),
+            "cos_sim": pa.array(_round(cs[rowsel, nbr.reshape(-1)], 4), pa.float64()),
+            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), b), pa.int64()),
+        })
+
+    out = ds.map_batches(topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------------
@@ -1201,6 +1262,7 @@ QUERIES = {
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
     "ann_topk": ann_topk,
+    "knn_join_embeddings": knn_join_embeddings,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "dup_clusters": dup_clusters,
@@ -1482,14 +1544,36 @@ ORACLE_SQL = {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
     """,
     "ann_topk": """
-        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
         scored AS (
-            SELECT vec_id, list_cosine_similarity(embedding, (SELECT qe FROM q)) AS raw
+            -- DOUBLE[] cast: float32 cosine noise (~1e-7) can flip the 4th
+            -- decimal vs the engine's float64 kernel
+            SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                  (SELECT qe FROM q)) AS raw
             FROM embeddings
         )
         SELECT vec_id, ROUND(raw, 4) AS cos_sim,
                CAST(ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS BIGINT) AS rank
         FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    "knn_join_embeddings": """
+        WITH scored AS (
+            -- CAST to DOUBLE[]: on FLOAT[] DuckDB computes the cosine in
+            -- float32, whose ~1e-7 noise flips the 4th decimal vs the
+            -- engine's float64 kernel
+            SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS raw
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, nbr_id, raw,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ROUND(raw, 12) DESC, nbr_id) AS rank
+            FROM scored
+        )
+        SELECT vec_id, nbr_id, ROUND(raw, 4) AS cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY vec_id, rank
     """,
     "embedding_norms": """
         SELECT vec_id,

@@ -495,3 +495,65 @@ def test_embedding_centroids(ray_session):
         g = got[got["label"] == lab].sort_values("dim")["c"].to_numpy()
         assert len(g) == mat.shape[1]
         assert np.allclose(g, want, atol=5.1e-5)
+
+
+def test_dup_ngram_docs_planted(ray_session, tmp_path):
+    """Planted shared 4-grams: docs 0/1 share exactly one 4-gram, doc 2 is
+    disjoint, docs 3/4 are identical (every 4-gram shared)."""
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.analytics import dup_ngram_docs
+
+    texts = [
+        "a b c d e",          # 4-grams: "a b c d", "b c d e"
+        "a b c d x",          # shares "a b c d" with doc 0
+        "q w e r t y",        # disjoint
+        "m n o p q r",        # identical to doc 4 → 3 shared 4-grams
+        "m n o p q r",
+        "zz",                 # shorter than k → no 4-grams
+    ]
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = _df(dup_ngram_docs(str(tmp_path), k=4)).set_index("doc_id")["n_shared"]
+    assert got.to_dict() == {0: 1, 1: 1, 3: 3, 4: 3}
+
+
+def test_c4_filter_docs_rules(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.analytics import c4_filter_docs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again",   # 10 words, keep
+        "too short",                                            # < 10 words
+        "code sample with brace { inside it breaks the rule ok",  # '{'
+        "a b c d e f g h i j",                                  # mean_wl 1 < 3
+        " ".join(["supercalifragilistic"] * 12),                # mean_wl > 10
+    ]
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        tmp_path / "documents.parquet")
+    got = _df(c4_filter_docs(str(tmp_path))).set_index("doc_id")
+    assert got["keep"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+    assert got.loc[1, "n_words"] == 2
+    assert got.loc[3, "mean_wl"] == 1.0
+
+
+def test_dup_ngram_docs_vs_pandas(ray_session, docs):
+    """Brute-force pandas oracle over the real sf0.001 docs table."""
+    from legislation_scraper_ray.pipelines.analytics import dup_ngram_docs
+
+    k = 4
+    grams: dict[int, set] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        w = text.split(" ")
+        grams[did] = {tuple(w[i:i + k]) for i in range(len(w) - k + 1)}
+    from collections import Counter
+    df = Counter(g for s in grams.values() for g in s)
+    want = {did: sum(1 for g in s if df[g] >= 2) for did, s in grams.items()}
+    want = {d: n for d, n in want.items() if n > 0}
+    got = _df(dup_ngram_docs(SF, k=k)).set_index("doc_id")["n_shared"].to_dict()
+    assert got == want

@@ -129,3 +129,41 @@ def test_ivf_recall_on_planted_clusters():
         out = actor(tbl).to_pandas()
         hits += int(40 + qi in set(out["vec_id"]))
     assert hits >= 36  # ≥90% recall on true near neighbors at 4/32 cells
+
+
+def test_knn_join_embeddings_exact(ray_session, tmp_path):
+    """kNN self-join vs a brute-force numpy oracle on a synthetic table with
+    planted exact-duplicate vectors (ties at cos = 1.0 must break by
+    ascending neighbor id on every rank)."""
+    from legislation_scraper_ray.functions.ann import normalize
+    from legislation_scraper_ray.pipelines.queries import knn_join_embeddings
+
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((60, 16))
+    m[40] = m[10]  # exact duplicate pair: cos(10, 40) == 1.0
+    m[41] = m[10]  # triple — two tied rank-1/2 neighbors for vec 10
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    import pyarrow.parquet as pq_
+    pq_.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    k = 5
+    got = knn_join_embeddings(str(tmp_path), k=k)
+    assert len(got) == len(m) * k
+
+    mn = normalize(np.asarray(
+        pa.table({"e": tbl["embedding"]})["e"].combine_chunks().flatten(),
+        dtype=np.float64).reshape(len(m), -1))
+    sims = np.round(mn @ mn.T, 12)
+    np.fill_diagonal(sims, -np.inf)
+    for qi in (0, 10, 40, 41, 59):
+        order = np.lexsort((np.arange(len(m)), -sims[qi]))[:k]
+        sub = got[got["vec_id"] == qi].sort_values("rank")
+        assert sub["nbr_id"].tolist() == list(order), qi
+    # the planted duplicates rank each other first, tie broken by id
+    sub10 = got[got["vec_id"] == 10].sort_values("rank")
+    assert sub10["nbr_id"].tolist()[:2] == [40, 41]
+    assert sub10["cos_sim"].tolist()[:2] == [1.0, 1.0]
