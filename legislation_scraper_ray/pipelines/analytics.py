@@ -1365,6 +1365,60 @@ def _splitmix64_ctes(src: str, idcol: str, keep: str) -> str:
         smx AS (SELECT {keep}, xor(x4, x4 >> 31) AS skey FROM smx3)"""
 
 
+def customer_order_stats(sf_dir: str):
+    """LEFT OUTER join (§2.6 widening): every customer survives — order-less
+    customers get zero counts instead of vanishing (the inner-join bug this
+    operator exists to avoid).  First use of
+    ``Dataset.join(join_type="left_outer")`` in the registry.
+
+    Scale shape: the orders side is reduced to ONE row per custkey (per-batch
+    partial `group_by` → tiny global groupby) BEFORE the hash-partitioned
+    join, so the all-to-all moves aggregate-sized rows, never raw orders."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_orderkey", "count")])
+        return g.rename_columns(["o_custkey", "p_total", "p_n"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+                   ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("p_total", alias_name="total_spend"), Sum("p_n", alias_name="n_orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(agg, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+    df = joined.to_pandas()
+    df["n_orders"] = df["n_orders"].fillna(0).astype("int64")
+    df["total_spend"] = _round(df["total_spend"].fillna(0.0), 2)
+    return (df[["c_custkey", "c_mktsegment", "n_orders", "total_spend"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+def events_value_delta(sf_dir: str):
+    """Window LAG (§2.9 widening): per-user consecutive value delta, ordered
+    by (ts, event_id).  First-of-user rows (no predecessor) are omitted so no
+    NULL floats cross the hash compare.
+
+    Two-level partitioned apply: hash-partition on user_id, sort + shift
+    inside each partition — the shuffle moves each event once; no global
+    sort."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+
+    def delta(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["user_id", "ts", "event_id"])
+        lag = part_df.groupby("user_id", sort=False)["value"].shift(1)
+        d = part_df["value"] - lag
+        keep = d.notna()
+        return pd.DataFrame({
+            "event_id": part_df.loc[keep, "event_id"].astype("int64"),
+            "delta": _round(d[keep], 4),
+        })
+
+    out = parts.groupby("part").map_groups(delta, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1389,6 +1443,8 @@ ANALYTICS_QUERIES = {
     "repetition_ratio_docs": repetition_ratio_docs,
     "dup_ngram_docs": dup_ngram_docs,
     "c4_filter_docs": c4_filter_docs,
+    "customer_order_stats": customer_order_stats,
+    "events_value_delta": events_value_delta,
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
     "embedding_centroids": embedding_centroids,
@@ -1427,6 +1483,24 @@ ANALYTICS_ORACLE_SQL = {
         FROM gd JOIN df USING (ng)
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    "customer_order_stats": """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        ORDER BY c.c_custkey
+    """,
+    "events_value_delta": """
+        WITH d AS (
+            SELECT event_id,
+                   value - LAG(value) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS delta
+            FROM events
+        )
+        SELECT event_id, ROUND(delta, 4) AS delta
+        FROM d WHERE delta IS NOT NULL ORDER BY event_id
     """,
     "c4_filter_docs": """
         WITH w AS (

@@ -557,3 +557,38 @@ def test_dup_ngram_docs_vs_pandas(ray_session, docs):
     want = {d: n for d, n in want.items() if n > 0}
     got = _df(dup_ngram_docs(SF, k=k)).set_index("doc_id")["n_shared"].to_dict()
     assert got == want
+
+
+def test_customer_order_stats_left_outer(ray_session, tmp_path):
+    """Left-outer semantics: order-less customers appear with zero counts
+    (sf0.001 has none, so plant some), matched customers carry exact sums."""
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.analytics import customer_order_stats
+
+    pq_.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A", "C"], pa.string()),
+    }), tmp_path / "customer.parquet")
+    pq_.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([100.5, 200.25, 42.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    got = _df(customer_order_stats(str(tmp_path))).set_index("c_custkey")
+    assert len(got) == 4
+    assert got["n_orders"].to_dict() == {1: 2, 2: 0, 3: 1, 4: 0}
+    assert got["total_spend"].to_dict() == {1: 300.75, 2: 0.0, 3: 42.0, 4: 0.0}
+
+
+def test_events_value_delta(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import events_value_delta
+
+    got = _df(events_value_delta(SF)).set_index("event_id")["delta"]
+    e = events.sort_values(["user_id", "ts", "event_id"])
+    lag = e.groupby("user_id", sort=False)["value"].shift(1)
+    want = (e["value"] - lag).round(4)
+    keep = want.notna()
+    want = pd.Series(want[keep].to_numpy(), index=e.loc[keep, "event_id"].to_numpy())
+    assert len(got) == len(want)
+    assert np.allclose(got.sort_index().to_numpy(), want.sort_index().to_numpy())
