@@ -1207,6 +1207,43 @@ def image_dup_by_phash(sf_dir: str):
     return df[["phash", "n_copies", "first_image_id"]]
 
 
+def audio_features(sf_dir: str):
+    """Multimodal audio branch (rows-only — a sine's RMS is not SQL): one
+    deterministic WAV clip per document row (sine wave parameterized by
+    splitmix64(doc_id)), decoded and featurized by the actor-pool
+    ``AudioFeatureActor``.  The synth stage stands in for a binary audio
+    column arriving from a source; the decode/feature plumbing — real RIFF
+    PCM16 payloads in an Arrow binary column, per-actor config, fixed
+    per-clip feature schema — is the production shape.  Ground truth is
+    analytic (tests/test_audio.py): RMS = A/√2, ZCR = 2f/sr."""
+    from ..functions.hashing import splitmix64
+    from ..sources.wav import encode_wav
+    from ..stages.audio import AudioFeatureActor
+
+    sr, dur_ms = 16_000, 80
+    n = sr * dur_ms // 1000
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        freqs = 100 + (splitmix64(ids) % np.uint64(900)).astype(np.float64)
+        tt = np.arange(n, dtype=np.float64) / sr
+        blobs = [encode_wav(0.5 * np.sin(2 * np.pi * f * tt), sr) for f in freqs]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "freq_hz": pa.array(freqs, pa.float64()),
+                         "bytes": pa.array(blobs, pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    clips = ds.map_batches(synth, batch_format="pyarrow", batch_size=2048)
+    feats = clips.map_batches(
+        AudioFeatureActor, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 4), num_cpus=0.5,
+    )
+    out = feats.drop_columns(["bytes"]).to_pandas()
+    for c in ("duration_ms", "rms", "zcr", "peak"):
+        out[c] = _round(out[c], 4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -1268,6 +1305,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
+    "audio_features": audio_features,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "events_asof_orders": events_asof_orders,
