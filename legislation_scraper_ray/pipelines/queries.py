@@ -1244,6 +1244,108 @@ def audio_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
+    """Distributed PageRank over the crawl corpus link graph (rows-only —
+    iterative float fixpoint, not SQL): rank the pages a crawler should
+    prioritize.
+
+    Scale shape — the canonical iterative-join PageRank: edges and ranks both
+    stay Datasets end-to-end; each iteration is ONE hash-partitioned join
+    (edges ⨝ ranks on src: contribution flow), one ``groupby(dst)`` sum, and
+    one left-outer join back onto the node set (nodes with no in-links keep
+    the teleport mass).  The dangling-mass correction is a scalar aggregate.
+    Per-edge weight 1/outdeg is computed batch-locally at explode time (a
+    row's out-links live in that row).  ``ranks`` is materialized per
+    iteration — it is node-sized (the one state an iterative algorithm must
+    keep), never driver-collected; everything edge-sized streams.
+
+    Reference analog: crawl prioritization over discovered listing→doc links
+    (/root/reference/src/scraper/base/scraper.py:469-485 orders work by year
+    heuristics; PageRank is the principled upgrade a frontier scheduler
+    uses)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    pages = rd.read_parquet(f"{corpus_dir}/prepared_web.parquet",
+                            columns=["url", "out_links"])
+
+    def explode_edges(t: pa.Table) -> pa.Table:
+        src_h = hash64(t["url"])
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        outdeg = pc.list_value_length(links).to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        dst_h = hash64(pc.list_flatten(links))
+        w = 1.0 / outdeg[parents]
+        # int64 views of the uint64 hashes: Ray's hash-shuffle groupby/join
+        # key path re-boxes uint64 as pickled objects (CLAUDE.md gotcha)
+        return pa.table({"src_h": pa.array(src_h[parents].view(np.int64), pa.int64()),
+                         "dst_h": pa.array(dst_h.view(np.int64), pa.int64()),
+                         "w": pa.array(w, pa.float64())})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        h = np.unique(np.concatenate([hash64(t["url"]),
+                                      hash64(pc.list_flatten(links))]))
+        return pa.table({"node": pa.array(h.view(np.int64), pa.int64())})
+
+    edges = pages.map_batches(explode_edges, batch_format="pyarrow",
+                              batch_size=4096).materialize()
+    nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
+             .groupby("node").aggregate(Count(alias_name="_n"))
+             .select_columns(["node"]).materialize())
+    n = nodes.count()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        flow = edges.join(ranks, join_type="inner", num_partitions=4,
+                          on=("src_h",), right_on=("node",))
+
+        def contrib_rows(t: pa.Table) -> pa.Table:
+            c = (t["w"].to_numpy(zero_copy_only=False)
+                 * t["rank"].to_numpy(zero_copy_only=False))
+            return pa.table({"node": t["dst_h"], "p_c": pa.array(c, pa.float64())})
+
+        contrib = (flow.map_batches(contrib_rows, batch_format="pyarrow")
+                   .groupby("node").aggregate(_Sum("p_c", alias_name="c"))
+                   .materialize())
+        flowing = contrib.sum("c") or 0.0        # Σ rank(src with out-links)
+        dangling = max(1.0 - flowing, 0.0)
+        base = (1.0 - d) / n + d * dangling / n
+
+        joined = nodes.join(contrib, join_type="left_outer", num_partitions=4,
+                            on=("node",))
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            c = np.nan_to_num(c, nan=0.0)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(base + d * c, pa.float64())})
+
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    url_map = pages.map_batches(
+        lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64), pa.int64()),
+                            "url": t["url"]}),
+        batch_format="pyarrow")
+    out = ranks.join(url_map, join_type="left_outer", num_partitions=4,
+                     on=("node",)).to_pandas()
+    out["rank"] = out["rank"].astype("float64")
+    return (out.sort_values(["rank", "node"], ascending=[False, True])
+            .reset_index(drop=True)[["url", "node", "rank"]])
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -1306,6 +1408,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
     "audio_features": audio_features,
+    "pagerank_pages": pagerank_pages,
     "join_lineitem_orders": join_lineitem_orders,
     "events_sessionize": events_sessionize,
     "events_asof_orders": events_asof_orders,
