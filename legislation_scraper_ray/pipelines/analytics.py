@@ -1419,6 +1419,94 @@ def events_value_delta(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_running_total(sf_dir: str):
+    """Per-user running total of value in (ts, event_id) order — the
+    incremental-emission primitive (§2.9).  Sequential double addition in
+    both engines (numpy cumsum vs SUM OVER ROWS) is order-identical, so the
+    oracle matches bit-for-bit before rounding.
+
+    Two-level partitioned apply: hash-partition on user_id, one sort +
+    grouped cumsum per partition — each event crosses the wire once."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+
+    def running(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["user_id", "ts", "event_id"])
+        tot = part_df.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame({"event_id": part_df["event_id"].astype("int64"),
+                             "run_total": _round(tot, 4)})
+
+    out = parts.groupby("part").map_groups(running, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_ewma(sf_dir: str, alpha: float = 0.3):
+    """Stateful per-key exponentially-weighted moving average — the
+    streaming-scoring analog (a per-entity decayed state the reference's
+    saver-queue drain would keep in memory).  y_t = (1−α)·y_{t−1} + α·x_t,
+    y_0 = x_0, in (ts, event_id) order per user.
+
+    Vectorized time-step scan: within a user_id hash partition, rows sort by
+    (user, ts, id); the recursion advances one STEP INDEX at a time (bounded
+    by the longest per-user sequence, not by row count), each step one
+    vector FMA across all users at that depth — the same double ops in the
+    same order as the oracle's recursive CTE, so values agree bitwise before
+    rounding."""
+    a = float(alpha)
+    one_m = 1.0 - a
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+
+    def ewma(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["user_id", "ts", "event_id"])
+        uid = part_df["user_id"].to_numpy()
+        x = part_df["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        # position-within-user over the (user-contiguous) sorted rows
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+        y = np.empty_like(x)
+        y[pos == 0] = x[pos == 0]
+        t = 1
+        while True:
+            sel = np.nonzero(pos == t)[0]
+            if not len(sel):
+                break
+            y[sel] = one_m * y[sel - 1] + a * x[sel]
+            t += 1
+        return pd.DataFrame({"event_id": part_df["event_id"].astype("int64"),
+                             "ewma": _round(pd.Series(y), 4)})
+
+    out = parts.groupby("part").map_groups(ewma, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def user_activity_full_outer(sf_dir: str):
+    """FULL OUTER join (§2.6 completion: inner/semi/anti/left are covered
+    elsewhere): the event-user universe vs the customer table — rows appear
+    for users with events but no customer record AND customers with no
+    events.  Both sides pre-aggregate to one row per key before the
+    hash-partitioned join."""
+    ev = _read(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
+        Count(alias_name="n_events"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    joined = ev.join(cust, join_type="full_outer", num_partitions=8,
+                     on=("user_id",), right_on=("c_custkey",))
+    df = joined.to_pandas()
+    # Ray coalesces the right key into the left key column on full_outer;
+    # right-side presence is read off c_acctbal (non-nullable in the table)
+    out = pd.DataFrame({
+        "id": df["user_id"].astype("int64"),
+        "n_events": df["n_events"].fillna(0).astype("int64"),
+        "has_account": df["c_acctbal"].notna().astype("int64"),
+        "acctbal": _round(df["c_acctbal"].astype("float64").fillna(0.0), 2),
+    })
+    return out.sort_values("id").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1445,6 +1533,9 @@ ANALYTICS_QUERIES = {
     "c4_filter_docs": c4_filter_docs,
     "customer_order_stats": customer_order_stats,
     "events_value_delta": events_value_delta,
+    "events_running_total": events_running_total,
+    "events_ewma": events_ewma,
+    "user_activity_full_outer": user_activity_full_outer,
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
     "embedding_centroids": embedding_centroids,
@@ -1491,6 +1582,39 @@ ANALYTICS_ORACLE_SQL = {
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_mktsegment
         ORDER BY c.c_custkey
+    """,
+    "events_running_total": """
+        SELECT event_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 4) AS run_total
+        FROM events ORDER BY event_id
+    """,
+    "events_ewma": """
+        WITH RECURSIVE o AS (
+            SELECT event_id, user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, rn, value AS y FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.event_id, o.user_id, o.rn, (1 - 0.3) * w.y + 0.3 * o.value
+            FROM o JOIN w ON o.user_id = w.user_id AND o.rn = w.rn + 1
+        )
+        SELECT event_id, ROUND(y, 4) AS ewma FROM w ORDER BY event_id
+    """,
+    "user_activity_full_outer": """
+        WITH ev AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT COALESCE(ev.user_id, c.c_custkey) AS id,
+               COALESCE(ev.n_events, 0) AS n_events,
+               CAST(c.c_custkey IS NOT NULL AS BIGINT) AS has_account,
+               ROUND(COALESCE(c.c_acctbal, 0), 2) AS acctbal
+        FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
+        ORDER BY id
     """,
     "events_value_delta": """
         WITH d AS (

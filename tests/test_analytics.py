@@ -592,3 +592,50 @@ def test_events_value_delta(ray_session, events):
     want = pd.Series(want[keep].to_numpy(), index=e.loc[keep, "event_id"].to_numpy())
     assert len(got) == len(want)
     assert np.allclose(got.sort_index().to_numpy(), want.sort_index().to_numpy())
+
+
+def test_events_running_total(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import events_running_total
+
+    got = _df(events_running_total(SF)).set_index("event_id")["run_total"]
+    e = events.sort_values(["user_id", "ts", "event_id"])
+    want = e.groupby("user_id", sort=False)["value"].cumsum().round(4)
+    want.index = e["event_id"].to_numpy()
+    assert np.allclose(got.sort_index(), want.sort_index())
+
+
+def test_events_ewma_recursion(ray_session, events):
+    """EWMA matches a literal per-user replay of y = 0.7·prev + 0.3·x."""
+    from legislation_scraper_ray.pipelines.analytics import events_ewma
+
+    got = _df(events_ewma(SF)).set_index("event_id")["ewma"]
+    want = {}
+    for _uid, g in events.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        y = None
+        for eid, x in zip(g["event_id"], g["value"]):
+            y = x if y is None else (1 - 0.3) * y + 0.3 * x
+            want[eid] = round(y, 4)
+    assert len(got) == len(want)
+    assert np.allclose(got.sort_index().to_numpy(),
+                       pd.Series(want).sort_index().to_numpy())
+
+
+def test_user_activity_full_outer(ray_session, events):
+    from legislation_scraper_ray.pipelines.analytics import user_activity_full_outer
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    got = _df(user_activity_full_outer(SF)).set_index("id")
+    ev_users = set(events["user_id"])
+    cust_keys = set(cust["c_custkey"])
+    assert set(got.index) == ev_users | cust_keys
+    only_cust = list(cust_keys - ev_users)
+    only_ev = list(ev_users - cust_keys)
+    if only_cust:
+        assert (got.loc[only_cust, "n_events"] == 0).all()
+        assert (got.loc[only_cust, "has_account"] == 1).all()
+    if only_ev:
+        assert (got.loc[only_ev, "has_account"] == 0).all()
+    n = events.groupby("user_id").size()
+    both = list(ev_users & cust_keys)[:10]
+    for u in both:
+        assert got.loc[u, "n_events"] == n[u]
