@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "dedup_first_by_text",
     "minhash_dup_pairs",
     "ann_topk",
+    "knn_join_embeddings",
+    "dup_ngram_docs",
     "token_stats_docs",
 ]
 

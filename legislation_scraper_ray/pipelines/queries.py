@@ -1288,52 +1288,131 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
                          "w": pa.array(w, pa.float64())})
 
     def node_rows(t: pa.Table) -> pa.Table:
+        """Candidate (node, has_out) rows: page urls carry their outdeg flag,
+        link targets default to 0 (a target that IS a page gets its flag from
+        that page's own row; the exchange dedups by max)."""
         links = t["out_links"]
         if isinstance(links, pa.ChunkedArray):
             links = links.combine_chunks()
-        h = np.unique(np.concatenate([hash64(t["url"]),
-                                      hash64(pc.list_flatten(links))]))
-        return pa.table({"node": pa.array(h.view(np.int64), pa.int64())})
+        outdeg = pc.list_value_length(links).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = hash64(t["url"]).view(np.int64)
+        dst = np.unique(hash64(pc.list_flatten(links)).view(np.int64))
+        return pa.table({
+            "node": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "has_out": pa.array(np.concatenate(
+                [(outdeg > 0).astype(np.int8), np.zeros(len(dst), np.int8)]), pa.int8()),
+        })
+
+    def dedup_nodes(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("node", sort=False)["has_out"].max().reset_index()
+        return g.astype({"node": "int64", "has_out": "int8"})
 
     edges = pages.map_batches(explode_edges, batch_format="pyarrow",
                               batch_size=4096).materialize()
     nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
-             .groupby("node").aggregate(Count(alias_name="_n"))
-             .select_columns(["node"]).materialize())
+             .map_batches(_add_part("node"), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
+             .materialize())
     n = nodes.count()
 
+    # tagged-union exchange schemas (Ray union requires identical schemas).
+    # Hash-shuffle joins/aggregates carry ~1 s fixed overhead per op at this
+    # graph size; the two _add_part partitioned applies below run the same
+    # hash partitioning at map_groups cost (measured 24 s → ~6 s for 8
+    # iterations at sf0.01).
+    # Int columns get SENTINELS, not nulls: a null-bearing int64 Arrow column
+    # becomes float64 in the pandas map_groups conversion, silently corrupting
+    # 64-bit hash keys > 2^53 (CLAUDE.md gotcha).  Row kind is discriminated
+    # by the float columns (NaN-able without dtype loss): edges have w,
+    # ranks have rank, node rows have has_out >= 0.
+    _SCHEMA = {"key": (pa.int64(), 0), "dst": (pa.int64(), 0),
+               "w": (pa.float64(), None), "rank": (pa.float64(), None),
+               "has_out": (pa.int8(), -1)}
+
+    def _tag(cols: dict[str, np.ndarray], num: int) -> pa.Table:
+        out = {}
+        for name, (typ, sentinel) in _SCHEMA.items():
+            if name in cols:
+                out[name] = pa.array(cols[name], typ)
+            elif sentinel is None:
+                out[name] = pa.nulls(num, typ)
+            else:
+                out[name] = pa.array(np.full(num, sentinel), typ)
+        return pa.table(out)
+
+    edges_tagged = edges.map_batches(
+        lambda t: _tag({"key": t["src_h"].to_numpy(zero_copy_only=False),
+                        "dst": t["dst_h"].to_numpy(zero_copy_only=False),
+                        "w": t["w"].to_numpy(zero_copy_only=False)}, t.num_rows),
+        batch_format="pyarrow").materialize()
+    nodes_tagged = nodes.map_batches(
+        lambda t: _tag({"key": t["node"].to_numpy(zero_copy_only=False),
+                        "has_out": t["has_out"].to_numpy(zero_copy_only=False)},
+                       t.num_rows),
+        batch_format="pyarrow").materialize()
+
     def init_rank(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"],
+        return pa.table({"node": t["node"], "has_out": t["has_out"],
                          "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())})
 
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
 
+    def flow_contribs(part_df: pd.DataFrame) -> pd.DataFrame:
+        """Partition owns every edge with src in its key range AND the rank
+        row of each such src: emit (key=dst, p_c=w·rank(src)) rows."""
+        r = part_df[part_df["rank"].notna()]
+        e = part_df[part_df["w"].notna()]
+        if e.empty:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "p_c": pd.Series([], dtype="float64")})
+        rank_of = r.set_index("key")["rank"]
+        c = e["w"].to_numpy() * rank_of.reindex(e["key"]).to_numpy()
+        return pd.DataFrame({"key": e["dst"].astype("int64").to_numpy(),
+                             "p_c": c})
+
     for _ in range(n_iter):
-        flow = edges.join(ranks, join_type="inner", num_partitions=4,
-                          on=("src_h",), right_on=("node",))
-
-        def contrib_rows(t: pa.Table) -> pa.Table:
-            c = (t["w"].to_numpy(zero_copy_only=False)
-                 * t["rank"].to_numpy(zero_copy_only=False))
-            return pa.table({"node": t["dst_h"], "p_c": pa.array(c, pa.float64())})
-
-        contrib = (flow.map_batches(contrib_rows, batch_format="pyarrow")
-                   .groupby("node").aggregate(_Sum("p_c", alias_name="c"))
-                   .materialize())
-        flowing = contrib.sum("c") or 0.0        # Σ rank(src with out-links)
-        dangling = max(1.0 - flowing, 0.0)
+        dangling = ranks.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [float(np.sum(t["rank"].to_numpy(zero_copy_only=False)
+                              * (t["has_out"].to_numpy(zero_copy_only=False) == 0)))],
+                pa.float64())}),
+            batch_format="pyarrow").sum("s") or 0.0
         base = (1.0 - d) / n + d * dangling / n
 
-        joined = nodes.join(contrib, join_type="left_outer", num_partitions=4,
-                            on=("node",))
+        ranks_tagged = ranks.map_batches(
+            lambda t: _tag({"key": t["node"].to_numpy(zero_copy_only=False),
+                            "rank": t["rank"].to_numpy(zero_copy_only=False)},
+                           t.num_rows),
+            batch_format="pyarrow")
+        contrib = (edges_tagged.union(ranks_tagged)
+                   .map_batches(_add_part("key"), batch_format="pyarrow")
+                   .groupby("part").map_groups(flow_contribs, batch_format="pandas"))
 
-        def update(t: pa.Table) -> pa.Table:
-            c = t["c"].to_numpy(zero_copy_only=False)
-            c = np.nan_to_num(c, nan=0.0)
-            return pa.table({"node": t["node"],
-                             "rank": pa.array(base + d * c, pa.float64())})
+        def update(part_df: pd.DataFrame, base=base) -> pd.DataFrame:
+            nd = part_df[part_df["has_out"] >= 0]
+            cs = part_df[part_df["p_c"].notna()]
+            sums = cs.groupby("key", sort=False)["p_c"].sum()
+            c = sums.reindex(nd["key"]).fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "node": nd["key"].astype("int64").to_numpy(),
+                "has_out": nd["has_out"].astype("int8").to_numpy(),
+                "rank": base + d * c,
+            })
 
-        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+        contrib_tagged = contrib.map_batches(
+            lambda t: pa.table({"key": t["key"], "p_c": t["p_c"],
+                                "has_out": pa.array(
+                                    np.full(t.num_rows, -1, np.int8), pa.int8())}),
+            batch_format="pyarrow")
+        node_side = nodes_tagged.map_batches(
+            lambda t: pa.table({"key": t["key"],
+                                "p_c": pa.nulls(t.num_rows, pa.float64()),
+                                "has_out": t["has_out"]}),
+            batch_format="pyarrow")
+        ranks = (contrib_tagged.union(node_side)
+                 .map_batches(_add_part("key"), batch_format="pyarrow")
+                 .groupby("part").map_groups(update, batch_format="pandas")
+                 .materialize())
 
     url_map = pages.map_batches(
         lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64), pa.int64()),
