@@ -1516,6 +1516,125 @@ def user_activity_full_outer(sf_dir: str):
     return out.sort_values("id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# round-3 widening: histogram, correlated-subquery shape, grouped mode, NTILE
+# --------------------------------------------------------------------------
+
+
+def events_value_histogram(sf_dir: str, width: float = 25.0):
+    """Fixed-width histogram per event_type — the profiling primitive for a
+    corpus-stats dashboard.  One shuffle-free ``map_batches`` partial
+    (vectorized floor-division binning + Arrow group_by) feeds a tiny
+    (types × bins)-sized final groupby; raw rows never cross the wire."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.floor(t["value"].to_numpy(zero_copy_only=False) / width).astype(np.int64)
+        tt = pa.table({"event_type": t["event_type"], "bin": pa.array(b, pa.int64())})
+        g = tt.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+        return g.rename_columns(["event_type", "bin", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["event_type", "bin"]).aggregate(Sum("p_n", alias_name="n")))
+    df = agg.to_pandas().astype({"bin": "int64", "n": "int64"})
+    return df.sort_values(["event_type", "bin"]).reset_index(drop=True)
+
+
+def orders_above_customer_avg(sf_dir: str, factor: float = 1.2):
+    """Correlated-subquery shape (orders priced above their OWN customer's
+    average): hash-partition on the correlation key, then the group average
+    and the per-row comparison both run inside the partition — one shuffle,
+    no broadcast, no second pass over the fact table."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    parts = ds.map_batches(_add_part("o_custkey"), batch_format="pyarrow")
+
+    def flags(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("o_custkey", sort=False)["o_totalprice"]
+        above = (part_df["o_totalprice"] > factor * g.transform("mean")).astype("int64")
+        out = (part_df.assign(above=above)
+               .groupby("o_custkey", sort=False)["above"].sum().reset_index())
+        return out.rename(columns={"above": "n_above"}).astype(
+            {"o_custkey": "int64", "n_above": "int64"})
+
+    out = parts.groupby("part").map_groups(flags, batch_format="pandas").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def top_event_type_per_user(sf_dir: str):
+    """Grouped mode (most frequent event_type per user, ties broken
+    lexicographically): per-batch Arrow count combiner collapses repeats
+    before the exchange, then the argmax-with-tiebreak runs vectorized inside
+    a two-level partitioned apply on user_id."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "p_n"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    parts = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("user_id"), batch_format="pyarrow"))
+
+    def pick(part_df: pd.DataFrame) -> pd.DataFrame:
+        c = (part_df.groupby(["user_id", "event_type"], sort=False)["p_n"]
+             .sum().reset_index())
+        c = c.sort_values(["user_id", "p_n", "event_type"],
+                          ascending=[True, False, True])
+        top = c.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame({"user_id": top["user_id"].astype("int64"),
+                             "top_type": top["event_type"],
+                             "n": top["p_n"].astype("int64")})
+
+    out = parts.groupby("part").map_groups(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def value_ntile_in_type(sf_dir: str, tiles: int = 4):
+    """NTILE(k) OVER (PARTITION BY type ORDER BY value), aggregated per tile —
+    WITHOUT a distributed sort: reuses the (type, distinct value) frequency
+    table (the quantile/rank combiner).  The per-tile counts and value sums
+    are tie-break independent (rows tied on value carry the same value no
+    matter which side of a tile boundary NTILE puts them), so the aggregate
+    derives exactly from the frequency table's prefix sums.  Bounded value
+    cardinality assumed, as for value_quantiles_by_type; the KLL sketch is
+    the unbounded-domain path."""
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "p_n"])
+
+    def merge_freq(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby(["event_type", "value"], sort=False)["p_n"].sum()
+        return g.rename("n").reset_index()
+
+    # two-level partitioned apply, not groupby().aggregate(): the hash-shuffle
+    # aggregator path costs ~10 s of fixed overhead on this combiner-sized
+    # input at sf0.1 vs ~1 s for this pattern (same finding as dup_ngram_docs)
+    pdf = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(freq, batch_format="pyarrow", batch_size=65536)
+           .map_batches(_add_part("value"), batch_format="pyarrow")
+           .groupby("part").map_groups(merge_freq, batch_format="pandas")
+           .to_pandas())
+
+    rows = []
+    for et, g in pdf.groupby("event_type"):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(dtype=np.float64)
+        counts = g["n"].to_numpy(dtype=np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        n = int(ends[-1])
+        size, rem = divmod(n, tiles)
+        b = np.cumsum([0] + [size + (1 if i < rem else 0) for i in range(tiles)])
+        for t_i in range(tiles):
+            a, z = b[t_i], b[t_i + 1]
+            overlap = np.minimum(ends, z) - np.maximum(starts, a)
+            overlap = np.maximum(overlap, 0)
+            rows.append((et, t_i + 1, int(z - a),
+                         float(_round(np.dot(vals, overlap.astype(np.float64)), 4))))
+    return pd.DataFrame(rows, columns=["event_type", "tile", "n", "sum_value"]).astype(
+        {"tile": "int64", "n": "int64"})
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1548,6 +1667,10 @@ ANALYTICS_QUERIES = {
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
     "embedding_centroids": embedding_centroids,
+    "events_value_histogram": events_value_histogram,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "top_event_type_per_user": top_event_type_per_user,
+    "value_ntile_in_type": value_ntile_in_type,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -1877,5 +2000,45 @@ ANALYTICS_ORACLE_SQL = {
                CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         FROM events GROUP BY user_id
+    """,
+    "events_value_histogram": """
+        SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, bin ORDER BY event_type, bin
+    """,
+    "orders_above_customer_avg": """
+        WITH w AS (
+            SELECT o_custkey, o_totalprice,
+                   AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS a
+            FROM orders
+        )
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_totalprice > 1.2 * a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above
+        FROM w GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "top_event_type_per_user": """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        r AS (
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY n DESC, event_type ASC) AS rk
+            FROM c
+        )
+        SELECT user_id, event_type AS top_type, n FROM r WHERE rk = 1
+        ORDER BY user_id
+    """,
+    "value_ntile_in_type": """
+        WITH t AS (
+            SELECT event_type, value,
+                   NTILE(4) OVER (PARTITION BY event_type ORDER BY value) AS tile
+            FROM events
+        )
+        SELECT event_type, CAST(tile AS BIGINT) AS tile,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM t GROUP BY event_type, tile ORDER BY event_type, tile
     """,
 }

@@ -826,6 +826,83 @@ def join_lineitem_orders(sf_dir: str):
     return df
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shape 6-table join: revenue per (region, nation) where the
+    customer and the supplier share a nation.
+
+    Scale shape: the two fact-fact edges (orders⨝customer on custkey,
+    lineitem⨝that on orderkey) are hash-partitioned ``Dataset.join``s — both
+    sides scale with the corpus, so they must shuffle.  The three dimension
+    edges (supplier, nation, region) never shuffle: supplier collapses to a
+    sorted (suppkey → nationkey) pair of arrays broadcast via ``ray.put``,
+    nation/region to dense nationkey-indexed name LUTs, and each joined batch
+    resolves all three with one searchsorted + two gathers, applies the
+    c_nationkey = s_nationkey correlation filter as an Arrow mask, and
+    partial-aggregates by nationkey (``np.bincount`` — keys are dense small
+    ints) before the final 25-row groupby.
+
+    Reference analog: the dataset builder's per-source/per-state rollups over
+    joined metadata (/root/reference/src/datasets/build_dataset.py:220-246)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=16,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    lo = li.join(oc, join_type="inner", num_partitions=16,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    sk = supp["s_suppkey"].to_numpy()
+    order = np.argsort(sk)
+    sk = sk[order]
+    snat = supp["s_nationkey"].to_numpy().astype(np.int64)[order]
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    n_lut = np.empty(nk.max() + 1, dtype=object)
+    n_lut[nk] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    rk = reg["r_regionkey"].to_numpy().astype(np.int64)
+    r_names = np.empty(rk.max() + 1, dtype=object)
+    r_names[rk] = np.asarray(reg["r_name"].to_pylist(), dtype=object)
+    r_lut = np.empty(nk.max() + 1, dtype=object)
+    r_lut[nk] = r_names[nat["n_regionkey"].to_numpy().astype(np.int64)]
+    dims_ref = ray.put((sk, snat))
+
+    n_nations = int(nk.max()) + 1
+
+    class DimJoinPartial:
+        def __init__(self):
+            self.sk, self.snat = ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lsk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self.sk, lsk), len(self.sk) - 1)
+            nation = self.snat[pos]
+            keep = ((self.sk[pos] == lsk)
+                    & (nation == t["c_nationkey"].to_numpy(zero_copy_only=False)))
+            rev = (t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                   * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+            p_rev = np.bincount(nation[keep], weights=rev[keep], minlength=n_nations)
+            p_n = np.bincount(nation[keep], minlength=n_nations)
+            nz = np.flatnonzero(p_n)
+            return pa.table({"nation": pa.array(nz, pa.int64()),
+                             "p_rev": pa.array(p_rev[nz], pa.float64()),
+                             "p_n": pa.array(p_n[nz], pa.int64())})
+
+    agg = (lo.map_batches(DimJoinPartial, batch_format="pyarrow",
+                          batch_size=65536, concurrency=(1, 8))
+           .groupby("nation")
+           .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n")))
+    df = agg.to_pandas()
+    nation = df["nation"].to_numpy().astype(np.int64)
+    out = pd.DataFrame({"r_name": r_lut[nation], "n_name": n_lut[nation],
+                        "revenue": _round(df["revenue"], 2),
+                        "n": df["n"].astype("int64")})
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (gap > 30 min) per user — the stream-shaped operator the
     reference's queue-drain loop approximates (SURVEY.md §2.9).  Partition by
@@ -1489,6 +1566,7 @@ QUERIES = {
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,
     "join_lineitem_orders": join_lineitem_orders,
+    "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
     "events_asof_orders": events_asof_orders,
     "events_followup_pairs": events_followup_pairs,
@@ -1805,6 +1883,19 @@ ORACLE_SQL = {
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "revenue_by_nation": """
+        SELECT r_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
     """,
     "events_sessionize": """
         WITH gaps AS (
