@@ -1635,6 +1635,90 @@ def value_ntile_in_type(sf_dir: str, tiles: int = 4):
         {"tile": "int64", "n": "int64"})
 
 
+def event_users_intersect_customers(sf_dir: str):
+    """INTERSECT set operation (§2.7 completion — union/distinct/except-style
+    anti-join are covered elsewhere): distinct event users that also appear
+    in the customer table.  Both sides pre-dedup per batch (combiner), travel
+    the exchange as tagged (id, side-bit) rows, and the intersection is a
+    per-partition bitwise AND of side flags — one shuffle of distinct ids."""
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "side": pa.array(np.ones(len(u), np.int8), pa.int8())})
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        u = np.unique(t["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "side": pa.array(np.full(len(u), 2, np.int8), pa.int8())})
+
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        ev_side, batch_format="pyarrow", batch_size=65536)
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+
+    def intersect(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("user_id", sort=False)["side"].agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        both = g[g == 3].index.to_numpy()
+        return pd.DataFrame({"user_id": both.astype("int64")})
+
+    out = (ev.union(cust)
+           .map_batches(_add_part("user_id"), batch_format="pyarrow")
+           .groupby("part").map_groups(intersect, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def type_share_by_hour(sf_dir: str):
+    """Tumbling 1-hour window with WITHIN-WINDOW share (the composition of a
+    streaming window and a window function over its aggregate): counts per
+    (hour, type) partial-aggregate batch-locally; the share division runs on
+    the output-sized aggregate."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = t.append_column("hour", pa.array(us // 3_600_000_000, pa.int64()))
+        g = t.group_by(["hour", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["hour", "event_type", "p_n"])
+
+    parts = (_read(sf_dir, "events", ["event_type", "ts"])
+             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("hour"), batch_format="pyarrow"))
+
+    def final(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = (part_df.groupby(["hour", "event_type"], sort=False)["p_n"]
+             .sum().rename("n").reset_index())
+        tot = g.groupby("hour", sort=False)["n"].transform("sum")
+        g["share"] = _round(g["n"] / tot, 6)
+        return g.astype({"hour": "int64", "n": "int64"})
+
+    df = parts.groupby("part").map_groups(final, batch_format="pandas").to_pandas()
+    return df.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+def orders_monthly_growth(sf_dir: str):
+    """Aggregate-then-window composition: monthly order counts with the
+    month-over-month delta.  The count partial-aggregates per batch; the LAG
+    runs on the months-sized output (driver-side by design — the window input
+    IS the final aggregate)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.timestamp("us"))
+        m = pc.floor_temporal(d, unit="month")
+        tt = pa.table({"month": m})
+        g = tt.group_by("month").aggregate([("month", "count")])
+        return g.rename_columns(["month", "p_n"])
+
+    agg = (_read(sf_dir, "orders", ["o_orderdate"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("month").aggregate(Sum("p_n", alias_name="n")))
+    df = agg.to_pandas().sort_values("month").reset_index(drop=True)
+    n = df["n"].astype("int64")
+    df["n"] = n
+    df["delta"] = (n - n.shift(1).fillna(n.iloc[0] if len(n) else 0)).astype("int64")
+    return df[["month", "n", "delta"]]
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1671,6 +1755,9 @@ ANALYTICS_QUERIES = {
     "orders_above_customer_avg": orders_above_customer_avg,
     "top_event_type_per_user": top_event_type_per_user,
     "value_ntile_in_type": value_ntile_in_type,
+    "event_users_intersect_customers": event_users_intersect_customers,
+    "type_share_by_hour": type_share_by_hour,
+    "orders_monthly_growth": orders_monthly_growth,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -2040,5 +2127,31 @@ ANALYTICS_ORACLE_SQL = {
         SELECT event_type, CAST(tile AS BIGINT) AS tile,
                CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
         FROM t GROUP BY event_type, tile ORDER BY event_type, tile
+    """,
+    "event_users_intersect_customers": """
+        SELECT user_id FROM events
+        INTERSECT
+        SELECT c_custkey AS user_id FROM customer
+        ORDER BY user_id
+    """,
+    "type_share_by_hour": """
+        WITH c AS (
+            SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY hour, event_type
+        )
+        SELECT hour, event_type, n,
+               ROUND(n / SUM(n) OVER (PARTITION BY hour), 6) AS share
+        FROM c ORDER BY hour, event_type
+    """,
+    "orders_monthly_growth": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY month
+        )
+        SELECT month, n,
+               CAST(n - COALESCE(LAG(n) OVER (ORDER BY month), n) AS BIGINT) AS delta
+        FROM m ORDER BY month
     """,
 }

@@ -1284,6 +1284,101 @@ def image_dup_by_phash(sf_dir: str):
     return df[["phash", "n_copies", "first_image_id"]]
 
 
+def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
+    """Image near-dup by perceptual-hash Hamming distance ≤ ``max_dist`` —
+    the banded/pigeonhole upgrade of the exact-phash grouping
+    (image_dup_by_phash): a pair within distance 3 differs in ≤3 of the four
+    16-bit bands, so it collides on at least one band.  Candidate generation
+    is therefore 4 band-bucket exchanges (ids + phash only, never pixels);
+    each bucket emits its intra-bucket pairs, popcount-verified vectorized,
+    and a second keyed pass dedups pairs that collide on several bands.
+    All-pairs work is confined to same-band-value buckets — O(1) expected
+    population for near-uniform phashes; exact-dup clusters are the hot
+    buckets and their pair sets are output-sized by definition.
+
+    Rows-only (the image corpus has no DuckDB view); pytest verifies exact
+    parity with a brute-force all-pairs popcount on the t1 corpus.
+
+    Reference analog: the converter's image pipeline (/root/reference/src/
+    scraper/base/scraper.py:280-311 PDF→image conversion) feeding the dataset
+    builder's duplicate drop (src/datasets/build_dataset.py:204)."""
+    from ..functions.dedup import hamming64
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet",
+                         columns=["image_id", "phash"])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        h = t["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["image_id"]
+        n = len(h)
+        # bucket key mixes band index and band value so _add_part spreads
+        # the 4 × 65536 buckets evenly
+        keys = [np.full(n, b, np.int64) * 65536
+                + ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                for b in range(4)]
+        return pa.table({"bkey": pa.array(np.concatenate(keys), pa.int64()),
+                         "image_id": pa.concat_arrays(
+                             [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+                              else ids] * 4),
+                         "phash": pa.array(np.tile(h.view(np.int64), 4), pa.int64())})
+
+    def bucket_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, g in part_df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["image_id"].to_numpy()
+            h = g["phash"].to_numpy().view(np.uint64)
+            # sort by id so emitted pairs are canonical (id_a < id_b)
+            order = np.argsort(ids, kind="stable")
+            ids, h = ids[order], h[order]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            d = hamming64(h[ii], h[jj]).astype(np.int64)
+            keep = d <= max_dist
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
+                                 "id_b": pd.Series([], dtype="object"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d).astype("int64")})
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty pandas object columns arrive as Arrow null type — pin the
+            # schema so Ray can unify this block with non-empty ones
+            return pa.table({"id_a": pa.array([], pa.string()),
+                             "id_b": pa.array([], pa.string()),
+                             "hamming": pa.array([], pa.int64()),
+                             "pkey": pa.array([], pa.int64())})
+        k = hash64(pc.binary_join_element_wise(
+            t["id_a"].cast(pa.string()), t["id_b"].cast(pa.string()), "|"))
+        return pa.table({"id_a": t["id_a"].cast(pa.string()),
+                         "id_b": t["id_b"].cast(pa.string()),
+                         "hamming": t["hamming"].cast(pa.int64()),
+                         "pkey": pa.array(k.view(np.int64), pa.int64())})
+
+    def dedup_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.drop_duplicates(subset=["id_a", "id_b"])
+        return g[["id_a", "id_b", "hamming"]]
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("bkey"), batch_format="pyarrow")
+             .groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+             .map_batches(pair_key, batch_format="pyarrow")
+             .map_batches(_add_part("pkey"), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_pairs, batch_format="pandas"))
+    out = pairs.to_pandas()
+    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            .astype({"hamming": "int64"}))
+
+
 def audio_features(sf_dir: str):
     """Multimodal audio branch (rows-only — a sine's RMS is not SQL): one
     deterministic WAV clip per document row (sine wave parameterized by
@@ -1563,6 +1658,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
+    "phash_hamming_pairs": phash_hamming_pairs,
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,
     "join_lineitem_orders": join_lineitem_orders,
