@@ -1719,6 +1719,204 @@ def orders_monthly_growth(sf_dir: str):
     return df[["month", "n", "delta"]]
 
 
+BM25_TERMS = ("hash", "vector", "window")
+
+
+def bm25_search_docs(sf_dir: str, k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """BM25 top-k document search for a fixed query-term set — the classic
+    text-retrieval scorer over the whitespace token model the rest of the doc
+    family shares (top_tokens oracle tokenization).
+
+    Two passes, both shuffle-free on the corpus side:
+    1. *Stats pass*: per-batch partials for N (doc count), Σdl (token count)
+       and per-term document frequency (distinct docs per batch — batches
+       partition docs, so per-batch distinct counts SUM to the global df);
+       merged by a tiny groupby over |terms|+2 keys.
+    2. *Score pass*: the idf/avgdl constants (a handful of floats) are
+       captured in the closure; per batch, tf per (doc, term) is built with
+       one ``np.add.at`` scatter over the query-term hits, BM25 is evaluated
+       vectorized, and only a per-batch partial top-k (≤k rows per batch)
+       enters the final sort+limit — candidate rows never exchange.
+
+    At 100 TB: pass 1 ships |terms|+2 numbers per batch; pass 2 ships ≤k rows
+    per batch into a top-k merge.  No all-to-all anywhere.
+
+    Reference analog: the dataset builder's keyword filtering / relevance
+    ordering (/root/reference/src/datasets/build_dataset.py:220-246)."""
+    terms = pa.array(BM25_TERMS, pa.string())
+    n_terms = len(BM25_TERMS)
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        dl = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.is_in(flat, value_set=terms)
+        hits = pa.table({"doc": pc.filter(par, mask),
+                         "token": pc.filter(flat, mask)})
+        dfp = hits.group_by("token").aggregate([("doc", "count_distinct")])
+        keys = dfp["token"].to_pylist() + ["\x00n_docs", "\x00sum_dl"]
+        vals = dfp["doc_count_distinct"].to_pylist() + [
+            t.num_rows, int(pc.sum(dl).as_py() or 0)]
+        return pa.table({"key": pa.array(keys, pa.string()),
+                         "v": pa.array(vals, pa.int64())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = (ds.map_batches(partial_stats, batch_format="pyarrow", batch_size=8192)
+             .groupby("key").aggregate(Sum("v", alias_name="v")).to_pandas())
+    sm = dict(zip(stats["key"], stats["v"].astype("int64")))
+    n_docs = float(sm.pop("\x00n_docs", 0))
+    avgdl = float(sm.pop("\x00sum_dl", 0)) / max(n_docs, 1.0)
+    # BM25 idf (Robertson-Sparck Jones with +1 smoothing, always positive)
+    idf = np.array([np.log(1.0 + (n_docs - sm.get(w, 0) + 0.5)
+                           / (sm.get(w, 0) + 0.5)) for w in BM25_TERMS])
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        dl = pc.list_value_length(toks).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        mask = pc.is_in(flat, value_set=terms)
+        doc_idx = pc.filter(par, mask).to_numpy(zero_copy_only=False)
+        term_idx = pc.index_in(pc.filter(flat, mask), value_set=terms).to_numpy(
+            zero_copy_only=False)
+        tf = np.zeros((t.num_rows, n_terms), np.float64)
+        np.add.at(tf, (doc_idx.astype(np.int64), term_idx.astype(np.int64)), 1.0)
+        denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
+        s = ((idf[None, :] * (tf * (k1 + 1.0))) / denom * (tf > 0)).sum(axis=1)
+        keep = np.flatnonzero(s > 0)
+        # per-batch partial top-k: score desc, doc_id asc tiebreak
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[keep]
+        sc = s[keep]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "score": pa.array(sc[order], pa.float64())})
+
+    top = (ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+           .sort(key=["score", "doc_id"], descending=[True, False]).limit(k)
+           .to_pandas())
+    top["score"] = _round(top["score"], 4)
+    return top[["doc_id", "score"]]
+
+
+def events_hopping_window(sf_dir: str):
+    """Hopping window (1-hour length, 15-minute hop): every event belongs to
+    exactly 4 overlapping windows, so the per-batch partial EXPANDS each event
+    into its 4 window-start quanta and counts (window, type) locally before
+    the tiny keyed merge.  The expansion is a numpy concatenate (no row loop);
+    the exchange carries only the partial counts."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 900_000_000
+        et = t["event_type"].combine_chunks()
+        starts = np.concatenate([(q - j) * 900 for j in range(4)])
+        tt = pa.table({"w_start": pa.array(starts, pa.int64()),
+                       "event_type": pa.concat_arrays([et] * 4)})
+        g = tt.group_by(["w_start", "event_type"]).aggregate([("w_start", "count")])
+        return g.rename_columns(["w_start", "event_type", "p_n"])
+
+    agg = (_read(sf_dir, "events", ["ts", "event_type"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby(["w_start", "event_type"]).aggregate(Sum("p_n", alias_name="n")))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["w_start", "event_type"]).reset_index(drop=True)
+
+
+def event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event types,
+    how many users produced both.  Per-batch (user, type) dedup combiner →
+    key-hash partitioned apply emitting each user's sorted type combinations
+    (≤ C(|types|,2) = 10 pairs per user) → tiny pair-count merge.  The
+    all-pairs work is bounded by the type-alphabet size, never by events."""
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    parts = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(pair_dedup, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("user_id"), batch_format="pyarrow"))
+
+    def combos(part_df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in part_df.groupby("user_id", sort=False):
+            ts = np.unique(g["event_type"].to_numpy())
+            if len(ts) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ts), k=1)
+            out_a.append(ts[ii])
+            out_b.append(ts[jj])
+        if not out_a:
+            return pd.DataFrame({"type_a": pd.Series([], dtype="str"),
+                                 "type_b": pd.Series([], dtype="str"),
+                                 "p_n": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"type_a": np.concatenate(out_a),
+                              "type_b": np.concatenate(out_b)})
+        g = pairs.groupby(["type_a", "type_b"], sort=False).size().rename("p_n")
+        return g.reset_index()
+
+    agg = (parts.groupby("part").map_groups(combos, batch_format="pandas")
+           .groupby(["type_a", "type_b"]).aggregate(Sum("p_n", alias_name="n")))
+    df = agg.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def event_entropy_by_user(sf_dir: str):
+    """Shannon entropy (bits) of each user's event-type distribution — a
+    behavioral-diversity feature.  Per-batch (user, type) count combiner →
+    two-level partitioned apply (each partition finishes ITS users' counts and
+    evaluates -Σ p·log2 p vectorized).  The exchange carries (user, type)
+    partial counts only."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "event_type", "p_n"])
+
+    parts = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("user_id"), batch_format="pyarrow"))
+
+    def entropy(part_df: pd.DataFrame) -> pd.DataFrame:
+        c = (part_df.groupby(["user_id", "event_type"], sort=False)["p_n"]
+             .sum().rename("n").reset_index())
+        tot = c.groupby("user_id", sort=False)["n"].transform("sum")
+        p = c["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        c["h"] = -(p * np.log2(p))
+        out = c.groupby("user_id", sort=False)["h"].sum().reset_index()
+        out["entropy"] = _round(out["h"], 6)
+        return out[["user_id", "entropy"]].astype({"user_id": "int64"})
+
+    df = parts.groupby("part").map_groups(entropy, batch_format="pandas").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def cube_counts_docs(sf_dir: str):
+    """GROUP BY CUBE(lang, source) from ONE partial-aggregated pass: the
+    finest (lang, source) aggregate (alphabet-sized) is expanded into all four
+    grouping sets driver-side with the 'ALL' sentinel (same contract as
+    rollup_counts — no NULL-vs-NaN hash ambiguity)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "source", "p_n"])
+
+    fine = (_read(sf_dir, "documents", ["lang", "source"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby(["lang", "source"]).aggregate(Sum("p_n", alias_name="n"))
+            .to_pandas())
+    by_lang = fine.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = "ALL"
+    by_src = fine.groupby("source", as_index=False)["n"].sum()
+    by_src["lang"] = "ALL"
+    total = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"], "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_lang, by_src, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return (out[["lang", "source", "n"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1758,6 +1956,11 @@ ANALYTICS_QUERIES = {
     "event_users_intersect_customers": event_users_intersect_customers,
     "type_share_by_hour": type_share_by_hour,
     "orders_monthly_growth": orders_monthly_growth,
+    "bm25_search_docs": bm25_search_docs,
+    "events_hopping_window": events_hopping_window,
+    "event_type_cooccurrence": event_type_cooccurrence,
+    "event_entropy_by_user": event_entropy_by_user,
+    "cube_counts_docs": cube_counts_docs,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -2153,5 +2356,57 @@ ANALYTICS_ORACLE_SQL = {
         SELECT month, n,
                CAST(n - COALESCE(LAG(n) OVER (ORDER BY month), n) AS BIGINT) AS delta
         FROM m ORDER BY month
+    """,
+    "bm25_search_docs": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) / COUNT(*) AS avgdl FROM dl),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+            WHERE token IN ('hash', 'vector', 'window') GROUP BY doc_id, token
+        ),
+        df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        sc AS (
+            SELECT tf.doc_id,
+                   SUM((LN(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * (tf.tf * 2.2))
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+            FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(s, 4) AS score FROM sc
+        ORDER BY s DESC, doc_id LIMIT 20
+    """,
+    "events_hopping_window": """
+        SELECT (epoch_us(ts) // 900000000 - j) * 900 AS w_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) hops
+        GROUP BY w_start, event_type ORDER BY w_start, event_type
+    """,
+    "event_type_cooccurrence": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b ORDER BY type_a, type_b
+    """,
+    "event_entropy_by_user": """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+        SELECT c.user_id, ROUND(SUM(-(c.n / t.tot) * LOG2(c.n / t.tot)), 6) AS entropy
+        FROM c JOIN t USING (user_id)
+        GROUP BY c.user_id ORDER BY c.user_id
+    """,
+    "cube_counts_docs": """
+        SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY CUBE (lang, source)
+        ORDER BY lang, source
     """,
 }
