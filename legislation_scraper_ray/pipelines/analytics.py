@@ -1917,6 +1917,114 @@ def cube_counts_docs(sf_dir: str):
             .sort_values(["lang", "source"]).reset_index(drop=True))
 
 
+def retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix: users are assigned to the cohort of
+    their FIRST active week; the matrix counts, for every (cohort_week,
+    week_offset), how many of that cohort's users were active offset weeks
+    later.  Per-batch (user, week) dedup combiner → key-hash partitioned
+    apply (each partition owns complete users, computes their cohort = min
+    week and emits offset rows) → tiny (cohort, offset) merge.  The exchange
+    carries distinct (user, week) pairs, never events."""
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        wk = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // (
+            7 * 86400 * 1_000_000)
+        tt = pa.table({"user_id": t["user_id"], "wk": pa.array(wk, pa.int64())})
+        return tt.group_by(["user_id", "wk"]).aggregate([])
+
+    parts = (_read(sf_dir, "events", ["user_id", "ts"])
+             .map_batches(pair_dedup, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("user_id"), batch_format="pyarrow"))
+
+    def cohortize(part_df: pd.DataFrame) -> pd.DataFrame:
+        d = part_df.drop_duplicates(subset=["user_id", "wk"])
+        cohort = d.groupby("user_id", sort=False)["wk"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.to_numpy("int64"),
+                            "week_offset": (d["wk"] - cohort).to_numpy("int64")})
+        g = out.groupby(["cohort_week", "week_offset"], sort=False).size()
+        return g.rename("p_n").reset_index()
+
+    agg = (parts.groupby("part").map_groups(cohortize, batch_format="pandas")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Sum("p_n", alias_name="n_users")))
+    df = agg.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return (df.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+def customers_except_event_users(sf_dir: str):
+    """EXCEPT set operation (completes the §2.7 family with union/
+    INTERSECT): distinct customers that never appear as an event user.
+    Same side-bit machinery as the INTERSECT operator — both sides pre-dedup
+    per batch, one shuffle of distinct ids, keep side-OR == 1 (customer
+    only)."""
+
+    def cust_side(t: pa.Table) -> pa.Table:
+        u = np.unique(t["c_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"custkey": pa.array(u, pa.int64()),
+                         "side": pa.array(np.ones(len(u), np.int8), pa.int8())})
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"custkey": pa.array(u, pa.int64()),
+                         "side": pa.array(np.full(len(u), 2, np.int8), pa.int8())})
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        cust_side, batch_format="pyarrow", batch_size=65536)
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        ev_side, batch_format="pyarrow", batch_size=65536)
+
+    def except_only(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("custkey", sort=False)["side"].agg(
+            lambda s: np.bitwise_or.reduce(s.to_numpy()))
+        only = g[g == 1].index.to_numpy()
+        return pd.DataFrame({"custkey": only.astype("int64")})
+
+    out = (cust.union(ev)
+           .map_batches(_add_part("custkey"), batch_format="pyarrow")
+           .groupby("part").map_groups(except_only, batch_format="pandas")
+           .to_pandas())
+    if "custkey" not in out.columns:  # every partition empty
+        out = pd.DataFrame({"custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+def mad_value_by_type(sf_dir: str):
+    """Median absolute deviation per event_type — the robust-dispersion
+    companion of value_quantiles_by_type, from the SAME (type, value)
+    frequency-table exchange (one pass; distinct-value-sized, the documented
+    bounded-cardinality assumption).  The deviation table is derived from the
+    value table driver-side (alphabet × distinct values), so no second corpus
+    pass is needed."""
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "p_n"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(freq, batch_format="pyarrow", batch_size=65536)
+           .groupby(["event_type", "value"])
+           .aggregate(Sum("p_n", alias_name="n")))
+    pdf = agg.to_pandas()
+    rows = []
+    for et, g in pdf.groupby("event_type", sort=True):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy(np.float64)
+        counts = g["n"].to_numpy(np.int64)
+        med = _weighted_quantile(vals, counts, 0.5)
+        dev = np.abs(vals - med)
+        order = np.argsort(dev, kind="stable")
+        dev, dcounts = dev[order], counts[order]
+        # merge duplicate deviations (two values equidistant from the median)
+        uniq, inv = np.unique(dev, return_inverse=True)
+        merged = np.zeros(len(uniq), np.int64)
+        np.add.at(merged, inv, dcounts)
+        rows.append({"event_type": et,
+                     "mad": _round(_weighted_quantile(uniq, merged, 0.5), 4)})
+    return pd.DataFrame(rows)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -1961,6 +2069,9 @@ ANALYTICS_QUERIES = {
     "event_type_cooccurrence": event_type_cooccurrence,
     "event_entropy_by_user": event_entropy_by_user,
     "cube_counts_docs": cube_counts_docs,
+    "retention_cohorts": retention_cohorts,
+    "customers_except_event_users": customers_except_event_users,
+    "mad_value_by_type": mad_value_by_type,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -2408,5 +2519,28 @@ ANALYTICS_ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM documents GROUP BY CUBE (lang, source)
         ORDER BY lang, source
+    """,
+    "retention_cohorts": """
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ),
+        c AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id)
+        SELECT c.cohort_week, uw.wk - c.cohort_week AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY c.cohort_week, week_offset
+        ORDER BY c.cohort_week, week_offset
+    """,
+    "customers_except_event_users": """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT user_id AS custkey FROM events
+        ORDER BY custkey
+    """,
+    "mad_value_by_type": """
+        SELECT event_type, ROUND(mad(value), 4) AS mad
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }
