@@ -2025,6 +2025,32 @@ def mad_value_by_type(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def user_type_sets(sf_dir: str):
+    """collect_set / array_agg semantics: each user's sorted distinct
+    event-type set (serialized ','-joined so both engines agree on the
+    representation).  Per-batch (user, type) dedup combiner → key-hash
+    partitioned apply that finishes each user's set vectorized — the exchange
+    carries distinct pairs (≤ |types| per user), never events."""
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "event_type"]).aggregate([])
+
+    parts = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(pair_dedup, batch_format="pyarrow", batch_size=65536)
+             .map_batches(_add_part("user_id"), batch_format="pyarrow"))
+
+    def collect(part_df: pd.DataFrame) -> pd.DataFrame:
+        d = (part_df.drop_duplicates(subset=["user_id", "event_type"])
+             .sort_values(["user_id", "event_type"]))
+        g = d.groupby("user_id", sort=False)["event_type"]
+        out = g.agg(",".join).rename("type_set").reset_index()
+        out["n_types"] = g.size().to_numpy("int64")
+        return out.astype({"user_id": "int64"})
+
+    df = parts.groupby("part").map_groups(collect, batch_format="pandas").to_pandas()
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -2072,6 +2098,7 @@ ANALYTICS_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "customers_except_event_users": customers_except_event_users,
     "mad_value_by_type": mad_value_by_type,
+    "user_type_sets": user_type_sets,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -2542,5 +2569,12 @@ ANALYTICS_ORACLE_SQL = {
     "mad_value_by_type": """
         SELECT event_type, ROUND(mad(value), 4) AS mad
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "user_type_sets": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY event_type) AS type_set,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY user_id ORDER BY user_id
     """,
 }
