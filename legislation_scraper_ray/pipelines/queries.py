@@ -446,11 +446,18 @@ def jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8):
         g = t.group_by("sh_hash").aggregate([("sh_hash", "count")])
         return g.rename_columns(["sh_hash", "p_n"])
 
+    def sum_df(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("sh_hash", sort=False)["p_n"].sum().rename("df")
+        return g.reset_index().rename(columns={"sh_hash": "j_sh"})
+
+    # two-level partitioned sum, NOT groupby(sh_hash).aggregate: tens of
+    # thousands of distinct shingles = that many tiny Ray groups (measured
+    # 4 s of pure per-group overhead at sf0.1)
     dfreq = (
         sh.map_batches(partial_df, batch_format="pyarrow", batch_size=65536)
-        .groupby("sh_hash")
-        .aggregate(Sum("p_n", alias_name="df"))
-        .map_batches(lambda t: t.rename_columns(["j_sh", "df"]), batch_format="pyarrow")
+        .map_batches(_add_part("sh_hash"), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sum_df, batch_format="pandas")
     )
     joined = sh.join(dfreq, join_type="inner", num_partitions=8,
                      on=("sh_hash",), right_on=("j_sh",))
@@ -514,21 +521,45 @@ def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
         import os as _os
 
         broadcast_pairs_max = int(_os.environ.get("GRAFT_BROADCAST_PAIRS_MAX", "50000"))
-    uniq = (
-        cands.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()  # ids only, output-sized — cheap to pin
-    )
-    n_pairs = uniq.count()
-    if n_pairs == 0:
+    cands = cands.materialize()  # candidate ids only, output-sized by contract
+    n_raw = cands.count()
+    if n_raw == 0:
         return None
+    uniq = None
+    if n_raw <= broadcast_pairs_max:
+        # RAW candidate count already fits the broadcast budget: skip the
+        # Dataset groupby entirely — a hash-shuffle over a few thousand rows
+        # costs ~2.5 s of all-to-all launch overhead at 32 cores, pure fixed
+        # cost at this size; the driver dedups locally below.
+        n_pairs = n_raw
+    else:
+        # Raw exceeds the budget but band-collision duplicates may shrink it —
+        # dedup distributed, then re-decide the plan on the TRUE pair count
+        # (the original branch criterion).  NOT a Dataset groupby over the
+        # pair keys: 100k+ distinct pairs = 100k+ tiny Ray groups at
+        # ~0.65 ms/group of per-group overhead (measured 77 s) — the
+        # two-level partitioned dedup does the same in ~2 s.
+        uniq = (
+            cands.map_batches(_add_part("doc_a"), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(
+                lambda df: df.drop_duplicates(subset=["doc_a", "doc_b"])[
+                    ["doc_a", "doc_b"]],
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        n_pairs = uniq.count()
     if n_pairs <= broadcast_pairs_max:
-        # empty partitions can surface as zero-COLUMN tables — drop them
-        # before concat (schema mismatch otherwise)
-        pairs = pa.concat_tables(
-            [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows]
-        ).combine_chunks()
+        # Empty partitions can surface as zero-COLUMN tables — drop them
+        # before concat (schema mismatch otherwise).
+        raw = pa.concat_tables(
+            [t for t in ray.get((uniq if uniq is not None else cands)
+                                .to_arrow_refs()) if t.num_rows]
+        )
+        pairs = (raw.select(["doc_a", "doc_b"])
+                 .group_by(["doc_a", "doc_b"]).aggregate([])
+                 .combine_chunks())
         ids = pc.unique(
             pa.concat_arrays(
                 [pairs["doc_a"].combine_chunks(), pairs["doc_b"].combine_chunks()]
