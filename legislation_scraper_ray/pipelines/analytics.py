@@ -39,8 +39,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.hashing import splitmix64
-from .common import _MINHASH_PAIRS_CTES, _add_part, _mul64_sql, _read, _round
+from ..functions.hashing import hash64, splitmix64
+from ..functions.text import _flat_tokens
+from .common import _MINHASH_PAIRS_CTES, _add_part, _fnv_sql, _mul64_sql, _read, _round
 
 # --------------------------------------------------------------------------
 # distinct counting: exact (distributed) and HLL sketch
@@ -2051,6 +2052,238 @@ def user_type_sets(sf_dir: str):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def unigram_logprob_docs(sf_dir: str):
+    """CCNet-style unigram-LM document quality score: each document's mean
+    negative log-likelihood under the corpus's OWN unigram MLE (low = common/
+    boilerplate text, high = rare-token noise — training pipelines gate on
+    exactly this score).  Ref analog: the reference archives every fetched doc
+    (build_dataset.py); this is the quality gate a training-data consumer of
+    that corpus applies downstream.
+
+    Scale shape: identical exchange discipline to tfidf_top_term — per-doc
+    term frequencies are complete per batch (a doc is one row, its tokens
+    never span batches); the unigram table is a vocabulary-sized groupby; tf
+    meets the vocabulary in a hash-partitioned ``Dataset.join`` on the term
+    (the vocabulary is NEVER broadcast — at 100 TB it does not fit in a
+    worker); the per-doc reduction is a per-batch partial-sum combiner + a
+    key-partitioned merge, so the post-join exchange carries O(docs) rows."""
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        parent = pc.list_parent_indices(toks)
+        tt = pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().take(parent),
+                "term": pc.list_flatten(toks),
+            }
+        )
+        g = tt.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize: tf feeds THREE consumers (total-token scalar, the unigram
+    # groupby, and the join's left side) — without this the dominant
+    # read+tokenize stage would run three times
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow", batch_size=8192).materialize()
+    n_total = int(tf.sum("tf"))
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return g.rename_columns(["term", "p_cnt"])
+
+    vocab = (
+        tf.map_batches(cnt_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("term")
+        .aggregate(Sum("p_cnt", alias_name="cnt"))
+    )
+    joined = tf.join(vocab, join_type="inner", num_partitions=16, on=("term",))
+    log_n = float(np.log(n_total))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * (log_n - np.log(cnt))
+        tt = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "p_s": pa.array(s, pa.float64()),
+                "p_n": t["tf"],
+            }
+        )
+        g = tt.group_by("doc_id").aggregate([("p_s", "sum"), ("p_n", "sum")])
+        return g.rename_columns(["doc_id", "p_s", "p_n"])
+
+    parts = joined.map_batches(
+        score_partial, batch_format="pyarrow", batch_size=65536
+    ).map_batches(_add_part("doc_id"), batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("doc_id", sort=False).agg(s=("p_s", "sum"), n=("p_n", "sum")).reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": a["doc_id"].astype("int64"),
+                "n_tokens": a["n"].astype("int64"),
+                "nll": _round(a["s"] / a["n"], 4),
+            }
+        )
+
+    return parts.groupby("part").map_groups(merge, batch_format="pandas")
+
+
+def mixture_sample_docs(sf_dir: str, mod: int = 1_000_000):
+    """Language-mixture rebalancing sampler: downsample every language to the
+    rarest language's expected count (uniform target mixture) with a
+    deterministic per-language acceptance threshold on splitmix64(doc_id) —
+    keep a doc iff ``skey % mod < mod·min_count/count(lang)``.  The
+    training-mixture step of a multilingual pipeline.  No RNG state:
+    reproducible across runs, batch splits and cluster sizes, and bit-exactly
+    mirrored in the SQL oracle (same splitmix64 CTE as sample_docs_hash).
+
+    Scale shape: per-language counts are an alphabet-sized groupby (a few
+    rows); the thresholds ride in the map_batches closure (|langs| ints, not a
+    broadcast dataset); the sample itself is ONE shuffle-free vectorized
+    filter pass via dictionary-encoded lang lookup — the 100-TB path is a
+    single streaming scan."""
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "p_n"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    min_cnt = int(counts["n"].min())
+    thr = {lang: (mod * min_cnt) // int(n) for lang, n in zip(counts["lang"], counts["n"])}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        skey = splitmix64(ids) % np.uint64(mod)
+        langd = t["lang"].combine_chunks().dictionary_encode()
+        th = np.array([thr[v] for v in langd.dictionary.to_pylist()], np.uint64)
+        mask = skey < th[langd.indices.to_numpy(zero_copy_only=False)]
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+# precomputed golden-ratio mix powers (MIX^i mod 2^64) for the chunk Horner
+# hash — shared bit-exactly between the numpy kernel and the SQL oracle
+_CHUNK = 16
+_CHUNK_MIX = 0x9E3779B97F4A7C15
+_CHUNK_POWS = [1]
+for _ in range(_CHUNK - 1):
+    _CHUNK_POWS.append((_CHUNK_POWS[-1] * _CHUNK_MIX) % (1 << 64))
+
+
+def chunk_dedup_docs(sf_dir: str):
+    """CCNet-style line-level exact dedup adapted to this corpus (texts carry
+    no newlines, so a "line" is a fixed 16-token window aligned to token
+    position; a doc's last window may be shorter).  A chunk survives iff its
+    (doc_id, chunk_idx) is the globally FIRST occurrence of its content;
+    output is per-doc retention stats (n_chunks, n_kept, kept_ratio) — the
+    statistic a corpus-hygiene dashboard plots before re-assembling text.
+
+    Scale shape: chunks travel as 8-byte Horner hashes + one packed int64
+    order key — never as text; first-wins is dedup_first_by_text at chunk
+    granularity (per-batch min combiner → hash-partitioned groupby(chash)
+    min); the per-doc rollup is a second exchange over O(kept-chunks) rows;
+    totals⋈kept meet in a hash-partitioned left-outer ``Dataset.join`` on
+    doc_id.  The packed key assumes chunk_idx < 2^20 (≤ 16.7 M tokens/doc).
+    Horner fold = Σ h(tok_i)·MIX^(L−1−i) mod 2^64, bit-exact in the SQL
+    oracle via the shared _mul64_sql 32-bit-split multiply."""
+    pows = np.array(_CHUNK_POWS, np.uint64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        flat, parents, tok_counts = _flat_tokens(texts)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "chash": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        wh = hash64(flat)
+        starts = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum(tok_counts, out=starts[1:])
+        pos = np.arange(len(wh), dtype=np.int64) - np.repeat(starts[:-1], tok_counts)
+        off = pos % _CHUNK
+        chunk_starts = np.flatnonzero(off == 0)
+        clen = np.diff(np.append(chunk_starts, len(wh)))
+        exp = np.repeat(clen, clen) - 1 - off
+        ch = np.add.reduceat(wh * pows[exp], chunk_starts)  # uint64 wrap = mod 2^64
+        cdoc = t["doc_id"].to_numpy(zero_copy_only=False)[parents[chunk_starts]]
+        cidx = (pos[chunk_starts] // _CHUNK).astype(np.int64)
+        # shuffle key rides bit-reinterpreted as int64: Ray's groupby boundary
+        # sampling round-trips key values through Python ints and overflows on
+        # uint64 > 2^63 (same equivalence classes either way)
+        return pa.table(
+            {
+                "chash": pa.array(ch.view(np.int64), pa.int64()),
+                "key": pa.array(cdoc * (1 << 20) + cidx, pa.int64()),
+                "doc_id": pa.array(cdoc, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # two consumers (totals + firsts) — materialize so tokenize+hash runs once
+    ex = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192).materialize()
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("key", "count")])
+        return g.rename_columns(["doc_id", "p_n"])
+
+    totals = (
+        ex.map_batches(tot_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("doc_id")
+        .aggregate(Sum("p_n", alias_name="n_chunks"))
+    )
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("chash").aggregate([("key", "min")])
+        return g.rename_columns(["chash", "p_key"])
+
+    firsts = (
+        ex.map_batches(first_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("chash")
+        .aggregate(Min("p_key", alias_name="k"))
+    )
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        did = t["k"].to_numpy(zero_copy_only=False) >> 20
+        g = pa.table({"doc_id": pa.array(did, pa.int64())}).group_by("doc_id").aggregate(
+            [("doc_id", "count")]
+        )
+        return g.rename_columns(["doc_id", "p_k"])
+
+    kept = (
+        firsts.map_batches(kept_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("doc_id")
+        .aggregate(Sum("p_k", alias_name="n_kept"))
+    )
+    joined = totals.join(kept, join_type="left_outer", num_partitions=8, on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_chunks = t["n_chunks"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_kept = pc.coalesce(t["n_kept"], pa.scalar(0, t["n_kept"].type))
+        n_kept = n_kept.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "kept_ratio": pa.array(_round(n_kept / n_chunks, 4), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -2099,6 +2332,9 @@ ANALYTICS_QUERIES = {
     "customers_except_event_users": customers_except_event_users,
     "mad_value_by_type": mad_value_by_type,
     "user_type_sets": user_type_sets,
+    "unigram_logprob_docs": unigram_logprob_docs,
+    "mixture_sample_docs": mixture_sample_docs,
+    "chunk_dedup_docs": chunk_dedup_docs,
 }
 
 _KGRAM4_CTES = """w AS (
@@ -2117,7 +2353,59 @@ _KGRAM4_CTES = """w AS (
     gd AS (SELECT DISTINCT doc_id, ng FROM g)"""
 
 
+_CHUNK_POW_ROWS = ", ".join(
+    f"({i}, {p}::HUGEINT)" for i, p in enumerate(_CHUNK_POWS)
+)
+
 ANALYTICS_ORACLE_SQL = {
+    "unigram_logprob_docs": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+        vocab AS (SELECT word, SUM(tf) AS cnt FROM tf GROUP BY word),
+        tot AS (SELECT SUM(cnt) AS n FROM vocab)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * (ln((SELECT n FROM tot)) - ln(cnt))) / SUM(tf), 4) AS nll
+        FROM tf JOIN vocab USING (word) GROUP BY doc_id
+    """,
+    "mixture_sample_docs": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')},
+        cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n) AS mn FROM cnt)
+        SELECT s.doc_id, s.lang FROM smx s JOIN cnt c ON c.lang = s.lang
+        WHERE s.skey % 1000000 <
+              CAST((1000000 * (SELECT mn FROM m)) // c.n AS UBIGINT)
+    """,
+    # chunk hash: Horner fold over the window's token FNV hashes =
+    # Σ h(tok)·MIX^(last_pos − pos) mod 2^64, via the 32-bit-split multiply
+    "chunk_dedup_docs": f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        wh AS (SELECT doc_id, pos, ({_fnv_sql('word')})::UBIGINT AS h FROM w),
+        ck AS (SELECT doc_id, (pos - 1) // 16 AS cidx, pos, h FROM wh),
+        cm AS (SELECT doc_id, cidx, MAX(pos) AS mx FROM ck GROUP BY doc_id, cidx),
+        wt AS (
+            SELECT c.doc_id, c.cidx, ({_mul64_sql('c.h::HUGEINT', 'p.pw')}) AS hp
+            FROM ck c
+            JOIN cm m ON m.doc_id = c.doc_id AND m.cidx = c.cidx
+            JOIN (VALUES {_CHUNK_POW_ROWS}) p(i, pw) ON p.i = m.mx - c.pos
+        ),
+        ch AS (
+            SELECT doc_id, cidx, CAST(SUM(hp) % {1 << 64} AS UBIGINT) AS chash
+            FROM wt GROUP BY doc_id, cidx
+        ),
+        firsts AS (SELECT chash, MIN(doc_id * 1048576 + cidx) AS k FROM ch GROUP BY chash),
+        kept AS (
+            SELECT k // 1048576 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM firsts GROUP BY 1
+        ),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id)
+        SELECT t.doc_id, t.n_chunks, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               ROUND(COALESCE(k.n_kept, 0) * 1.0 / t.n_chunks, 4) AS kept_ratio
+        FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
     "decontaminate_docs": f"""
         WITH {_KGRAM4_CTES},
         ev AS (SELECT DISTINCT ng FROM gd WHERE doc_id % 20 = 0)

@@ -114,3 +114,21 @@ def _mul64_sql(a: str, b: str) -> str:
         f" + (((({a} % 4294967296) * ({b} // 4294967296)"
         f" + ({a} // 4294967296) * ({b} % 4294967296)) % 4294967296) * 4294967296)) % {_M64})"
     )
+
+
+_FNV_OFFSET_I = 0xCBF29CE484222325
+_FNV_PRIME_I = 0x100000001B3
+
+
+def _fnv_sql(col: str) -> str:
+    """SQL expression: FNV-1a64(col) with the engine's length mix
+    (functions/hashing.py fnv1a64_bytes — validated byte-exact vs the kernel).
+    Texts are ASCII by corpus construction, so ord(substr) == byte value.
+    FNV's per-byte multiply uses HUGEINT directly (prime ≈ 2^40, so h·prime
+    < 2^104 fits in HUGEINT)."""
+    return f"""((xor(
+      list_reduce(
+        [{_FNV_OFFSET_I}::HUGEINT] ||
+        list_transform(range(1, strlen({col})+1), i -> ord(substr({col}, i, 1))::HUGEINT),
+        (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}
+      )::UBIGINT, strlen({col})::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}"""

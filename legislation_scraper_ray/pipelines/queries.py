@@ -1764,22 +1764,10 @@ def _lang_id_sql() -> str:
 # HUGEINT); the trigram mix constant is ≈ 2^63.5, so its products need a
 # 32-bit-split modular multiply (_mul64_sql).
 
-_FNV_OFFSET_I = 0xCBF29CE484222325
-_FNV_PRIME_I = 0x100000001B3
+from .common import _fnv_sql  # noqa: E402 (shared with analytics.py)
+
 _M64 = 1 << 64
 _TRI_MIX_I = 0x9E3779B97F4A7C15
-
-
-def _fnv_sql(col: str) -> str:
-    """SQL expression: FNV-1a64(col) with the engine's length mix
-    (functions/hashing.py fnv1a64_bytes — validated byte-exact vs the kernel).
-    Texts are ASCII by corpus construction, so ord(substr) == byte value."""
-    return f"""((xor(
-      list_reduce(
-        [{_FNV_OFFSET_I}::HUGEINT] ||
-        list_transform(range(1, strlen({col})+1), i -> ord(substr({col}, i, 1))::HUGEINT),
-        (h, c) -> ((xor(h::UBIGINT, c::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}
-      )::UBIGINT, strlen({col})::UBIGINT))::HUGEINT * {_FNV_PRIME_I}) % {_M64}"""
 
 
 def _redact_pii_sql() -> str:
