@@ -174,6 +174,154 @@ class IVFTopK:
         )
 
 
+def _kmeans_l2(sample: np.ndarray, n_codes: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Plain (Euclidean) Lloyd k-means on a bounded sample → (c, d) centroids.
+    Deterministic (seeded init, argmin tiebreak = lowest index, empty-cluster
+    respawn on the worst-covered point) — the PQ codebook trainer."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, dtype=np.float64)
+    n = len(x)
+    c = min(n_codes, n)
+    cent = x[rng.choice(n, size=c, replace=False)].copy()
+    for _ in range(iters):
+        # squared distance via |x|² − 2x·c + |c|²  (|x|² constant per row)
+        d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        worst = d2.min(axis=1).argmax()
+        for j in range(c):
+            m = assign == j
+            cent[j] = x[m].mean(axis=0) if m.any() else x[worst]
+    return cent
+
+
+def pq_train(sample: np.ndarray, m_sub: int = 8, n_codes: int = 16,
+             iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Product-quantization codebooks: split the unit-normalized vector into
+    ``m_sub`` contiguous subspaces, k-means each independently on the bounded
+    training sample.  Returns (m_sub, n_codes, d/m_sub) float64.  Training is
+    O(sample), independent of corpus size — the standard IVF-PQ recipe."""
+    x = normalize(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    assert d % m_sub == 0, "embedding dim must divide into subspaces"
+    d_sub = d // m_sub
+    books = np.empty((m_sub, n_codes, d_sub), np.float64)
+    for s in range(m_sub):
+        books[s] = _kmeans_l2(x[:, s * d_sub : (s + 1) * d_sub], n_codes, iters, seed + s)
+    return books
+
+
+def pq_encode_matrix(vecs_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) unit vectors → (n, m_sub) uint8 codes (nearest codebook entry
+    per subspace, matmul distance trick — no n×codes×d temporaries)."""
+    m_sub, _n_codes, d_sub = books.shape
+    codes = np.empty((len(vecs_unit), m_sub), np.uint8)
+    for s in range(m_sub):
+        sub = vecs_unit[:, s * d_sub : (s + 1) * d_sub]
+        b = books[s]
+        d2 = -2.0 * (sub @ b.T) + (b * b).sum(axis=1)[None, :]
+        codes[:, s] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+class PQEncode:
+    """map_batches stage: build the COMPRESSED index — (vec_id, cell, codes).
+
+    Actor state (``__init__``, once per actor): IVF centroids + PQ codebooks
+    from the object store.  Per batch: one matmul assigns the IVF cell, m_sub
+    small matmuls encode the vector to ``m_sub`` uint8 codes packed as a
+    fixed-size-binary blob — 8 bytes/vector vs d·4 for the raw float32
+    embedding (32× at d=64).  At 100 TB this is the stage an offline indexing
+    job ends with ``write_parquet``; queries then scan ONLY the code table."""
+
+    def __init__(self, state_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, tuple) else state_ref
+        self.centroids, self.books = st
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = normalize(_as_matrix(batch[self.vec_col]))
+        cell = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        codes = pq_encode_matrix(vecs, self.books)
+        m_sub = codes.shape[1]
+        codes_col = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m_sub), len(codes),
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())],
+        )
+        return pa.table(
+            {
+                "vec_id": batch[self.id_col],
+                "cell": pa.array(cell, pa.int32()),
+                "codes": codes_col,
+            }
+        )
+
+
+class PQScan:
+    """map_batches stage: ADC (asymmetric distance computation) scan over the
+    compressed index.  Actor state: per-query lookup tables LUT[q, s, c] =
+    q_sub·codebook[s][c] (so ADC score = Σ_s LUT[q, s, code_s] ≈ cos(q, x))
+    plus the probed-cell mask.  Per batch: drop unprobed cells, gather-sum the
+    LUT over the uint8 code matrix — no float embeddings are ever read."""
+
+    def __init__(self, state_ref, k: int = 10):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, tuple) else state_ref
+        self.q_ids, self.lut, self.probe_mask = st  # (m,), (m, m_sub, n_codes), (cells,)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        keep = self.probe_mask[cell]
+        if not keep.any():
+            return empty
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        codes_col = batch["codes"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        m_sub = codes_col.type.byte_width
+        flat = np.frombuffer(codes_col.buffers()[1], dtype=np.uint8)
+        codes = flat[codes_col.offset * m_sub : (codes_col.offset + len(codes_col)) * m_sub]
+        codes = codes.reshape(len(codes_col), m_sub)[keep]
+        sub_idx = np.arange(m_sub)[None, :]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            scores = self.lut[qi][sub_idx, codes].sum(axis=1)
+            k = min(self.k, len(scores))
+            top = np.argpartition(-scores, kth=k - 1)[:k]
+            out_q.append(np.full(k, self.q_ids[qi], np.int64))
+            out_v.append(ids[top])
+            out_s.append(scores[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def pq_lut(q_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: (m, d) unit queries × (m_sub, n_codes,
+    d_sub) codebooks → (m, m_sub, n_codes) float64."""
+    m_sub, n_codes, d_sub = books.shape
+    m = q_unit.shape[0]
+    lut = np.empty((m, m_sub, n_codes), np.float64)
+    for s in range(m_sub):
+        lut[:, s, :] = q_unit[:, s * d_sub : (s + 1) * d_sub] @ books[s].T
+    return lut
+
+
 def add_lsh_bucket(batch: pa.Table, vec_col: str = "embedding", n_bits: int = 8) -> pa.Table:
     vecs = normalize(_as_matrix(batch[vec_col]))
     return batch.append_column(

@@ -1249,6 +1249,65 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
+                   n_codes: int = 16, train_sample: int = 4096):
+    """IVF-PQ ANN — the MEMORY scale path next to IVF: the probed scan reads
+    an ``m_sub``-byte product-quantization code per vector instead of the
+    d·4-byte float32 embedding (32× smaller at d=64, m_sub=8), so a 100-TB
+    embedding corpus compresses to a ~3-TB code table that queries scan
+    without ever touching the raw vectors.
+
+    Train: IVF centroids (spherical k-means) + per-subspace PQ codebooks, both
+    on ONE bounded sample (cost independent of corpus size).  Encode: one
+    streaming ``map_batches`` actor stage emits (vec_id, cell, codes) — the
+    compressed index an offline job would ``write_parquet``.  Search: ADC
+    lookup tables for the query are broadcast once; each batch drops unprobed
+    cells and gather-sums the LUT over the uint8 code matrix (pure numpy, no
+    float embeddings read).  Per-batch partial top-k + tiny merge, same
+    aggregation shape as ann_topk.  Rows-only (approximate by construction);
+    pytest asserts planted-neighbor recall and self-retrieval."""
+    from ..functions.ann import (
+        PQEncode,
+        PQScan,
+        kmeans_centroids,
+        merge_topk,
+        normalize,
+        pq_lut,
+        pq_train,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    n_centroids = max(4, int(np.sqrt(n)))
+    sample = ds.limit(min(train_sample, n)).to_pandas()
+    sample_m = np.stack(sample["embedding"].to_numpy())
+    centroids = kmeans_centroids(sample_m, n_centroids)
+    books = pq_train(sample_m, m_sub=m_sub, n_codes=n_codes)
+
+    q_emb = _query_vector(sf_dir, 0)
+    qn = normalize(q_emb[None, :])
+    probe = np.argsort(-(qn[0] @ centroids.T))[:n_probe]
+    probe_mask = np.zeros(len(centroids), dtype=bool)
+    probe_mask[probe] = True
+
+    enc_ref = ray.put((centroids, books))
+    index = ds.map_batches(
+        PQEncode, fn_constructor_args=(enc_ref,), batch_format="pyarrow",
+        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
+    )
+    scan_ref = ray.put((np.array([0], dtype=np.int64), pq_lut(qn, books), probe_mask))
+    partials = index.map_batches(
+        PQScan, fn_constructor_args=(scan_ref, k), batch_format="pyarrow",
+        batch_size=65536, concurrency=(1, 4), num_cpus=0.5,
+    )
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k), batch_format="pandas"
+    )
+    df = merged.to_pandas()
+    df["cos_sim"] = _round(df["cos_sim"], 4)
+    return df[["vec_id", "cos_sim", "rank"]]
+
+
 def dup_clusters(sf_dir: str):
     """Duplicate-document clusters: MinHash near-dup pairs → connected
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
@@ -1698,6 +1757,7 @@ QUERIES = {
     "knn_join_embeddings": knn_join_embeddings,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
