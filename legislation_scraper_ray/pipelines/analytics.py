@@ -2284,6 +2284,182 @@ def chunk_dedup_docs(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=65536)
 
 
+# --------------------------------------------------------------------------
+# distributed prefix scans: global running total, interval-overlap peak
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def events_global_running_total(sf_dir: str):
+    """GLOBAL running total over the whole event stream in (ts, event_id)
+    order — the distributed prefix-scan primitive (vs events_running_total's
+    per-key scan).  The classic two-phase scan: time-range buckets (epoch
+    days) partition the order, a tiny per-bucket sum pass gives the driver
+    O(days) exclusive prefix offsets, and a second partitioned pass computes
+    within-bucket cumsums + offset.  Values are summed as integer CENTS
+    (round(value·100)) so the scan is associative and EXACT — the
+    bucket-offset association cannot drift from the oracle's sequential
+    window sum the way float addition would.  Each event crosses the wire
+    once per pass; driver state is O(days), never O(rows)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        # floor(x + 0.5): same expression as the oracle SQL — rint's
+        # half-to-even vs SQL ROUND's half-away would disagree on .5 cases
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "us": pa.array(us, pa.int64()),
+                "bucket": pa.array(us // _DAY_US, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    deltas = ds.map_batches(with_bucket, batch_format="pyarrow", batch_size=65536)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket", "cents"]).group_by("bucket").aggregate([("cents", "sum")])
+        return g.rename_columns(["bucket", "p_sum"])
+
+    totals = (
+        deltas.map_batches(bucket_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .aggregate(Sum("p_sum", alias_name="bucket_sum"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    off = dict(
+        zip(
+            totals["bucket"].to_numpy(),
+            np.concatenate([[0], totals["bucket_sum"].to_numpy()[:-1].cumsum()]),
+        )
+    )
+
+    parts = deltas.map_batches(_add_part("bucket"), batch_format="pyarrow")
+
+    def scan(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["bucket", "us", "event_id"])
+        cum = part_df.groupby("bucket", sort=False)["cents"].cumsum().to_numpy()
+        base = part_df["bucket"].map(off).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": part_df["event_id"].astype("int64"),
+                "run_total": (cum + base) / 100.0,
+            }
+        )
+
+    out = parts.groupby("part").map_groups(scan, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def max_concurrent_events(sf_dir: str):
+    """Peak interval-overlap: each event is an active interval
+    [ts, ts + value seconds); the answer is the maximum number of
+    simultaneously active intervals and the first instant it is reached —
+    the sweep-line operator (capacity planning / max concurrent sessions).
+
+    Shape: every event emits two deltas (+1 at start, −1 at end, ends
+    ordered before starts at equal instants = closed-open semantics); the
+    delta stream is an integer prefix scan, distributed with the same
+    day-bucket offset decomposition as events_global_running_total.  Each
+    bucket reports only (within-max, first instant at it) — one row per day
+    — so the driver combine is O(days)."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ).astype(np.int64)
+        tt = np.concatenate([us, us + dur])
+        dd = np.concatenate(
+            [np.ones(len(us), np.int64), np.full(len(us), -1, np.int64)]
+        )
+        return pa.table(
+            {
+                "t": pa.array(tt, pa.int64()),
+                "d": pa.array(dd, pa.int64()),
+                "bucket": pa.array(tt // _DAY_US, pa.int64()),
+            }
+        )
+
+    dts = ds.map_batches(deltas, batch_format="pyarrow", batch_size=65536)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket", "d"]).group_by("bucket").aggregate([("d", "sum")])
+        return g.rename_columns(["bucket", "p_sum"])
+
+    totals = (
+        dts.map_batches(bucket_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .aggregate(Sum("p_sum", alias_name="bucket_sum"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = totals["bucket"].to_numpy()
+    off = dict(
+        zip(buckets, np.concatenate([[0], totals["bucket_sum"].to_numpy()[:-1].cumsum()]))
+    )
+
+    parts = dts.map_batches(_add_part("bucket"), batch_format="pyarrow")
+
+    def bucket_max(part_df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in part_df.groupby("bucket", sort=False):
+            g = g.sort_values(["t", "d"])  # -1 before +1 at equal t: [s, e)
+            cum = g["d"].to_numpy().cumsum()
+            cmax = int(cum.max())
+            first = int(g["t"].to_numpy()[int(np.argmax(cum == cmax))])
+            rows.append((int(b), cmax, first))
+        return pd.DataFrame(rows, columns=["bucket", "cmax", "first_t"])
+
+    bm = parts.groupby("part").map_groups(bucket_max, batch_format="pandas").to_pandas()
+    bm = bm.sort_values("bucket").reset_index(drop=True)
+    glob = bm["cmax"].to_numpy() + bm["bucket"].map(off).to_numpy(dtype=np.int64)
+    peak = int(glob.max())
+    first_bucket = int(np.argmax(glob == peak))
+    return pd.DataFrame(
+        {
+            "peak_concurrency": pd.Series([peak], dtype="int64"),
+            "peak_t": pd.Series([int(bm["first_t"].iloc[first_bucket])], dtype="int64"),
+        }
+    )
+
+
+def events_gapfill_hourly(sf_dir: str):
+    """Dense hourly event counts with zero-filled gaps — the
+    dense-time-axis fill every monitoring/training-curve pipeline needs.
+    Counts pre-aggregate per batch (partial combine), the global per-hour
+    merge is output-sized by definition (one row per hour of corpus span),
+    and the gap fill runs on that output-sized table only."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"hour": pa.array(us // 3_600_000_000, pa.int64())})
+            .group_by("hour")
+            .aggregate([("hour", "count")])
+        )
+        return g.rename_columns(["hour", "p_n"])
+
+    cnt = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("hour")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    lo, hi = int(cnt["hour"].min()), int(cnt["hour"].max())
+    axis = pd.DataFrame({"hour": np.arange(lo, hi + 1, dtype=np.int64)})
+    out = axis.merge(cnt, on="hour", how="left")
+    out["n_events"] = out["n"].fillna(0).astype("int64")
+    return out[["hour", "n_events"]].sort_values("hour").reset_index(drop=True)
+
+
 ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
@@ -2311,6 +2487,9 @@ ANALYTICS_QUERIES = {
     "customer_order_stats": customer_order_stats,
     "events_value_delta": events_value_delta,
     "events_running_total": events_running_total,
+    "events_global_running_total": events_global_running_total,
+    "max_concurrent_events": max_concurrent_events,
+    "events_gapfill_hourly": events_gapfill_hourly,
     "events_ewma": events_ewma,
     "user_activity_full_outer": user_activity_full_outer,
     "export_shards": export_shards,
@@ -2436,6 +2615,40 @@ ANALYTICS_ORACLE_SQL = {
                ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING), 4) AS run_total
         FROM events ORDER BY event_id
+    """,
+    "events_global_running_total": """
+        SELECT event_id,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   / 100.0 AS run_total
+        FROM events ORDER BY event_id
+    """,
+    "max_concurrent_events": """
+        WITH deltas AS (
+            SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+            UNION ALL
+            SELECT CAST(epoch_us(ts) AS BIGINT)
+                   + CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS t, -1 AS d
+            FROM events
+        ),
+        scan AS (
+            SELECT t, SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+            FROM deltas
+        ),
+        mx AS (SELECT MAX(c) AS peak FROM scan)
+        SELECT CAST(mx.peak AS BIGINT) AS peak_concurrency,
+               CAST((SELECT MIN(t) FROM scan WHERE c = mx.peak) AS BIGINT) AS peak_t
+        FROM mx
+    """,
+    "events_gapfill_hourly": """
+        WITH cnt AS (
+            SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM cnt),
+        axis AS (SELECT unnest(generate_series(lo, hi)) AS hour FROM b)
+        SELECT axis.hour, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_events
+        FROM axis LEFT JOIN cnt ON cnt.hour = axis.hour ORDER BY axis.hour
     """,
     "events_ewma": """
         WITH RECURSIVE o AS (

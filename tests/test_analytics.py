@@ -639,3 +639,49 @@ def test_user_activity_full_outer(ray_session, events):
     both = list(ev_users & cust_keys)[:10]
     for u in both:
         assert got.loc[u, "n_events"] == n[u]
+
+
+def test_events_global_running_total(ray_session, events):
+    """Global prefix scan == sequential cents cumsum in (ts, event_id) order."""
+    from legislation_scraper_ray.pipelines.analytics import events_global_running_total
+
+    got = _df(events_global_running_total(SF)).set_index("event_id")["run_total"]
+    seq = events.sort_values(["ts", "event_id"])
+    cents = np.floor(seq["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = pd.Series(cents.cumsum() / 100.0, index=seq["event_id"])
+    assert len(got) == len(want)
+    assert (got.sort_index().to_numpy() == want.sort_index().to_numpy()).all()
+
+
+def test_max_concurrent_events_brute_force(ray_session, events):
+    """Sweep-line peak == brute-force delta scan; closed-open interval rule
+    (an interval ending at t frees its slot before one starting at t)."""
+    from legislation_scraper_ray.pipelines.analytics import max_concurrent_events
+
+    got = _df(max_concurrent_events(SF))
+    us = events["ts"].astype("int64").to_numpy()
+    dur = np.floor(events["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    t = np.concatenate([us, us + dur])
+    d = np.concatenate([np.ones(len(us), np.int64), -np.ones(len(us), np.int64)])
+    order = np.lexsort((d, t))  # t asc, then d asc (-1 first)
+    cum = d[order].cumsum()
+    peak = int(cum.max())
+    first_t = int(t[order][int(np.argmax(cum == peak))])
+    assert int(got["peak_concurrency"].iloc[0]) == peak
+    assert int(got["peak_t"].iloc[0]) == first_t
+
+
+def test_events_gapfill_hourly(ray_session, events):
+    """Dense hourly axis: contiguous hours, zero-filled gaps, counts match."""
+    from legislation_scraper_ray.pipelines.analytics import events_gapfill_hourly
+
+    got = _df(events_gapfill_hourly(SF))
+    hours = events["ts"].astype("int64").to_numpy() // 3_600_000_000
+    want = pd.Series(hours).value_counts()
+    assert (np.diff(got["hour"].to_numpy()) == 1).all()  # dense, no gaps
+    assert got["hour"].iloc[0] == hours.min() and got["hour"].iloc[-1] == hours.max()
+    assert int(got["n_events"].sum()) == len(events)
+    byh = got.set_index("hour")["n_events"]
+    for h, n in want.items():
+        assert byh[h] == n
+    assert (byh[~byh.index.isin(want.index)] == 0).all()
