@@ -251,3 +251,42 @@ def doc_distinct_kgrams(
     keep = np.ones(len(h), dtype=bool)
     keep[1:] = (h[1:] != h[:-1]) | (par[1:] != par[:-1])
     return h[keep], par[keep], n_docs, n_total
+
+
+class LogisticScore:
+    """Actor-pool "model inference" stage: a logistic quality classifier
+    z = w0 + w1·ln(1 + n_tokens) + w2·stopword_ratio + w3·mean_token_len,
+    score = σ(z) — the fasttext-style quality-filter shape of a web-corpus
+    pipeline.  The weight vector ships by object-store broadcast and loads
+    once per actor (``__init__``); each batch is scored as one vectorized
+    numpy expression over the ``quality_features`` kernels (same feature
+    formulas as the SQL oracle, evaluated left-to-right so the doubles
+    agree).  Swap the 4-weight vector for a real model handle and the stage
+    shape is unchanged.
+
+    Reference analog: the validity/quality gates applied per scraped doc
+    before save (/root/reference/src/scraper/base/scraper.py:423-447)."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self.w = (
+            weights_ref
+            if isinstance(weights_ref, np.ndarray)
+            else ray.get(weights_ref)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q = quality_features(batch)
+        n_tok = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sr = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+        mtl = q["mean_token_len"].to_numpy(zero_copy_only=False)
+        w0, w1, w2, w3 = self.w
+        z = w0 + w1 * np.log(1.0 + n_tok) + w2 * sr + w3 * mtl
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score": pa.array(score, pa.float64()),
+            }
+        )

@@ -292,6 +292,36 @@ def stopword_ratio_docs(sf_dir: str):
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
+def quality_model_score_docs(sf_dir: str):
+    """Batched model inference: a logistic quality classifier scored
+    vectorized per batch against a BROADCAST weight vector (``ray.put`` once,
+    ``ray.get`` once per actor in ``__init__`` — never per batch).  Emits
+    (doc_id, score, keep); at 100 TB this is the stage where a real model
+    handle replaces the 4-weight vector with zero pipeline changes.  Exact
+    SQL oracle: the same feature formulas (whitespace tokens, stopword hits,
+    mean token length) and the same left-to-right double expression."""
+    from ..functions.text import LogisticScore
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    w_ref = ray.put(np.array([-2.0, 0.5, 3.0, 0.1], dtype=np.float64))
+    scored = ds.map_batches(
+        LogisticScore, fn_constructor_args=(w_ref,), batch_format="pyarrow",
+        batch_size=8192, concurrency=(1, 4), num_cpus=0.5,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "score": pa.array(_round(s, 4), pa.float64()),
+                "keep": pa.array((s >= 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
 def lang_id_docs(sf_dir: str):
     from ..functions.text import lang_id
 
@@ -1374,6 +1404,66 @@ def image_dup_by_phash(sf_dir: str):
     return df[["phash", "n_copies", "first_image_id"]]
 
 
+ASPECT_LADDER = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+
+
+def aspect_bucket_stats(sf_dir: str):
+    """Aspect-ratio bucketing over the image corpus — the grouping step of
+    bucketed-resolution training (images batch with others of their nearest
+    canonical aspect so padding is minimal).  Each image is assigned the
+    ladder ratio nearest in log space (deterministic lowest-index tiebreak),
+    plus a LAION-style size gate (min side ≥ 32).  Per batch: one vectorized
+    argmin over the |ladder|-column log-distance matrix + partial sums; the
+    global merge is |ladder| rows.  Returns (bucket, n, n_small, mean_w,
+    mean_h).  Rows-only (the image corpus has no DuckDB view); pytest
+    verifies against a pandas brute force on the same parquet."""
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["w", "h"])
+    ratios = np.log(np.array([a / b for a, b in ASPECT_LADDER], dtype=np.float64))
+    names = [f"{a}:{b}" for a, b in ASPECT_LADDER]
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.abs(np.log(w / h)[:, None] - ratios[None, :]).argmin(axis=1)
+        small = (np.minimum(w, h) < 32).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "bucket_idx": pa.array(idx.astype(np.int32), pa.int32()),
+                    "one": pa.array(np.ones(len(w), np.int64)),
+                    "small": pa.array(small),
+                    "w": pa.array(w),
+                    "h": pa.array(h),
+                }
+            )
+            .group_by("bucket_idx")
+            .aggregate([("one", "sum"), ("small", "sum"), ("w", "sum"), ("h", "sum")])
+        )
+        return g.rename_columns(["bucket_idx", "p_n", "p_small", "p_w", "p_h"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket_idx")
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_small", alias_name="n_small"),
+            Sum("p_w", alias_name="s_w"),
+            Sum("p_h", alias_name="s_h"),
+        )
+        .to_pandas()
+        .sort_values("bucket_idx")
+    )
+    agg["bucket"] = [names[i] for i in agg["bucket_idx"]]
+    agg["mean_w"] = _round(agg["s_w"] / agg["n"], 2)
+    agg["mean_h"] = _round(agg["s_h"] / agg["n"], 2)
+    agg["n"] = agg["n"].astype("int64")
+    agg["n_small"] = agg["n_small"].astype("int64")
+    return agg[["bucket", "n", "n_small", "mean_w", "mean_h"]].reset_index(drop=True)
+
+
 def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
     """Image near-dup by perceptual-hash Hamming distance ≤ ``max_dist`` —
     the banded/pigeonhole upgrade of the exact-phash grouping
@@ -1744,6 +1834,7 @@ QUERIES = {
     "token_stats_docs": token_stats_docs,
     "quality_by_lang": quality_by_lang,
     "stopword_ratio_docs": stopword_ratio_docs,
+    "quality_model_score_docs": quality_model_score_docs,
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
     "bpe_token_stats_props": bpe_token_stats_props,
@@ -1761,6 +1852,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
+    "aspect_bucket_stats": aspect_bucket_stats,
     "phash_hamming_pairs": phash_hamming_pairs,
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,
@@ -1988,6 +2080,26 @@ ORACLE_SQL = {
                ROUND(len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
                      / len(string_split(text, ' ')), 4) AS stopword_ratio
         FROM documents
+    """,
+    "quality_model_score_docs": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+                       AS stop_hits,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        z AS (
+            SELECT doc_id,
+                   -2.0 + 0.5 * ln(1.0 + n_tok) + 3.0 * (stop_hits / n_tok)
+                        + 0.1 * ((n_chars - (n_tok - 1.0)) / n_tok) AS zz
+            FROM f
+        )
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-zz)), 4) AS score,
+               CAST(CASE WHEN 1.0 / (1.0 + exp(-zz)) >= 0.5 THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep
+        FROM z
     """,
     "dedup_first_by_text": """
         SELECT text, MIN(doc_id) AS first_doc_id, COUNT(*) AS n_copies

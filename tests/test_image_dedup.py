@@ -32,3 +32,35 @@ def test_image_dup_by_phash_matches_planted(ray_session):
     for p, n in expect.items():
         grp = ids[phash == p]
         assert sub[p] == min(grp)
+
+
+def test_aspect_bucket_stats_vs_pandas(ray_session):
+    """Aspect bucketing == pandas brute force on the same corpus parquet."""
+    import pandas as pd
+
+    from legislation_scraper_ray.pipelines.queries import (
+        ASPECT_LADDER, aspect_bucket_stats,
+    )
+    from legislation_scraper_ray.sources.corpus import generate
+
+    t2 = generate("t2")
+    got = aspect_bucket_stats("/root/testdata/sf0.01").set_index("bucket")
+    df = pq.read_table(f"{t2}/corpus.parquet", columns=["w", "h"]).to_pandas()
+    ratios = np.log(np.array([a / b for a, b in ASPECT_LADDER]))
+    names = [f"{a}:{b}" for a, b in ASPECT_LADDER]
+    idx = np.abs(
+        np.log(df["w"].to_numpy() / df["h"].to_numpy())[:, None] - ratios[None, :]
+    ).argmin(axis=1)
+    df["bucket"] = [names[i] for i in idx]
+    df["small"] = (np.minimum(df["w"], df["h"]) < 32).astype(int)
+    want = df.groupby("bucket").agg(
+        n=("bucket", "size"), n_small=("small", "sum"),
+        mean_w=("w", "mean"), mean_h=("h", "mean"),
+    )
+    assert int(got["n"].sum()) == len(df)
+    assert set(got.index) == set(want.index)
+    for b in want.index:
+        assert got.loc[b, "n"] == want.loc[b, "n"]
+        assert got.loc[b, "n_small"] == want.loc[b, "n_small"]
+        assert abs(got.loc[b, "mean_w"] - want.loc[b, "mean_w"]) < 0.01
+        assert abs(got.loc[b, "mean_h"] - want.loc[b, "mean_h"]) < 0.01
