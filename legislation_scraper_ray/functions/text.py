@@ -290,3 +290,104 @@ class LogisticScore:
                 "score": pa.array(score, pa.float64()),
             }
         )
+
+
+def bpe_train(words: np.ndarray, counts: np.ndarray, n_merges: int = 32):
+    """Learn BPE merges from a WORD-FREQUENCY table (the standard trick: BPE
+    never scans the corpus — it trains on the vocabulary weighted by count,
+    which is output-sized even at 100 TB).  Deterministic: ties on pair
+    frequency break lexicographically.  Returns the ordered merge list
+    [((a, b), rank), ...] where symbols are strings ('</w>' marks word end).
+
+    Pure driver-side computation over the vocab table; the distributed parts
+    of the pipeline are the word count before and the encode pass after."""
+    seqs = [tuple(w) + ("</w>",) for w in words]
+    cnts = [int(c) for c in counts]
+    merges = []
+    for rank in range(n_merges):
+        pair_freq: dict = {}
+        for seq, c in zip(seqs, cnts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_freq[p] = pair_freq.get(p, 0) + c
+        if not pair_freq:
+            break
+        top_f = max(pair_freq.values())
+        best_pair = min(p for p, f in pair_freq.items() if f == top_f)
+        merges.append((best_pair, rank))
+        a, b = best_pair
+        ab = a + b
+        new_seqs = []
+        for seq in seqs:
+            if a not in seq:
+                new_seqs.append(seq)
+                continue
+            out = []
+            i = 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+    return merges
+
+
+def bpe_encode_len(word: str, ranks: dict) -> int:
+    """Number of BPE tokens for one word under the learned merge ranks
+    (apply the lowest-rank applicable merge until none applies)."""
+    seq = list(word) + ["</w>"]
+    while len(seq) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(seq) - 1):
+            r = ranks.get((seq[i], seq[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return len(seq)
+
+
+class BPECount:
+    """map_batches actor stage: per-doc token count under a TRAINED BPE.
+
+    Actor state (``__init__``): the broadcast merge-rank table plus a
+    per-actor word→length memo — the corpus's unique-word set is vocab-sized,
+    so after warmup each batch is a pure vectorized gather.  Per batch:
+    explode to words (Arrow kernels), ``np.unique`` the batch's words, encode
+    only the memo misses in Python (bounded by NEW vocab, not rows), then
+    segment-sum the per-word lengths back to docs."""
+
+    def __init__(self, ranks_ref):
+        import ray
+
+        self.ranks = ranks_ref if isinstance(ranks_ref, dict) else ray.get(ranks_ref)
+        self.memo: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, parents, _counts = _flat_tokens(texts)
+        words = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(words, return_inverse=True)
+        lens = np.empty(len(uniq), np.int64)
+        for j, w in enumerate(uniq):
+            n = self.memo.get(w)
+            if n is None:
+                n = bpe_encode_len(w, self.ranks)
+                self.memo[w] = n
+            lens[j] = n
+        per_word = lens[inv]
+        n_docs = len(texts)
+        out = np.bincount(parents, weights=per_word, minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(out, pa.int64()),
+            }
+        )

@@ -331,6 +331,51 @@ def lang_id_docs(sf_dir: str):
     )
 
 
+def bpe_train_token_counts(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_000):
+    """Distributed BPE tokenizer train + encode — the tokenizer-fit stage of
+    a training-data pipeline, decomposed the only way that scales:
+
+    1. word-frequency table: distributed explode + per-batch count combiner +
+       vocabulary-sized groupby (the same shape as top_tokens);
+    2. merge learning on the top-``vocab_k`` frequency table DRIVER-SIDE —
+       standard BPE never scans the corpus, it trains on the weighted vocab,
+       which is output-sized even at 100 TB (cap + count-weighting make the
+       truncation principled);
+    3. encode: the merge-rank dict broadcasts once; a cached actor stage
+       encodes each batch's np.unique words (memo hits after warmup), then
+       segment-sums per-word lengths back to docs.
+
+    Rows-only (iterative merges are not SQL-expressible); pytest pins the
+    merge sequence against a naive reference implementation and the doc
+    counts against a per-word re-encode."""
+    from ..functions.text import BPECount, bpe_train
+
+    def wpartial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"].combine_chunks(), " ")
+        g = pa.table({"token": pc.list_flatten(toks)}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return g.rename_columns(["token", "p_n"])
+
+    vocab = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(wpartial, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("p_n", alias_name="n"))
+        .sort(key=["n", "token"], descending=[True, False])
+        .limit(vocab_k)
+        .to_pandas()
+    )
+    merges = bpe_train(vocab["token"].to_numpy(), vocab["n"].to_numpy(), n_merges)
+    ranks_ref = ray.put({p: r for p, r in merges})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        BPECount, fn_constructor_args=(ranks_ref,), batch_format="pyarrow",
+        batch_size=8192, concurrency=(1, 4), num_cpus=0.5,
+    )
+
+
 def fingerprint_docs(sf_dir: str):
     from ..functions.text import fingerprint
 
@@ -1837,6 +1882,7 @@ QUERIES = {
     "quality_model_score_docs": quality_model_score_docs,
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
+    "bpe_train_token_counts": bpe_train_token_counts,
     "bpe_token_stats_props": bpe_token_stats_props,
     "redact_pii_customers": redact_pii_customers,
     "dedup_first_by_text": dedup_first_by_text,

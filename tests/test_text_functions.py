@@ -1,4 +1,5 @@
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from legislation_scraper_ray.functions.text import (
@@ -98,3 +99,80 @@ def test_redact_pii():
     assert "<CARD>" in texts[2] and "4111" not in texts[2]
     assert texts[3] == "clean text with no pii at all"
     assert out["n_redactions"].to_pylist() == [1, 2, 1, 0]
+
+
+def test_bpe_train_matches_naive_reference():
+    """Merge sequence == a character-level naive BPE on the same weighted
+    vocab (independent implementation: dict-of-list resegmentation)."""
+    from legislation_scraper_ray.functions.text import bpe_train
+
+    words = np.array(["low", "lower", "newest", "widest", "new"])
+    counts = np.array([5, 2, 6, 3, 4])
+
+    def naive(words, counts, n):
+        segs = {w: [*w, "</w>"] for w in words}
+        out = []
+        for r in range(n):
+            freq = {}
+            for w, c in zip(words, counts):
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    freq[(s[i], s[i + 1])] = freq.get((s[i], s[i + 1]), 0) + int(c)
+            if not freq:
+                break
+            m = max(freq.values())
+            pair = min(p for p, f in freq.items() if f == m)
+            out.append((pair, r))
+            a, b = pair
+            for w in words:
+                s, i, ns = segs[w], 0, []
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b); i += 2
+                    else:
+                        ns.append(s[i]); i += 1
+                segs[w] = ns
+        return out
+
+    got = bpe_train(words, counts, n_merges=8)
+    assert got == naive(words, counts, 8)
+
+
+def test_bpe_encode_len_applies_rank_order():
+    from legislation_scraper_ray.functions.text import bpe_encode_len, bpe_train
+
+    words = np.array(["aaab", "aab"])
+    counts = np.array([10, 5])
+    ranks = dict(bpe_train(words, counts, n_merges=4))
+    # 'aaab</w>' fully merged under enough merges -> strictly fewer tokens
+    n_raw = len("aaab") + 1
+    assert 1 <= bpe_encode_len("aaab", ranks) < n_raw
+    # unseen word still encodes (fewer merges apply), never errors
+    assert bpe_encode_len("zzz", ranks) == 4
+
+
+def test_bpe_train_token_counts_registry(ray_session):
+    """End-to-end: counts equal a per-doc re-encode with the same ranks."""
+    from legislation_scraper_ray.functions.text import bpe_encode_len, bpe_train
+    from legislation_scraper_ray.pipelines.queries import bpe_train_token_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = bpe_train_token_counts(sf, n_merges=16).to_pandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    # re-derive ranks exactly as the query does (vocab = all words here)
+    from collections import Counter
+    wc = Counter()
+    for t in docs["text"]:
+        wc.update(t.split(" "))
+    items = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    words = np.array([w for w, _ in items])
+    counts = np.array([c for _, c in items])
+    ranks = dict(bpe_train(words, counts, n_merges=16))
+    memo = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n = 0
+        for w in text.split(" "):
+            if w not in memo:
+                memo[w] = bpe_encode_len(w, ranks)
+            n += memo[w]
+        assert got.loc[did, "n_bpe_tokens"] == n
