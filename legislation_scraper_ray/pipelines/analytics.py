@@ -205,6 +205,80 @@ def value_quantiles_by_type(sf_dir: str):
     return out
 
 
+def winsorized_stats_by_type(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Winsorized (outlier-clipped) mean/std per event_type — the standard
+    robust-stats pass before fitting anything to long-tailed web data.
+    Two passes, both scale-safe: (1) the bounded frequency table gives the
+    driver exact per-type clip thresholds (same quantile definition the
+    quantile oracle already pins); (2) the thresholds broadcast as an
+    O(types) dict and one partial-combine pass computes clipped sum/sumsq —
+    no re-sort, no second shuffle of raw rows."""
+
+    def freq(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "p_n"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    pdf = (
+        ds.map_batches(freq, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("p_n", alias_name="n"))
+        .to_pandas()
+    )
+    bounds = {}
+    for et, g in pdf.groupby("event_type", sort=True):
+        g = g.sort_values("value")
+        vals, counts = g["value"].to_numpy(), g["n"].to_numpy()
+        bounds[et] = (
+            _weighted_quantile(vals, counts, lo_q),
+            _weighted_quantile(vals, counts, hi_q),
+        )
+
+    def clipped_partial(t: pa.Table) -> pa.Table:
+        # per-row lookup via dictionary indices: Python touches only the
+        # batch's DISTINCT types, the gather is one numpy fancy-index
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        cats = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        lo = np.array([bounds[e][0] for e in cats])[idx]
+        hi = np.array([bounds[e][1] for e in cats])[idx]
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cv = np.clip(v, lo, hi)
+        g = (
+            pa.table(
+                {"event_type": t["event_type"], "v": pa.array(cv),
+                 "v2": pa.array(cv * cv)}
+            )
+            .group_by("event_type")
+            .aggregate([("v", "sum"), ("v2", "sum"), ("v", "count")])
+        )
+        return g.rename_columns(["event_type", "p_s", "p_s2", "p_n"])
+
+    agg = (
+        ds.map_batches(clipped_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(
+            Sum("p_s", alias_name="s"),
+            Sum("p_s2", alias_name="s2"),
+            Sum("p_n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    n = agg["n"].to_numpy().astype(np.float64)
+    mean = agg["s"].to_numpy() / n
+    var = (agg["s2"].to_numpy() - n * mean * mean) / (n - 1)
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "w_mean": _round(mean, 4),
+            "w_std": _round(np.sqrt(np.maximum(var, 0)), 4),
+            "n": agg["n"].astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
 def median_value_by_user(sf_dir: str):
     """Exact per-user median over many small groups — the two-level
     ``_add_part`` partitioned apply (32 hash partitions, vectorized pandas
@@ -2464,6 +2538,7 @@ ANALYTICS_QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "hll_distinct_users": hll_distinct_users,
     "value_quantiles_by_type": value_quantiles_by_type,
+    "winsorized_stats_by_type": winsorized_stats_by_type,
     "median_value_by_user": median_value_by_user,
     "top_tokens": top_tokens,
     "tfidf_top_term": tfidf_top_term,
@@ -2794,6 +2869,21 @@ ANALYTICS_ORACLE_SQL = {
         SELECT user_id, ROUND(MEDIAN(value), 4) AS med_value,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY user_id
+    """,
+    "winsorized_stats_by_type": """
+        WITH th AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY event_type
+        ),
+        c AS (
+            SELECT e.event_type, LEAST(GREATEST(e.value, th.lo), th.hi) AS v
+            FROM events e JOIN th USING (event_type)
+        )
+        SELECT event_type, ROUND(AVG(v), 4) AS w_mean,
+               ROUND(STDDEV(v), 4) AS w_std, CAST(COUNT(*) AS BIGINT) AS n
+        FROM c GROUP BY event_type ORDER BY event_type
     """,
     "top_tokens": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (

@@ -1405,6 +1405,47 @@ def dup_clusters(sf_dir: str):
     return comp.sort_values("doc_id").reset_index(drop=True)
 
 
+def image_dup_clusters(sf_dir: str, max_dist: int = 3):
+    """Image near-dup CLUSTERS: phash-Hamming pairs (banded pigeonhole
+    candidate mining, never all-pairs) → connected components via the same
+    min-label propagation as dup_clusters → (image_id, cluster_id,
+    cluster_size) with cluster_id = the lexicographically smallest member.
+    The pair set is output-sized, so the factorize/relabel runs on pairs
+    only — pixels and phashes never reach the driver.  Rows-only (the image
+    corpus has no DuckDB view); pytest verifies against a union-find over
+    the same pairs and the generator's planted ``dup_of`` ground truth."""
+    from ..functions.cluster import label_propagation
+
+    pairs = phash_hamming_pairs(sf_dir, max_dist=max_dist)
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"image_id": pd.Series(dtype="object"),
+             "cluster_id": pd.Series(dtype="object"),
+             "cluster_size": pd.Series(dtype="int64")}
+        )
+    both = pd.concat([pairs["id_a"], pairs["id_b"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    n = len(pairs)
+    comp = label_propagation(
+        pa.table(
+            {"doc_a": pa.array(codes[:n].astype(np.int64)),
+             "doc_b": pa.array(codes[n:].astype(np.int64))}
+        )
+    ).to_pandas()
+    ids = uniq.to_numpy()
+    comp["image_id"] = ids[comp["doc_id"].to_numpy()]
+    # relabel each component with its lexicographically smallest image_id
+    comp["cluster_id"] = comp.groupby("cluster_id")["image_id"].transform("min")
+    comp["cluster_size"] = comp.groupby("cluster_id")["image_id"].transform("size").astype("int64")
+    return (
+        comp[["image_id", "cluster_id", "cluster_size"]]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
 def embedding_norms(sf_dir: str):
     """Vectorized per-row L2 norm over the embedding column (the building
     block of every cosine op; exercises list<float> → matrix kernels)."""
@@ -1898,6 +1939,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "image_dup_by_phash": image_dup_by_phash,
+    "image_dup_clusters": image_dup_clusters,
     "aspect_bucket_stats": aspect_bucket_stats,
     "phash_hamming_pairs": phash_hamming_pairs,
     "audio_features": audio_features,

@@ -64,3 +64,47 @@ def test_aspect_bucket_stats_vs_pandas(ray_session):
         assert got.loc[b, "n_small"] == want.loc[b, "n_small"]
         assert abs(got.loc[b, "mean_w"] - want.loc[b, "mean_w"]) < 0.01
         assert abs(got.loc[b, "mean_h"] - want.loc[b, "mean_h"]) < 0.01
+
+
+def test_image_dup_clusters_union_find(ray_session):
+    """Clusters == union-find over the same Hamming pairs; every planted
+    duplicate lands in the same cluster as its source image."""
+    from legislation_scraper_ray.pipelines.queries import (
+        image_dup_clusters, phash_hamming_pairs,
+    )
+    from legislation_scraper_ray.sources.corpus import generate
+
+    got = image_dup_clusters("/root/testdata/sf0.01", max_dist=3)
+    pairs = phash_hamming_pairs("/root/testdata/sf0.01", max_dist=3)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), set()).add(node)
+    got_clusters = {frozenset(g["image_id"]) for _, g in got.groupby("cluster_id")}
+    assert got_clusters == {frozenset(s) for s in want.values()}
+    # cluster_id is the lexicographic min member; sizes consistent
+    for cid, g in got.groupby("cluster_id"):
+        assert cid == min(g["image_id"])
+        assert (g["cluster_size"] == len(g)).all()
+    # planted exact dups (identical pixels -> hamming 0) share a cluster
+    t2 = generate("t2")
+    c = pq.read_table(f"{t2}/corpus.parquet", columns=["image_id", "dup_of"]).to_pandas()
+    ids = c["image_id"].to_numpy()
+    by_id = got.set_index("image_id")["cluster_id"]
+    planted = c[c["dup_of"] >= 0]
+    assert len(planted) > 0
+    for img, src_idx in zip(planted["image_id"], planted["dup_of"]):
+        src = ids[int(src_idx)]
+        assert by_id[img] == by_id[src]
