@@ -2504,6 +2504,111 @@ def max_concurrent_events(sf_dir: str):
     )
 
 
+def events_watermark_late(sf_dir: str, lateness_us: int = 60_000_000,
+                          jitter: int = 512):
+    """Watermark / late-data accounting — the streaming-ingest semantics
+    (§2.9) every event-time window system needs: events arrive OUT OF
+    ORDER, the watermark trails the maximum event time seen so far, and an
+    event whose ts lags the watermark by more than the allowed lateness is
+    routed to a late channel instead of its window.
+
+    The corpus is stored in event-time order, so arrival disorder is
+    SIMULATED deterministically: arrival_key = event_id +
+    splitmix64(event_id) % jitter — a bounded local shuffle both engines
+    replay exactly (the oracle reuses the bit-exact splitmix64 CTE chain).
+
+    The watermark (EXCLUSIVE running max of ts in arrival order) is a
+    distributed prefix scan: arrival-range buckets (~1k of them, O(rows)
+    work inside, O(buckets) driver state) ship per-bucket maxima to the
+    driver for an exclusive prefix, then a partitioned pass seeds each
+    bucket's np.maximum.accumulate with its offset.  Output: per event-time
+    minute, accepted vs late counts."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ak = eid + (splitmix64(eid) % np.uint64(jitter)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "ak": pa.array(ak, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    n = ds.count()
+    width = max(4096, n // 1024 + 1)
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        ak = t["ak"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(ak // width, pa.int64()))
+
+    bk = keyed_ds.map_batches(with_bucket, batch_format="pyarrow", batch_size=65536)
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["bucket", "us"]).group_by("bucket").aggregate([("us", "max")])
+        return g.rename_columns(["bucket", "p_max"])
+
+    totals = (
+        bk.map_batches(bucket_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .aggregate(Max("p_max", alias_name="b_max"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    seed0 = np.int64(-(2**62))
+    excl = np.concatenate(
+        [[seed0], np.maximum.accumulate(totals["b_max"].to_numpy())[:-1]]
+    )
+    off = dict(zip(totals["bucket"].to_numpy(), excl))
+
+    parts = bk.map_batches(_add_part("bucket"), batch_format="pyarrow")
+
+    def scan(part_df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b, g in part_df.groupby("bucket", sort=False):
+            g = g.sort_values(["ak", "event_id"])
+            us = g["us"].to_numpy()
+            wm = np.empty(len(us), np.int64)
+            wm[0] = off[b]
+            if len(us) > 1:
+                wm[1:] = np.maximum.accumulate(us)[:-1]
+                wm[1:] = np.maximum(wm[1:], off[b])
+            ok = us >= wm - lateness_us
+            minute = us // 60_000_000
+            outs.append(pd.DataFrame({"minute": minute, "ok": ok.astype(np.int64)}))
+        res = pd.concat(outs)
+        g = res.groupby("minute", sort=False)["ok"].agg(["sum", "size"]).reset_index()
+        return pd.DataFrame(
+            {"minute": g["minute"].astype("int64"),
+             "p_acc": g["sum"].astype("int64"),
+             "p_all": g["size"].astype("int64")}
+        )
+
+    partials = parts.groupby("part").map_groups(scan, batch_format="pandas")
+
+    # two-level merge on minute (groupby().aggregate() with ~10k distinct
+    # keys is pathologically slow — the _add_part pattern, see CLAUDE.md)
+    def merge(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("minute", sort=False)[["p_acc", "p_all"]].sum().reset_index()
+        return pd.DataFrame(
+            {"minute": g["minute"].astype("int64"),
+             "n_accepted": g["p_acc"].astype("int64"),
+             "n_late": (g["p_all"] - g["p_acc"]).astype("int64")}
+        )
+
+    agg = (
+        partials.map_batches(_add_part("minute", n_parts=8), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("minute")
+    )
+    return agg.reset_index(drop=True)
+
+
 def events_gapfill_hourly(sf_dir: str):
     """Dense hourly event counts with zero-filled gaps — the
     dense-time-axis fill every monitoring/training-curve pipeline needs.
@@ -2564,6 +2669,7 @@ ANALYTICS_QUERIES = {
     "events_running_total": events_running_total,
     "events_global_running_total": events_global_running_total,
     "max_concurrent_events": max_concurrent_events,
+    "events_watermark_late": events_watermark_late,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_ewma": events_ewma,
     "user_activity_full_outer": user_activity_full_outer,
@@ -2714,6 +2820,31 @@ ANALYTICS_ORACLE_SQL = {
         SELECT CAST(mx.peak AS BIGINT) AS peak_concurrency,
                CAST((SELECT MIN(t) FROM scan WHERE c = mx.peak) AS BIGINT) AS peak_t
         FROM mx
+    """,
+    "events_watermark_late": f"""
+        WITH {_splitmix64_ctes('events', 'event_id', 'event_id, ts')},
+        a AS (
+            SELECT event_id, ts,
+                   event_id + CAST(skey % 512 AS BIGINT) AS ak
+            FROM smx
+        ),
+        w AS (
+            SELECT ts,
+                   MAX(ts) OVER (ORDER BY ak, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS wm
+            FROM a
+        ),
+        f AS (
+            SELECT CAST(FLOOR(EPOCH(ts) / 60) AS BIGINT) AS minute,
+                   CASE WHEN wm IS NULL
+                             OR epoch_us(ts) >= epoch_us(wm) - 60000000
+                        THEN 1 ELSE 0 END AS ok
+            FROM w
+        )
+        SELECT minute, CAST(SUM(ok) AS BIGINT) AS n_accepted,
+               CAST(SUM(1 - ok) AS BIGINT) AS n_late
+        FROM f GROUP BY minute ORDER BY minute
     """,
     "events_gapfill_hourly": """
         WITH cnt AS (

@@ -685,3 +685,33 @@ def test_events_gapfill_hourly(ray_session, events):
     for h, n in want.items():
         assert byh[h] == n
     assert (byh[~byh.index.isin(want.index)] == 0).all()
+
+
+def test_events_watermark_late_brute_force(ray_session, events):
+    """Distributed watermark scan == sequential replay of the same simulated
+    arrival order (event_id + splitmix jitter), exclusive running-max
+    watermark, 60 s allowed lateness."""
+    from legislation_scraper_ray.functions.hashing import splitmix64
+    from legislation_scraper_ray.pipelines.analytics import events_watermark_late
+
+    got = _df(events_watermark_late(SF)).set_index("minute")
+    eid = events["event_id"].to_numpy().astype(np.int64)
+    us = events["ts"].astype("int64").to_numpy()
+    ak = eid + (splitmix64(eid) % np.uint64(512)).astype(np.int64)
+    order = np.lexsort((eid, ak))
+    us_o = us[order]
+    wm = np.empty(len(us_o), np.int64)
+    wm[0] = -(2**62)
+    wm[1:] = np.maximum.accumulate(us_o)[:-1]
+    ok = us_o >= wm - 60_000_000
+    minute = us_o // 60_000_000
+    want = pd.DataFrame({"minute": minute, "ok": ok}).groupby("minute")["ok"].agg(
+        ["sum", "size"]
+    )
+    assert len(got) == len(want)
+    assert (got["n_accepted"].sort_index().to_numpy() == want["sum"].to_numpy()).all()
+    assert (
+        got["n_late"].sort_index().to_numpy()
+        == (want["size"] - want["sum"]).to_numpy()
+    ).all()
+    assert int(got["n_late"].sum()) > 0  # jitter actually produces late events
