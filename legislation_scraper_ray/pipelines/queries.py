@@ -1383,6 +1383,69 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+def embedding_pca(sf_dir: str, k: int = 4):
+    """Distributed PCA over the embedding column — covariance from mergeable
+    second-moment partials: each batch emits ONE row (n, Σx as list<double>,
+    ΣxᵀX flattened d² list), a 32-way partitioned merge sums the numpy
+    arrays inside ``map_groups`` (never thousands of scalar keys), and the
+    driver eigendecomposes the d×d matrix (d=64 — constant work regardless
+    of corpus size).  The classic pattern for covariance-family statistics
+    at 100 TB: the data crosses the wire once, as O(d²)-sized partials.
+
+    Output: (component, eigenvalue, explained_var) for the top-k components.
+    Rows-only (no SQL eigendecomposition); pytest verifies eigenvalues and
+    explained-variance against numpy PCA on the full table."""
+    from ..functions.ann import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"]).astype(np.float64)
+        part = int(t["vec_id"][0].as_py()) % 32
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "n": pa.array([float(len(m))], pa.float64()),
+                "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "c": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = float(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        s = np.sum(np.stack(t["s"].to_pylist()), axis=0)
+        c = np.sum(np.stack(t["c"].to_pylist()), axis=0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.float64()),
+                "s": pa.array([s], pa.list_(pa.float64())),
+                "c": pa.array([c], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    c = np.sum(np.stack(parts["c"].to_numpy()), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = (c.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1.0)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    return pd.DataFrame(
+        {
+            "component": pd.Series(range(1, k + 1), dtype="int64"),
+            "eigenvalue": _round(evals[:k], 6),
+            "explained_var": _round(evals[:k] / total, 6),
+        }
+    )
+
+
 def dup_clusters(sf_dir: str):
     """Duplicate-document clusters: MinHash near-dup pairs → connected
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
@@ -1938,6 +2001,7 @@ QUERIES = {
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
+    "embedding_pca": embedding_pca,
     "image_dup_by_phash": image_dup_by_phash,
     "image_dup_clusters": image_dup_clusters,
     "aspect_bucket_stats": aspect_bucket_stats,

@@ -220,3 +220,21 @@ def test_pq_recall_on_planted_neighbors():
         out = actor(tbl).to_pandas()
         hits += int(40 + qi in set(out["vec_id"]))
     assert hits >= 34  # ≥85% ADC recall on true near neighbors
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    """Distributed covariance partials == numpy full-table PCA."""
+    from legislation_scraper_ray.pipelines.queries import embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_pca(sf, k=6)
+    df = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(m, rowvar=False)  # same (n-1) normalization
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    assert len(got) == 6
+    assert np.allclose(got["eigenvalue"].to_numpy(), evals[:6], atol=1e-5)
+    assert np.allclose(
+        got["explained_var"].to_numpy(), evals[:6] / evals.sum(), atol=1e-5
+    )
+    assert (np.diff(got["eigenvalue"].to_numpy()) <= 1e-12).all()  # sorted desc
