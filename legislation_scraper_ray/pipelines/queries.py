@@ -1613,6 +1613,99 @@ def aspect_bucket_stats(sf_dir: str):
     return agg[["bucket", "n", "n_small", "mean_w", "mean_h"]].reset_index(drop=True)
 
 
+def image_training_prep(sf_dir: str, psnr_min: float = 40.0, min_side: int = 32,
+                        cap_min_tokens: int = 2, n_shards: int = 8):
+    """Composed IMAGE training-data flagship — the image-side mirror of
+    training_data_prep: quality gate (decode fidelity psnr ≥ threshold,
+    min side, non-trivial caption) → exact near-dup drop by perceptual hash
+    (keep the lexicographically smallest image per phash, two-level
+    partitioned apply — pixels never shuffle, only ids+phash) → aspect-ratio
+    bucketing → deterministic FNV-hash shard assignment → per-(bucket, shard)
+    manifest from one partial-combine pass.  Every stage streams; driver
+    state is the ladder×shards manifest.
+
+    Rows-only (the image corpus has no DuckDB view); pytest replays the
+    whole pipeline in pandas at a gate that actually drops rows and checks
+    the manifest cell-for-cell.
+
+    Reference analog: build_dataset.py's duplicate drop + validity gates
+    feeding the dataset builder (/root/reference/src/datasets/
+    build_dataset.py:204-246)."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(
+        f"{corpus_dir}/corpus.parquet",
+        columns=["image_id", "w", "h", "fmt", "phash", "psnr_db", "caption"],
+    )
+    ratios = np.log(np.array([a / b for a, b in ASPECT_LADDER], dtype=np.float64))
+    names = [f"{a}:{b}" for a, b in ASPECT_LADDER]
+
+    def gate(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        psnr = t["psnr_db"].to_numpy(zero_copy_only=False)
+        cap_toks = pc.list_value_length(
+            pc.split_pattern(t["caption"].combine_chunks(), " ")
+        ).to_numpy(zero_copy_only=False)
+        keep = (psnr >= psnr_min) & (np.minimum(w, h) >= min_side) & (
+            cap_toks >= cap_min_tokens
+        )
+        kept = t.filter(pa.array(keep))
+        return kept.select(["image_id", "w", "h", "phash"])
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=65536)
+    parts = gated.map_batches(_add_part("phash"), batch_format="pyarrow")
+
+    def dedup_first(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["phash", "image_id"])
+        return part_df.drop_duplicates("phash", keep="first")[
+            ["image_id", "w", "h"]
+        ]
+
+    kept = parts.groupby("part").map_groups(dedup_first, batch_format="pandas")
+
+    def manifest_partial(t: pa.Table) -> pa.Table:
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.abs(np.log(w / h)[:, None] - ratios[None, :]).argmin(axis=1)
+        shard = (hash64(t["image_id"].combine_chunks()) % np.uint64(n_shards)).astype(
+            np.int64
+        )
+        g = (
+            pa.table(
+                {
+                    "bucket_idx": pa.array(idx.astype(np.int32), pa.int32()),
+                    "shard": pa.array(shard, pa.int64()),
+                    "one": pa.array(np.ones(len(w), np.int64)),
+                    "w": pa.array(w),
+                    "h": pa.array(h),
+                }
+            )
+            .group_by(["bucket_idx", "shard"])
+            .aggregate([("one", "sum"), ("w", "sum"), ("h", "sum")])
+        )
+        return g.rename_columns(["bucket_idx", "shard", "p_n", "p_w", "p_h"])
+
+    agg = (
+        kept.map_batches(manifest_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["bucket_idx", "shard"])
+        .aggregate(
+            Sum("p_n", alias_name="n"),
+            Sum("p_w", alias_name="s_w"),
+            Sum("p_h", alias_name="s_h"),
+        )
+        .to_pandas()
+        .sort_values(["bucket_idx", "shard"])
+    )
+    agg["bucket"] = [names[i] for i in agg["bucket_idx"]]
+    agg["mean_w"] = _round(agg["s_w"] / agg["n"], 2)
+    agg["mean_h"] = _round(agg["s_h"] / agg["n"], 2)
+    agg["n"] = agg["n"].astype("int64")
+    return agg[["bucket", "shard", "n", "mean_w", "mean_h"]].reset_index(drop=True)
+
+
 def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
     """Image near-dup by perceptual-hash Hamming distance ≤ ``max_dist`` —
     the banded/pigeonhole upgrade of the exact-phash grouping
@@ -2005,6 +2098,7 @@ QUERIES = {
     "image_dup_by_phash": image_dup_by_phash,
     "image_dup_clusters": image_dup_clusters,
     "aspect_bucket_stats": aspect_bucket_stats,
+    "image_training_prep": image_training_prep,
     "phash_hamming_pairs": phash_hamming_pairs,
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,

@@ -108,3 +108,51 @@ def test_image_dup_clusters_union_find(ray_session):
     for img, src_idx in zip(planted["image_id"], planted["dup_of"]):
         src = ids[int(src_idx)]
         assert by_id[img] == by_id[src]
+
+
+def test_image_training_prep_pandas_replay(ray_session):
+    """Composed image flagship == a pandas replay of gate -> phash dedup ->
+    aspect bucket -> FNV shard -> manifest, at a gate that drops rows."""
+    import pandas as pd
+
+    from legislation_scraper_ray.functions.hashing import hash64
+    from legislation_scraper_ray.pipelines.queries import (
+        ASPECT_LADDER, image_training_prep,
+    )
+    from legislation_scraper_ray.sources.corpus import generate
+
+    t2 = generate("t2")
+    got = image_training_prep("/root/testdata/sf0.01", psnr_min=46.2)
+    df = pq.read_table(
+        f"{t2}/corpus.parquet",
+        columns=["image_id", "w", "h", "phash", "psnr_db", "caption"],
+    ).to_pandas()
+    n0 = len(df)
+    df = df[
+        (df["psnr_db"] >= 46.2)
+        & (np.minimum(df["w"], df["h"]) >= 32)
+        & (df["caption"].str.split(" ").str.len() >= 2)
+    ]
+    assert len(df) < n0  # the gate actually drops rows at this threshold
+    df = df.sort_values(["phash", "image_id"]).drop_duplicates("phash", keep="first")
+    ratios = np.log(np.array([a / b for a, b in ASPECT_LADDER]))
+    names = [f"{a}:{b}" for a, b in ASPECT_LADDER]
+    idx = np.abs(
+        np.log(df["w"].to_numpy() / df["h"].to_numpy())[:, None] - ratios[None, :]
+    ).argmin(axis=1)
+    df = df.assign(
+        bucket=[names[i] for i in idx],
+        shard=(hash64(df["image_id"].tolist()) % np.uint64(8)).astype(np.int64),
+    )
+    want = (
+        df.groupby(["bucket", "shard"])
+        .agg(n=("image_id", "size"), mean_w=("w", "mean"), mean_h=("h", "mean"))
+        .reset_index()
+    )
+    got_i = got.set_index(["bucket", "shard"]).sort_index()
+    want_i = want.set_index(["bucket", "shard"]).sort_index()
+    assert list(got_i.index) == list(want_i.index)
+    assert (got_i["n"].to_numpy() == want_i["n"].to_numpy()).all()
+    assert np.allclose(got_i["mean_w"], want_i["mean_w"], atol=0.01)
+    assert np.allclose(got_i["mean_h"], want_i["mean_h"], atol=0.01)
+    assert int(got["n"].sum()) == len(df)
