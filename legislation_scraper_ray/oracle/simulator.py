@@ -35,6 +35,7 @@ class SimResult:
     seen_hashes: set[int] = field(default_factory=set)
     docs: dict[str, str] = field(default_factory=dict)  # url -> caption
     errors: list[str] = field(default_factory=list)
+    robots_blocked: set[str] = field(default_factory=set)  # disallowed URLs hit
     n_waves: int = 0
 
 
@@ -53,7 +54,7 @@ def _resolve(base: str, u: str) -> str:
     return urljoin(base, u)
 
 
-def simulate(corpus_dir: str) -> SimResult:
+def simulate(corpus_dir: str, robots_disallow: dict | None = None) -> SimResult:
     import json
 
     graph = pq.read_table(f"{corpus_dir}/web_graph.parquet")
@@ -69,9 +70,19 @@ def simulate(corpus_dir: str) -> SimResult:
     res = SimResult()
     wave = 0
 
+    blocked_prefixes = sorted(
+        f"https://{h}{p}" for h, ps in (robots_disallow or {}).items() for p in ps
+    )
+
     def fetch(url: str, w: int) -> dict | None:
         """Seen-check + fetch one URL; returns the graph row on success."""
         cu = _canon(url)
+        # robots Disallow: checked BEFORE the seen set, mirroring the
+        # engine's filter placement — a blocked URL is never fetched and
+        # never becomes seen
+        if blocked_prefixes and any(cu.startswith(p) for p in blocked_prefixes):
+            res.robots_blocked.add(cu)
+            return None
         h = fnv1a64_bytes(cu.encode())
         if h in res.seen_hashes:
             return None

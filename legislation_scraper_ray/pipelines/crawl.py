@@ -73,7 +73,7 @@ import ray
 import ray.data as rd
 
 from .common import from_local_tables
-from ..stages.canonicalize import canonicalize_batch
+from ..stages.canonicalize import canonicalize_batch, make_robots_filter
 from ..stages.fetch import FetchActor, prepare_web_cached
 from ..state.politeness import PolitenessSlotShard, SlotAssigner, host_shard_of
 from ..state.seen import SeenFilter, ShardedSeenSet
@@ -153,6 +153,11 @@ class CrawlConfig:
     # fetched under the later generation label (the seen check races across the
     # overlapped generations); final seen/doc/error SETS are unchanged — use
     # order="strict" when exact per-generation attribution matters.
+    robots_disallow: dict | None = None  # robots.txt path rules: host →
+    # tuple of disallowed path prefixes.  Enforced by a vectorized filter
+    # stage between canonicalize and the seen filter (stages/canonicalize.py
+    # make_robots_filter): disallowed URLs are never fetched and never enter
+    # the seen set; dropped-row counts surface as CrawlResult.robots_blocked.
     frontier_budget: int | None = None  # max URLs fetched per generation: the
     # priority-frontier pop (sort(priority).limit(k)); the remainder carries
     # over to the next generation.  SURVEY.md §2.6 engine extension.
@@ -170,6 +175,7 @@ class CrawlResult:
     fetched_ok: int = 0
     errors: int = 0
     dedup_dropped: int = 0
+    robots_blocked: int = 0
     docs_written: int = 0
     seen_total: int = 0
     dedup_ops: int = 0
@@ -179,6 +185,20 @@ class CrawlResult:
     # coarse non-generation phase timings: setup (staging/actor spawn before
     # the BFS loop), final writer join, teardown (actor kill + seen stats)
     timings: dict = field(default_factory=dict)
+
+
+class _BlockedCounter:
+    """Zero-CPU accumulator actor for fire-and-forget per-batch robots-drop
+    counts (the filter stage never blocks on it)."""
+
+    def __init__(self):
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += int(k)
+
+    def total(self) -> int:
+        return self.n
 
 
 def _load_tables(corpus_dir: str):
@@ -433,6 +453,13 @@ def _run_crawl_inner(
     # sharded politeness slot actors own the per-host virtual clocks for the
     # whole crawl (seeded from the checkpoint's clocks on resume)
     slot_shards = _make_slot_shards(delays_ms, clocks, max(1, cfg.n_seen_shards))
+    # robots path-Disallow enforcement (vectorized stage between canonicalize
+    # and the seen filter in BOTH the per-generation and pipelined chains)
+    robots_counter = None
+    cfg._robots_fn = None
+    if cfg.robots_disallow:
+        robots_counter = ray.remote(num_cpus=0)(_BlockedCounter).remote()
+        cfg._robots_fn = make_robots_filter(cfg.robots_disallow, robots_counter)
     # sharded session-token actors (S6 stateful form-POST protocol)
     session_on = cfg.session_tokens or bool(
         sources and any(getattr(s, "stateful_session", False) for s in sources)
@@ -491,6 +518,9 @@ def _run_crawl_inner(
         )
 
     t_td = time.perf_counter()
+    if robots_counter is not None:
+        res.robots_blocked = ray.get(robots_counter.total.remote())
+        ray.kill(robots_counter)
     for sh in slot_shards + (session_shards or []):
         ray.kill(sh)
     stats = seen.stats()
@@ -866,6 +896,11 @@ def _bfs(
             frontier = frontier.map_batches(
                 canonicalize_batch, batch_format="pyarrow", batch_size=bs_eff
             )
+            _rf = getattr(cfg, "_robots_fn", None)
+            if _rf is not None:
+                frontier = frontier.map_batches(
+                    _rf, batch_format="pyarrow", batch_size=bs_eff
+                )
             frontier = frontier.map_batches(
                 SeenFilter(seen.shards, seen.n_shards),
                 batch_format="pyarrow",
@@ -1172,6 +1207,9 @@ def _gen_segment(
     the task-compute path fuses into a single operator; the segment's output is
     the NEXT generation's frontier rows."""
     chain = chain.map_batches(canonicalize_batch, batch_format="pyarrow", batch_size=bs_eff)
+    _rf = getattr(cfg, "_robots_fn", None)
+    if _rf is not None:
+        chain = chain.map_batches(_rf, batch_format="pyarrow", batch_size=bs_eff)
     chain = chain.map_batches(
         SeenFilter(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=bs_eff
     )

@@ -63,3 +63,40 @@ def priority_key(batch: pa.Table, year0: int = 0) -> pa.Table:
     if name in batch.schema.names:
         return batch.set_column(batch.schema.get_field_index(name), name, prio)
     return batch.append_column(name, prio)
+
+
+def make_robots_filter(disallow: dict, counter=None):
+    """robots.txt path-Disallow stage (RFC-9309-style prefix rules): drop
+    frontier rows whose canonical URL starts with a disallowed
+    ``https://host/prefix``.  Runs AFTER canonicalize and BEFORE the seen
+    filter, so a disallowed URL is never fetched and never enters the seen
+    set (re-discoveries are re-filtered — the rule, not the dedup, is the
+    authority, and rules can change between recrawls).  One vectorized
+    ``starts_with`` pass per RULE (a handful per crawl), never per row;
+    ``counter`` (a zero-CPU actor) accumulates dropped-row counts
+    fire-and-forget so the streaming chain never blocks on it.
+
+    Reference analog: the hard-coded per-site URL scoping of each scraper
+    (every subclass only requests its own listing/doc URL families) made a
+    first-class, auditable crawl policy."""
+    import numpy as np
+
+    prefixes = sorted(f"https://{h}{p}" for h, ps in disallow.items() for p in ps)
+
+    def robots_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or not prefixes:
+            return batch
+        urls = batch["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        blocked = np.zeros(batch.num_rows, dtype=bool)
+        for pref in prefixes:
+            blocked |= pc.starts_with(urls, pref).to_numpy(zero_copy_only=False)
+        n = int(blocked.sum())
+        if n == 0:
+            return batch
+        if counter is not None:
+            counter.add.remote(n)
+        return batch.filter(pa.array(~blocked))
+
+    return robots_filter
