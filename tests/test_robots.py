@@ -77,3 +77,47 @@ def test_no_rules_unchanged(ray_session, t1_dir, tmp_path_factory):
         n_seen_shards=2, fetch_concurrency=2, checkpoint=False))
     assert res.robots_blocked == 0
     assert res.docs_written == 200 and res.fetched_ok == 226
+
+
+def test_rules_lifted_recrawl_fetches_blocked(ray_session, t1_dir, tmp_path_factory):
+    """Blocked URLs never enter the seen set, so when the rule is lifted a
+    delta recrawl seeded with those URLs ingests exactly the
+    previously-disallowed docs (re-seeding is required — their parent
+    listings ARE seen, so BFS alone cannot rediscover them)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from legislation_scraper_ray.oracle.simulator import simulate
+    from legislation_scraper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    out = str(tmp_path_factory.mktemp("robots_lift"))
+    first = run_crawl(t1_dir, out, CrawlConfig(
+        n_seen_shards=2, seen_mode="exact", fetch_concurrency=2,
+        robots_disallow=RULES))
+    g = pq.read_table(f"{t1_dir}/web_graph.parquet")
+    host, prefix = next(iter(RULES.items()))
+    mask = pc.starts_with(g["url"], f"https://{host}{prefix[0]}")
+    blocked_rows = g.filter(mask)
+    n = blocked_rows.num_rows
+    assert n > 0
+    seeds = pa.table(
+        {
+            "url": blocked_rows["url"],
+            "host": blocked_rows["host"],
+            "year": blocked_rows["year"],
+            "situation": blocked_rows["situation"],
+            "type": blocked_rows["type"],
+            "priority": pa.array(np.zeros(n, np.float32)),
+        }
+    )
+    second = run_crawl(t1_dir, out, CrawlConfig(
+        n_seen_shards=2, seen_mode="exact", fetch_concurrency=2,
+    ), recrawl=True, frontier_override=seeds)
+    assert second.robots_blocked == 0
+    full = simulate(t1_dir)
+    blocked = simulate(t1_dir, robots_disallow=RULES)
+    # the delta ingest is exactly the doc set the rule had excluded
+    assert second.docs_written == len(full.docs) - len(blocked.docs) > 0
+    assert first.docs_written + second.docs_written == len(full.docs)
