@@ -749,14 +749,11 @@ def _explode_simhash_bands(t: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
-    """Embedding-cosine near-dup (cos ≥ 0.99) via banded hyperplane LSH.
-
-    Scale shape (r2): ``n_bits`` adapts to the corpus size (bounded expected
-    bucket population) and candidate mining carries ONLY (vec_id, band, bucket)
-    rows — never the embeddings.  Verification joins the output-sized candidate
-    pairs back to the embeddings table (two hash-partitioned joins), so no
-    stage is quadratic in the corpus and no broadcast holds it."""
+def _embedding_dup_pair_ds(sf_dir: str, n_bands: int = 8):
+    """Verified embedding near-dup pairs as a DATASET (vec_a < vec_b,
+    cos ≥ 0.99) — the shared candidate+verify pipeline behind
+    ``embedding_dup_pairs`` (driver-side pair list) and ``semantic_dedup``
+    (distributed keep/drop flags).  Returns ``None`` when no candidates."""
     from ..functions.ann import _as_matrix, normalize
     from ..functions.dedup import adaptive_bits, hyperplane_bands, mine_bucket_pairs
 
@@ -788,7 +785,7 @@ def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
     )
     paired = _pairs_join_payload(cands, packed, "vec_id", "emb")
     if paired is None:
-        return _empty_pairs("vec_a", "vec_b", "cos_sim")
+        return None
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -804,10 +801,115 @@ def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
              "cos_sim": pa.array(_round(cs[keep], 4), pa.float64())}
         )
 
-    out = paired.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return paired.map_batches(verify, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
+    """Embedding-cosine near-dup (cos ≥ 0.99) via banded hyperplane LSH.
+
+    Scale shape (r2): ``n_bits`` adapts to the corpus size (bounded expected
+    bucket population) and candidate mining carries ONLY (vec_id, band, bucket)
+    rows — never the embeddings.  Verification joins the output-sized candidate
+    pairs back to the embeddings table (two hash-partitioned joins), so no
+    stage is quadratic in the corpus and no broadcast holds it."""
+    pair_ds = _embedding_dup_pair_ds(sf_dir, n_bands=n_bands)
+    if pair_ds is None:
+        return _empty_pairs("vec_a", "vec_b", "cos_sim")
+    out = pair_ds.to_pandas()
     if out.empty:
         out = _empty_pairs("vec_a", "vec_b", "cos_sim")
     return out.astype({"vec_a": "int64", "vec_b": "int64"})
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup-style per-vector duplicate flags (the pruning rule of Abbas
+    et al. 2023, "SemDeDup": a vector is a semantic duplicate iff some
+    LOWER-id vector lies within the cosine threshold — drop it, keep the
+    lowest-id representative of every semantic clique edge).
+
+    Scale shape: candidate pairs come from the same banded hyperplane LSH +
+    exact-verify pipeline as ``embedding_dup_pairs``; the keep/drop flag is
+    then a hash-partitioned flag union — (vec_id, 0) rows for the corpus
+    unioned with (vec_b, 1) rows from the verified pairs, ``groupby(part)``
+    max per vec_id — because at 100 TB the DROP side can be O(corpus)
+    (boilerplate-heavy web crawls run 30-50 % semantic dups), so it must
+    never sit on the driver or in a broadcast the way the output-sized pair
+    list may."""
+    ids = _read(sf_dir, "embeddings", ["vec_id"])
+    base = ids.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"],
+                            "flag": pa.array(np.zeros(t.num_rows, np.int32), pa.int32())}),
+        batch_format="pyarrow",
+    )
+    pair_ds = _embedding_dup_pair_ds(sf_dir)
+    if pair_ds is not None:
+        dup = pair_ds.map_batches(
+            lambda t: pa.table({"vec_id": t["vec_b"],
+                                "flag": pa.array(np.ones(t.num_rows, np.int32), pa.int32())}),
+            batch_format="pyarrow",
+        )
+        base = base.union(dup)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("vec_id", sort=False)["flag"].max().rename("is_dup")
+        return out.reset_index().astype({"vec_id": "int64", "is_dup": "int32"})
+
+    return (base.map_batches(_add_part("vec_id"), batch_format="pyarrow")
+            .groupby("part").map_groups(combine, batch_format="pandas"))
+
+
+def crosscorpus_dup_pairs(sf_dir: str, threshold: float = 0.95):
+    """Cross-corpus (incremental-crawl) near-dedup: find every doc in the NEW
+    snapshot (odd ``doc_id``) whose token-3-gram Jaccard to some doc in the
+    BASE corpus (even ``doc_id``) is ≥ ``threshold`` — the dedup you run on
+    each crawl delta before adding it to a training corpus.  Output is
+    (new_doc, base_doc, jaccard); same-side duplicates are NOT reported
+    (within-snapshot dedup is ``minhash_dup_pairs``'s job).
+
+    Pipeline: one MinHash signature pass over the union, LSH bucket mining,
+    then a vectorized cross-side filter on the candidate ids BEFORE any
+    payload moves, exact-Jaccard verification via the output-sized
+    pair↔text join.  Deployment note: the symmetric form here signs both
+    sides each run because the synthetic corpus is one table; a production
+    incremental crawl persists the base side's (doc_id, band, band_hash)
+    rows once and unions only the delta's signatures into the same bucket
+    groupby — the shuffle shape and this verification path are unchanged."""
+    from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, minhash_signatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
+    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+
+    def cross_side_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((a & 1) != (b & 1)))
+
+    cands = cands.map_batches(cross_side_only, batch_format="pyarrow")
+    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+    if paired is None:
+        return _empty_pairs("new_doc", "base_doc", "jaccard")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("new_doc", "base_doc", "jaccard")
+        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
+        keep = jac >= threshold
+        a = df["doc_a"].to_numpy()[keep]
+        b = df["doc_b"].to_numpy()[keep]
+        odd = (a & 1).astype(bool)
+        return pd.DataFrame({"new_doc": np.where(odd, a, b),
+                             "base_doc": np.where(odd, b, a),
+                             "jaccard": _round(jac[keep], 4)})
+
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = _empty_pairs("new_doc", "base_doc", "jaccard")
+    return out.astype({"new_doc": "int64", "base_doc": "int64"})
 
 
 # --------------------------------------------------------------------------
@@ -2087,6 +2189,8 @@ QUERIES = {
     "jaccard_dup_pairs": jaccard_dup_pairs,
     "simhash_dup_pairs": simhash_dup_pairs,
     "embedding_dup_pairs": embedding_dup_pairs,
+    "semantic_dedup": semantic_dedup,
+    "crosscorpus_dup_pairs": crosscorpus_dup_pairs,
     "ann_topk": ann_topk,
     "knn_join_embeddings": knn_join_embeddings,
     "ann_topk_lsh": ann_topk_lsh,
@@ -2385,6 +2489,28 @@ ORACLE_SQL = {
                ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+    """,
+    # SemDeDup drop rule: dup iff ANY lower-id vector is within the cosine
+    # threshold (brute-force EXISTS is the ground truth; the engine's LSH
+    # candidate recall at cos>=0.99 is the same guarantee embedding_dup_pairs
+    # is verified under).  Planted-dup recall is pinned by pytest
+    # (tests/test_semantic_dedup.py) since the driver corpus has no dups.
+    "semantic_dedup": """
+        SELECT e.vec_id,
+               CAST(CASE WHEN EXISTS (
+                   SELECT 1 FROM embeddings u WHERE u.vec_id < e.vec_id
+                   AND list_cosine_similarity(u.embedding, e.embedding) >= 0.99
+               ) THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+        FROM embeddings e
+    """,
+    # cross-side restriction of the exact 3-gram-Jaccard ground truth: only
+    # pairs straddling the odd/even snapshot split, oriented (new, base)
+    "crosscorpus_dup_pairs": f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
+               CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS base_doc,
+               jaccard
+        FROM pairs WHERE doc_a % 2 <> doc_b % 2
     """,
     "ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,71 @@
+"""Planted-duplicate recall for the semantic-dedup and cross-corpus-dedup
+operators.  The driver corpus at sf0.01 has no embedding near-dups (the
+semantic_dedup oracle passes with an all-zero flag column), so these tests
+pin the non-vacuous behavior: every planted duplicate is flagged/paired and
+nothing else is."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _planted_embeddings(n=400, n_dup=30, dim=16, seed=9):
+    """Tail vectors n-n_dup..n-1 are near-copies (cos > 0.999) of vectors
+    0..n_dup-1; the random remainder stays far below the 0.99 threshold."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    v[n - n_dup:] = v[:n_dup] + rng.standard_normal((n_dup, dim)) * 1e-4
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(v.astype(float)), pa.list_(pa.float64())),
+        }
+    )
+
+
+def test_semantic_dedup_flags_planted_tail(ray_session, tmp_path):
+    n, n_dup = 400, 30
+    pq.write_table(_planted_embeddings(n, n_dup), tmp_path / "embeddings.parquet")
+    from legislation_scraper_ray.pipelines.queries import semantic_dedup
+
+    out = semantic_dedup(str(tmp_path)).to_pandas().sort_values("vec_id")
+    assert len(out) == n
+    flags = out.set_index("vec_id")["is_dup"]
+    # SemDeDup keeps the lowest-id representative: originals 0, copies 1
+    assert (flags.loc[: n_dup - 1] == 0).all()
+    assert (flags.loc[n - n_dup:] == 1).all()
+    assert int(flags.sum()) == n_dup
+
+
+def test_semantic_dedup_no_dups_all_kept(ray_session, tmp_path):
+    tbl = _planted_embeddings(n=100, n_dup=0)
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    from legislation_scraper_ray.pipelines.queries import semantic_dedup
+
+    out = semantic_dedup(str(tmp_path)).to_pandas()
+    assert len(out) == 100 and int(out["is_dup"].sum()) == 0
+
+
+def test_crosscorpus_pairs_planted_copies(ray_session, tmp_path):
+    """Odd (new-snapshot) docs copying an even (base) doc are reported as
+    (new, base) pairs at J=1.0; same-side exact copies are NOT reported."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(80)]
+    n = 200
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(n)]
+    planted = {151: 18, 163: 42, 187: 88}  # odd new_doc -> even base_doc
+    for new, base in planted.items():
+        texts[new] = texts[base]
+    texts[196] = texts[100]  # even-even copy: must not appear
+    texts[199] = texts[175]  # odd-odd copy: must not appear
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    from legislation_scraper_ray.pipelines.queries import crosscorpus_dup_pairs
+
+    out = crosscorpus_dup_pairs(str(tmp_path))
+    got = dict(zip(out["new_doc"], out["base_doc"]))
+    assert got == planted
+    assert (out["jaccard"] == 1.0).all()
+    pd.testing.assert_index_equal(out.columns, pd.Index(["new_doc", "base_doc", "jaccard"]))
