@@ -1348,33 +1348,72 @@ def pack_sequences(sf_dir: str, budget: int = 256, n_shards: int = 8):
         ).cast(pa.int64())
         return pa.table({"doc_id": t["doc_id"], "shard": pa.array(shard), "n_tokens": n_tok})
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        n = g["n_tokens"].to_numpy(np.int64)
-        cum = np.cumsum(n)
-        shard = int(g["shard"].iloc[0])
-        bounds = [0]
-        while bounds[-1] < len(n):
-            start = bounds[-1]
-            base = cum[start - 1] if start else 0
-            # last doc index whose cumulative total stays within budget
-            end = int(np.searchsorted(cum, base + budget, side="right"))
-            bounds.append(max(end, start + 1))  # oversized doc → alone in its pack
-        bounds = np.asarray(bounds, np.int64)
-        n_docs = np.diff(bounds)
-        tot = np.diff(np.concatenate([[0], cum[bounds[1:] - 1]]))
-        return pd.DataFrame({
-            "shard": np.full(len(n_docs), shard, np.int64),
-            "pack_id": np.arange(len(n_docs), dtype=np.int64),
-            "n_docs": n_docs.astype(np.int64),
-            "n_tokens": tot.astype(np.int64),
-        })
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (
         ds.map_batches(add_shard, batch_format="pyarrow", batch_size=8192)
         .groupby("shard")
-        .map_groups(pack, batch_format="pandas")
+        .map_groups(lambda g: _pack_greedy(g, budget), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["shard", "pack_id"]).reset_index(drop=True)
+
+
+def _pack_greedy(g: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """One shard's greedy pack walk over (doc_id, shard, n_tokens) rows —
+    shared by the whitespace and BPE token models."""
+    g = g.sort_values("doc_id")
+    n = g["n_tokens"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    shard = int(g["shard"].iloc[0])
+    bounds = [0]
+    while bounds[-1] < len(n):
+        start = bounds[-1]
+        base = cum[start - 1] if start else 0
+        # last doc index whose cumulative total stays within budget
+        end = int(np.searchsorted(cum, base + budget, side="right"))
+        bounds.append(max(end, start + 1))  # oversized doc → alone in its pack
+    bounds = np.asarray(bounds, np.int64)
+    n_docs = np.diff(bounds)
+    tot = np.diff(np.concatenate([[0], cum[bounds[1:] - 1]]))
+    return pd.DataFrame({
+        "shard": np.full(len(n_docs), shard, np.int64),
+        "pack_id": np.arange(len(n_docs), dtype=np.int64),
+        "n_docs": n_docs.astype(np.int64),
+        "n_tokens": tot.astype(np.int64),
+    })
+
+
+def pack_sequences_bpe(sf_dir: str, budget: int = 320, n_shards: int = 8):
+    """``pack_sequences`` under the TRAINED BPE token model — packing budgets
+    counted in real tokenizer tokens, not whitespace words (closes the r3
+    debt note: "a BPE tokenizer would slot into the same kernels").
+
+    Stages: distributed BPE fit (queries._train_bpe_ranks — vocab-sized
+    driver merge learning, broadcast ranks), the cached ``BPECount`` encode
+    actor pool, a deterministic splitmix64 shard column, then the SAME
+    greedy shard-sequential pack kernel.  Rows-only like its tokenizer
+    (iterative merges are not SQL-expressible); pytest pins budget
+    compliance, token conservation vs ``bpe_train_token_counts``, and the
+    whitespace/BPE kernel equivalence on a degenerate corpus."""
+    from ..functions.text import BPECount
+    from .queries import _train_bpe_ranks
+
+    ranks_ref = _train_bpe_ranks(sf_dir)
+    counted = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        BPECount, fn_constructor_args=(ranks_ref,), batch_format="pyarrow",
+        batch_size=8192, concurrency=(1, 4), num_cpus=0.5,
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = (splitmix64(ids) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "shard": pa.array(shard),
+                         "n_tokens": t["n_bpe_tokens"]})
+
+    out = (
+        counted.map_batches(add_shard, batch_format="pyarrow", batch_size=8192)
+        .groupby("shard")
+        .map_groups(lambda g: _pack_greedy(g, budget), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["shard", "pack_id"]).reset_index(drop=True)
@@ -2675,6 +2714,7 @@ ANALYTICS_QUERIES = {
     "user_activity_full_outer": user_activity_full_outer,
     "export_shards": export_shards,
     "pack_sequences": pack_sequences,
+    "pack_sequences_bpe": pack_sequences_bpe,
     "embedding_centroids": embedding_centroids,
     "events_value_histogram": events_value_histogram,
     "orders_above_customer_avg": orders_above_customer_avg,

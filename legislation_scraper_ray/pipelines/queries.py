@@ -331,24 +331,18 @@ def lang_id_docs(sf_dir: str):
     )
 
 
-def bpe_train_token_counts(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_000):
-    """Distributed BPE tokenizer train + encode — the tokenizer-fit stage of
-    a training-data pipeline, decomposed the only way that scales:
+def _train_bpe_ranks(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_000):
+    """Distributed BPE tokenizer FIT → broadcast merge-rank dict (ObjectRef).
 
     1. word-frequency table: distributed explode + per-batch count combiner +
        vocabulary-sized groupby (the same shape as top_tokens);
     2. merge learning on the top-``vocab_k`` frequency table DRIVER-SIDE —
        standard BPE never scans the corpus, it trains on the weighted vocab,
        which is output-sized even at 100 TB (cap + count-weighting make the
-       truncation principled);
-    3. encode: the merge-rank dict broadcasts once; a cached actor stage
-       encodes each batch's np.unique words (memo hits after warmup), then
-       segment-sums per-word lengths back to docs.
+       truncation principled).
 
-    Rows-only (iterative merges are not SQL-expressible); pytest pins the
-    merge sequence against a naive reference implementation and the doc
-    counts against a per-word re-encode."""
-    from ..functions.text import BPECount, bpe_train
+    Shared by ``bpe_train_token_counts`` and ``pack_sequences_bpe``."""
+    from ..functions.text import bpe_train
 
     def wpartial(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t["text"].combine_chunks(), " ")
@@ -367,8 +361,21 @@ def bpe_train_token_counts(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_00
         .to_pandas()
     )
     merges = bpe_train(vocab["token"].to_numpy(), vocab["n"].to_numpy(), n_merges)
-    ranks_ref = ray.put({p: r for p, r in merges})
+    return ray.put({p: r for p, r in merges})
 
+
+def bpe_train_token_counts(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_000):
+    """Distributed BPE tokenizer train + encode (see ``_train_bpe_ranks`` for
+    the fit stage): the merge-rank dict broadcasts once; a cached actor stage
+    encodes each batch's np.unique words (memo hits after warmup), then
+    segment-sums per-word lengths back to docs.
+
+    Rows-only (iterative merges are not SQL-expressible); pytest pins the
+    merge sequence against a naive reference implementation and the doc
+    counts against a per-word re-encode."""
+    from ..functions.text import BPECount
+
+    ranks_ref = _train_bpe_ranks(sf_dir, n_merges, vocab_k)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         BPECount, fn_constructor_args=(ranks_ref,), batch_format="pyarrow",

@@ -484,6 +484,38 @@ def test_export_shards_and_pack_sequences(ray_session, docs):
         assert grp.sort_values("pack_id")["n_tokens"].tolist() == sizes
 
 
+def test_pack_sequences_bpe(ray_session, docs):
+    """BPE-token packing: budget compliance, token conservation vs the
+    tokenizer query, and an exact greedy-walk replay per shard."""
+    from legislation_scraper_ray.pipelines.analytics import pack_sequences_bpe
+    from legislation_scraper_ray.pipelines.queries import bpe_train_token_counts
+
+    budget = 320
+    packs = _df(pack_sequences_bpe(SF, budget=budget))
+    counts = bpe_train_token_counts(SF).to_pandas()
+    assert packs["n_docs"].sum() == len(docs)
+    assert packs["n_tokens"].sum() == counts["n_bpe_tokens"].sum()
+    # every pack within budget unless a lone oversized doc
+    over = packs[packs["n_tokens"] > budget]
+    assert (over["n_docs"] == 1).all()
+    # greedy maximality: within a shard, no pack could absorb its successor's
+    # first doc — replay the walk per shard against the per-doc counts
+    from legislation_scraper_ray.functions.hashing import splitmix64
+
+    counts = counts.set_index("doc_id")["n_bpe_tokens"]
+    shard8 = splitmix64(docs["doc_id"].to_numpy().astype(np.uint64)) % np.uint64(8)
+    for s, grp in packs.groupby("shard"):
+        order = docs.loc[shard8 == np.uint64(s)].sort_values("doc_id")
+        toks = counts.loc[order["doc_id"]].to_numpy()
+        cur, sizes = 0, []
+        for n in toks:
+            if cur and cur + n > budget:
+                sizes.append(cur); cur = 0
+            cur += n
+        sizes.append(cur)
+        assert grp.sort_values("pack_id")["n_tokens"].tolist() == sizes
+
+
 def test_embedding_centroids(ray_session):
     from legislation_scraper_ray.pipelines.analytics import embedding_centroids
 
