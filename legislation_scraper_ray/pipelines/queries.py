@@ -1144,6 +1144,35 @@ def events_sessionize(sf_dir: str):
     return out
 
 
+def events_dedup_burst(sf_dir: str, gap_s: int = 60):
+    """Burst dedup over the event stream: keep an event iff it is the FIRST
+    of its (user, type) burst — i.e. no same-key event landed within the
+    previous ``gap_s`` seconds (double-click / retry / at-least-once-delivery
+    suppression; the recency-keyed dedup every event pipeline runs, distinct
+    from content dedup).
+
+    Scale shape: hash-partition on user_id (the same key every per-user
+    operator here reuses), one sort + vectorized shifted-diff per partition —
+    the stream is never globally sorted and no state outlives its partition.
+    Tie rule mirrors the SQL LAG ordering (ts, then event_id): simultaneous
+    same-key events keep only the lowest event_id."""
+
+    def first_of_burst(part_df: pd.DataFrame) -> pd.DataFrame:
+        part_df = part_df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        ts = part_df["ts"].astype("int64").to_numpy()
+        uid = part_df["user_id"].to_numpy()
+        et = part_df["event_type"].to_numpy()
+        keep = np.ones(len(part_df), dtype=bool)
+        if len(part_df) > 1:
+            same_key = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+            keep[1:] = ~same_key | ((ts[1:] - ts[:-1]) > gap_s * 1_000_000)
+        return part_df.loc[keep, ["event_id", "user_id", "event_type", "ts"]]
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+    return parts.groupby("part").map_groups(first_of_burst, batch_format="pandas")
+
+
 def events_asof_orders(sf_dir: str):
     """Distributed AS-OF join — each event matched to its user's latest order
     at-or-before the event time.  Ray Data has no asof join; the engine
@@ -2216,6 +2245,7 @@ QUERIES = {
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
+    "events_dedup_burst": events_dedup_burst,
     "events_asof_orders": events_asof_orders,
     "events_followup_pairs": events_followup_pairs,
     "events_sliding_count": events_sliding_count,
@@ -2574,6 +2604,18 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
+    """,
+    # previous-EVENT (not previous-kept) burst rule; tie order (ts, event_id)
+    # matches the engine's sort — simultaneous same-key events keep one
+    "events_dedup_burst": """
+        WITH x AS (
+            SELECT event_id, user_id, event_type, ts,
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS pts
+            FROM events
+        )
+        SELECT event_id, user_id, event_type, ts FROM x
+        WHERE pts IS NULL OR EPOCH(ts) - EPOCH(pts) > 60
     """,
     "events_sessionize": """
         WITH gaps AS (
