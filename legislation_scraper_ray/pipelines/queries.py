@@ -2100,6 +2100,14 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
                          "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())})
 
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    # Block-count budget for the iterated state: the sort-groupby emits as
+    # many blocks as it was fed, and ranks feeds back into the next
+    # iteration's exchange — without a coalesce the state grows ~2× the
+    # exchange width in blocks PER ITERATION (measured 64→448 blocks over 3
+    # iterations at sf0.1; per-block fixed costs then dominate: 8 iterations
+    # 425 s → 59 s with the repartition).  Node-sized data in node-sized
+    # blocks, proportional to the input, so it holds at any scale.
+    n_state_blocks = max(ranks.num_blocks(), 1)
 
     def flow_contribs(part_df: pd.DataFrame) -> pd.DataFrame:
         """Partition owns every edge with src in its key range AND the rank
@@ -2156,6 +2164,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
         ranks = (contrib_tagged.union(node_side)
                  .map_batches(_add_part("key"), batch_format="pyarrow")
                  .groupby("part").map_groups(update, batch_format="pandas")
+                 .repartition(n_state_blocks)
                  .materialize())
 
     url_map = pages.map_batches(
