@@ -2195,9 +2195,20 @@ def crawl_seen_set(sf_dir: str):
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
     out = f"/tmp/graft_crawl_query/{os.path.basename(corpus_dir)}"
+    # size the fetch pool and batches to the session (the pool autoscales
+    # from fetch_concurrency//4, so a small pytest session never deadlocks);
+    # the old fixed 4-actor/4096-row config left 7/8 of a 32-cpu box idle
+    # (37 s → ~15 s at sf0.1).  compute="tasks" is semantics-identical here
+    # (fetch/decode state is a zero-copy plasma view) and skips the
+    # per-generation pool spin-up.
+    n_cpu = int(ray.cluster_resources().get("CPU", 8))
+    fc = max(4, n_cpu - 2)
+    n_pages = pq.ParquetFile(f"{corpus_dir}/web_graph.parquet").metadata.num_rows
     run_crawl(
         corpus_dir, out,
-        CrawlConfig(n_seen_shards=4, fetch_concurrency=4, checkpoint=False),
+        CrawlConfig(n_seen_shards=4, fetch_concurrency=fc, compute="tasks",
+                    batch_size=int(np.clip(-(-n_pages // (3 * fc)), 4096, 16384)),
+                    checkpoint=False),
     )
     tbl = pads.dataset(f"{out}/lineage", partitioning="hive").to_table(columns=LINEAGE_COLUMNS)
     return tbl.sort_by("url_hash")
