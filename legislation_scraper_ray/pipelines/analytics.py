@@ -1393,8 +1393,9 @@ def pack_sequences_bpe(sf_dir: str, budget: int = 320, n_shards: int = 8):
     actor pool, a deterministic splitmix64 shard column, then the SAME
     greedy shard-sequential pack kernel.  Rows-only like its tokenizer
     (iterative merges are not SQL-expressible); pytest pins budget
-    compliance, token conservation vs ``bpe_train_token_counts``, and the
-    whitespace/BPE kernel equivalence on a degenerate corpus."""
+    compliance, token conservation vs ``bpe_train_token_counts``, and an
+    exact greedy-walk replay per shard; the shared kernel is additionally
+    property-tested against a naive replay (tests/test_pack_greedy.py)."""
     from ..functions.text import BPECount
     from .queries import _train_bpe_ranks
 

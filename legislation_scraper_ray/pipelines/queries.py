@@ -461,6 +461,43 @@ def dedup_first_by_text(sf_dir: str):
     return hashed.groupby("part").map_groups(first, batch_format="pandas")
 
 
+def _minhash_candidate_ds(ds: rd.Dataset) -> rd.Dataset:
+    """documents (doc_id, text) → LSH candidate-pair Dataset (doc_a < doc_b):
+    shingle→minhash→band→bucket groupby→run mining.  Shared by
+    ``minhash_dup_pairs`` and ``crosscorpus_dup_pairs``."""
+    from ..functions.dedup import mine_bucket_pairs, minhash_signatures
+
+    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
+    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    return sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+
+
+def _verified_jaccard_pairs(cands: rd.Dataset, sf_dir: str,
+                            threshold: float) -> pd.DataFrame:
+    """Candidate pairs → exact-shingle-Jaccard-verified (doc_a, doc_b,
+    jaccard) pandas frame.  The pair↔text join is the output-sized
+    ``_pairs_join_payload`` (never a corpus broadcast); the filter runs on
+    the UNROUNDED value (the oracle's WHERE is unrounded too)."""
+    from ..functions.dedup import jaccard_shingles
+
+    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
+                                 "doc_id", "text")
+    if paired is None:
+        return _empty_pairs("doc_a", "doc_b", "jaccard")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("doc_a", "doc_b", "jaccard")
+        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
+        out = df.assign(jaccard=_round(jac, 4))[jac >= threshold]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = _empty_pairs("doc_a", "doc_b", "jaccard")
+    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+
 def minhash_dup_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, verified with exact shingle Jaccard.
 
@@ -472,29 +509,8 @@ def minhash_dup_pairs(sf_dir: str):
     At the driver's scales the corpus has no near-dups below 1.0, so the
     verified set equals the identical-text set (the SQL oracle).
     Docs with < 3 tokens carry no shingles and are excluded on both sides."""
-    from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, minhash_signatures
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
-    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
-    cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
-    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
-                                 "doc_id", "text")
-    if paired is None:
-        return _empty_pairs("doc_a", "doc_b", "jaccard")
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_pairs("doc_a", "doc_b", "jaccard")
-        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
-        # filter on the UNROUNDED value (the oracle's WHERE is unrounded too)
-        out = df.assign(jaccard=_round(jac, 4))[jac >= 0.95]
-        return out[["doc_a", "doc_b", "jaccard"]]
-
-    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
-    if out.empty:
-        out = _empty_pairs("doc_a", "doc_b", "jaccard")
-    return out.astype({"doc_a": "int64", "doc_b": "int64"})
+    cands = _minhash_candidate_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return _verified_jaccard_pairs(cands, sf_dir, 0.95)
 
 
 def jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8):
@@ -828,40 +844,105 @@ def embedding_dup_pairs(sf_dir: str, n_bands: int = 8):
     return out.astype({"vec_a": "int64", "vec_b": "int64"})
 
 
-def semantic_dedup(sf_dir: str):
+def semantic_dedup(sf_dir: str, n_bands: int = 8, threshold: float = 0.99):
     """SemDeDup-style per-vector duplicate flags (the pruning rule of Abbas
     et al. 2023, "SemDeDup": a vector is a semantic duplicate iff some
     LOWER-id vector lies within the cosine threshold — drop it, keep the
     lowest-id representative of every semantic clique edge).
 
-    Scale shape: candidate pairs come from the same banded hyperplane LSH +
-    exact-verify pipeline as ``embedding_dup_pairs``; the keep/drop flag is
-    then a hash-partitioned flag union — (vec_id, 0) rows for the corpus
-    unioned with (vec_b, 1) rows from the verified pairs, ``groupby(part)``
-    max per vec_id — because at 100 TB the DROP side can be O(corpus)
-    (boilerplate-heavy web crawls run 30-50 % semantic dups), so it must
-    never sit on the driver or in a broadcast the way the output-sized pair
-    list may."""
-    ids = _read(sf_dir, "embeddings", ["vec_id"])
-    base = ids.map_batches(
+    Scale shape — deliberately NOT the ``embedding_dup_pairs`` pair pipeline:
+    that operator's OUTPUT is the pair list, so its quadratic-in-clique-size
+    intermediate is inherent; this operator's output is one bit per vector,
+    and a k-vector boilerplate clique (the 100-TB norm — 30-50 % semantic
+    dups) must not materialize ~k²/2 pair rows to produce k bits.  Instead
+    the flag is computed INSIDE each LSH bucket group: bucket rows carry the
+    packed embedding (n_bands× linear payload duplication, no pair rows),
+    and each same-(band, bucket) run flags its members against the run's
+    min-id vector first (O(k) dots — settles every homogeneous-clique row),
+    falling back to any-lower-neighbor chunked matmuls only for the
+    leftovers (rare at ``adaptive_bits``' O(1) expected bucket size).  Flags
+    OR across bands/partitions via the same hash-partitioned max-combine as
+    before, so the drop side still never sits on the driver or in a
+    broadcast.  Same flags as the pair-based derivation: the predicate is
+    identical (∃ lower-id vector sharing ≥1 bucket with cos ≥ threshold)."""
+    from ..functions.ann import _as_matrix, normalize, pack_matrix
+    from ..functions.dedup import adaptive_bits, hyperplane_bands
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_bits = adaptive_bits(ds.count())
+
+    def bucketize_with_payload(t: pa.Table) -> pa.Table:
+        vecs = normalize(_as_matrix(t["embedding"]))
+        b = hyperplane_bands(vecs, n_bands=n_bands, n_bits=n_bits)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        emb = pack_matrix(vecs)
+        n = t.num_rows
+        idx = np.repeat(np.arange(n), n_bands)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_bands)),
+                "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(b.reshape(-1).astype(np.uint64), pa.uint64()),
+                "emb": emb.take(pa.array(idx)),
+            }
+        )
+
+    def flag_in_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "flag": pd.Series(dtype="int32")})
+        if not len(df):
+            return empty
+        df = df.sort_values(["band", "band_hash", "vec_id"], kind="stable")
+        bd = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        new_run = np.ones(len(df), bool)
+        new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.bincount(run_id)
+        multi = sizes[run_id] >= 2
+        if not multi.any():
+            return empty
+        df = df.loc[multi]
+        run_id = run_id[multi]
+        d = len(df["emb"].iloc[0]) // 4
+        M = np.frombuffer(b"".join(df["emb"]), np.float32).reshape(len(df), d).astype(np.float64)
+        ids = df["vec_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])
+        ends = np.r_[starts[1:], len(run_id)]
+        out: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            V, vid = M[s:e], ids[s:e]  # vec_id-ascending within the run
+            # pass 1: everyone vs the run's min-id vector (flags the whole
+            # clique in O(k) when vectors are near-identical)
+            hit = V[1:] @ V[0] >= threshold
+            out.append(vid[1:][hit])
+            rest = np.flatnonzero(~hit) + 1
+            # pass 2: leftovers check ALL lower-id rows (chunked matmul;
+            # exact any-lower semantics, quadratic only in the residual)
+            for i in rest:
+                if (V[:i] @ V[i] >= threshold).any():
+                    out.append(vid[i : i + 1])
+        if not out:
+            return empty
+        flagged = np.unique(np.concatenate(out))
+        return pd.DataFrame({"vec_id": flagged.astype(np.int64),
+                             "flag": np.ones(len(flagged), np.int32)})
+
+    dup = (ds.map_batches(bucketize_with_payload, batch_format="pyarrow", batch_size=4096)
+           .map_batches(_add_part("band_hash"), batch_format="pyarrow")
+           .groupby("part").map_groups(flag_in_buckets, batch_format="pandas"))
+    base = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
         lambda t: pa.table({"vec_id": t["vec_id"],
                             "flag": pa.array(np.zeros(t.num_rows, np.int32), pa.int32())}),
         batch_format="pyarrow",
     )
-    pair_ds = _embedding_dup_pair_ds(sf_dir)
-    if pair_ds is not None:
-        dup = pair_ds.map_batches(
-            lambda t: pa.table({"vec_id": t["vec_b"],
-                                "flag": pa.array(np.ones(t.num_rows, np.int32), pa.int32())}),
-            batch_format="pyarrow",
-        )
-        base = base.union(dup)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("vec_id", sort=False)["flag"].max().rename("is_dup")
         return out.reset_index().astype({"vec_id": "int64", "is_dup": "int32"})
 
-    return (base.map_batches(_add_part("vec_id"), batch_format="pyarrow")
+    return (base.union(dup)
+            .map_batches(_add_part("vec_id"), batch_format="pyarrow")
             .groupby("part").map_groups(combine, batch_format="pandas"))
 
 
@@ -873,20 +954,15 @@ def crosscorpus_dup_pairs(sf_dir: str, threshold: float = 0.95):
     (new_doc, base_doc, jaccard); same-side duplicates are NOT reported
     (within-snapshot dedup is ``minhash_dup_pairs``'s job).
 
-    Pipeline: one MinHash signature pass over the union, LSH bucket mining,
-    then a vectorized cross-side filter on the candidate ids BEFORE any
-    payload moves, exact-Jaccard verification via the output-sized
-    pair↔text join.  Deployment note: the symmetric form here signs both
+    Pipeline: the shared ``_minhash_candidate_ds`` signature/bucket mining
+    over the union, then a vectorized cross-side filter on the candidate ids
+    BEFORE any payload moves, and the shared ``_verified_jaccard_pairs``
+    exact verification.  Deployment note: the symmetric form here signs both
     sides each run because the synthetic corpus is one table; a production
     incremental crawl persists the base side's (doc_id, band, band_hash)
     rows once and unions only the delta's signatures into the same bucket
     groupby — the shuffle shape and this verification path are unchanged."""
-    from ..functions.dedup import jaccard_shingles, mine_bucket_pairs, minhash_signatures
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
-    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
-    cands = sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    cands = _minhash_candidate_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
 
     def cross_side_only(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -895,28 +971,14 @@ def crosscorpus_dup_pairs(sf_dir: str, threshold: float = 0.95):
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array((a & 1) != (b & 1)))
 
-    cands = cands.map_batches(cross_side_only, batch_format="pyarrow")
-    paired = _pairs_join_payload(cands, _read(sf_dir, "documents", ["doc_id", "text"]),
-                                 "doc_id", "text")
-    if paired is None:
-        return _empty_pairs("new_doc", "base_doc", "jaccard")
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return _empty_pairs("new_doc", "base_doc", "jaccard")
-        jac = jaccard_shingles(df["text_a"].tolist(), df["text_b"].tolist())
-        keep = jac >= threshold
-        a = df["doc_a"].to_numpy()[keep]
-        b = df["doc_b"].to_numpy()[keep]
-        odd = (a & 1).astype(bool)
-        return pd.DataFrame({"new_doc": np.where(odd, a, b),
-                             "base_doc": np.where(odd, b, a),
-                             "jaccard": _round(jac[keep], 4)})
-
-    out = paired.map_batches(verify, batch_format="pandas").to_pandas()
-    if out.empty:
-        out = _empty_pairs("new_doc", "base_doc", "jaccard")
-    return out.astype({"new_doc": "int64", "base_doc": "int64"})
+    out = _verified_jaccard_pairs(cands.map_batches(cross_side_only, batch_format="pyarrow"),
+                                  sf_dir, threshold)
+    odd = (out["doc_a"].to_numpy() & 1).astype(bool)
+    return pd.DataFrame({
+        "new_doc": np.where(odd, out["doc_a"], out["doc_b"]).astype(np.int64),
+        "base_doc": np.where(odd, out["doc_b"], out["doc_a"]).astype(np.int64),
+        "jaccard": out["jaccard"].to_numpy(),
+    })
 
 
 # --------------------------------------------------------------------------
