@@ -48,6 +48,49 @@ def test_semantic_dedup_no_dups_all_kept(ray_session, tmp_path):
     assert len(out) == 100 and int(out["is_dup"].sum()) == 0
 
 
+def test_semantic_dedup_large_clique_and_nonmin_partner(ray_session, tmp_path):
+    """Exercises both flag passes of the bucket-local kernel: a 150-vector
+    homogeneous clique (pass 1: everyone matches the run-min vector), plus a
+    vector OUTSIDE threshold of its bucket's min but INSIDE threshold of a
+    higher (non-min) lower-id member — only the any-lower fallback (pass 2)
+    can flag it."""
+    rng = np.random.default_rng(3)
+    dim, n_rand, n_clique = 16, 100, 150
+    rand = rng.standard_normal((n_rand, dim))
+    clique = rand[0] + rng.standard_normal((n_clique, dim)) * 1e-4
+    # co-planar chain: u0 at 0°, u1 at 5°, v at 10° (cos 10° ≈ 0.985 < 0.99,
+    # cos 5° ≈ 0.996 ≥ 0.99) — v's only qualifying lower partner is u1
+    e1, e2 = np.zeros(dim), np.zeros(dim)
+    e1[0] = 1.0
+    e2[1] = 1.0
+    ang = np.deg2rad([0.0, 5.0, 10.0])
+    chain = np.stack([np.cos(a) * e1 + np.sin(a) * e2 for a in ang])
+    v = np.vstack([rand, clique, chain])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    n = len(v)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(v.astype(float)), pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    from legislation_scraper_ray.pipelines.queries import semantic_dedup
+
+    flags = (semantic_dedup(str(tmp_path)).to_pandas()
+             .set_index("vec_id")["is_dup"].sort_index())
+    assert len(flags) == n
+    # the whole clique (copies of vec 0) is flagged; vec 0 survives
+    assert flags.loc[0] == 0
+    assert (flags.loc[n_rand : n_rand + n_clique - 1] == 1).all()
+    u0, u1, vv = n_rand + n_clique, n_rand + n_clique + 1, n_rand + n_clique + 2
+    assert flags.loc[u0] == 0      # chain head has no lower partner
+    assert flags.loc[u1] == 1      # 5° from u0 → pass 1
+    assert flags.loc[vv] == 1      # 10° from u0, 5° from u1 → pass 2 only
+    # brute-force cross-check of the full flag vector
+    sims = v @ v.T
+    expect = np.array([bool((sims[i, :i] >= 0.99).any()) for i in range(n)])
+    assert (flags.to_numpy().astype(bool) == expect).all()
+
+
 def test_crosscorpus_pairs_planted_copies(ray_session, tmp_path):
     """Odd (new-snapshot) docs copying an even (base) doc are reported as
     (new, base) pairs at J=1.0; same-side exact copies are NOT reported."""
