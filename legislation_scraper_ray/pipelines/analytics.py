@@ -1617,17 +1617,45 @@ def user_activity_full_outer(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id"]).groupby("user_id").aggregate(
         Count(alias_name="n_events"))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-    joined = ev.join(cust, join_type="full_outer", num_partitions=8,
-                     on=("user_id",), right_on=("c_custkey",))
-    df = joined.to_pandas()
-    # Ray coalesces the right key into the left key column on full_outer;
-    # right-side presence is read off c_acctbal (non-nullable in the table)
-    out = pd.DataFrame({
-        "id": df["user_id"].astype("int64"),
-        "n_events": df["n_events"].fillna(0).astype("int64"),
-        "has_account": df["c_acctbal"].notna().astype("int64"),
-        "acctbal": _round(df["c_acctbal"].astype("float64").fillna(0.0), 2),
-    })
+    # tagged-union + hash-partitioned per-part outer merge instead of
+    # Dataset.join(full_outer): Ray 2.49's hash-shuffle join cannot finalize
+    # a partition that is EMPTY on one side (the empty block carries no
+    # schema, so Acero can't find the key field) — at small key cardinality
+    # some of the partitions always are.  Same shuffle shape, one exchange.
+    # n_events rides as float64 (NaN marks cust-only rows; counts < 2^53 are
+    # float-exact), acctbal NaN marks event-only rows.
+    ev_rows = ev.map_batches(
+        lambda t: pa.table({
+            "id": t["user_id"],
+            "n_events": t["n_events"].cast(pa.float64()),
+            "c_acctbal": pa.nulls(t.num_rows, pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+    cust_rows = cust.map_batches(
+        lambda t: pa.table({
+            "id": t["c_custkey"],
+            "n_events": pa.nulls(t.num_rows, pa.float64()),
+            "c_acctbal": t["c_acctbal"].cast(pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def outer_merge(part_df: pd.DataFrame) -> pd.DataFrame:
+        e = part_df[part_df["n_events"].notna()][["id", "n_events"]]
+        c = part_df[part_df["c_acctbal"].notna()][["id", "c_acctbal"]]
+        m = pd.merge(e, c, on="id", how="outer")
+        return pd.DataFrame({
+            "id": m["id"].astype("int64"),
+            "n_events": m["n_events"].fillna(0).astype("int64"),
+            "has_account": m["c_acctbal"].notna().astype("int64"),
+            "acctbal": _round(m["c_acctbal"].astype("float64").fillna(0.0), 2),
+        })
+
+    out = (ev_rows.union(cust_rows)
+           .map_batches(_add_part("id"), batch_format="pyarrow")
+           .groupby("part").map_groups(outer_merge, batch_format="pandas")
+           .to_pandas())
     return out.sort_values("id").reset_index(drop=True)
 
 

@@ -1736,20 +1736,18 @@ def image_dup_by_phash(sf_dir: str):
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
     ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "phash"])
-    grouped = ds.groupby("phash").aggregate(Count(alias_name="n_copies"))
+    # ONE groupby carrying both aggregates — the previous two-groupby + join
+    # plan shuffled the corpus twice and crashed at tiny scale (Ray 2.49's
+    # hash-shuffle join cannot finalize a partition that came up empty on one
+    # side: the empty block carries no schema, so Acero can't find the key)
+    grouped = ds.groupby("phash").aggregate(
+        Count(alias_name="n_copies"), Min("image_id", alias_name="first_image_id"))
 
     def dups(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["n_copies"], 2))
 
-    mins = (
-        rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "phash"])
-        .groupby("phash")
-        .aggregate(Min("image_id", alias_name="first_image_id"))
-    )
-    out = grouped.map_batches(dups, batch_format="pyarrow").join(
-        mins, join_type="inner", num_partitions=4, on=("phash",)
-    )
-    df = out.to_pandas().sort_values("phash").reset_index(drop=True)
+    df = (grouped.map_batches(dups, batch_format="pyarrow")
+          .to_pandas().sort_values("phash").reset_index(drop=True))
     return df[["phash", "n_copies", "first_image_id"]]
 
 
