@@ -461,15 +461,23 @@ def dedup_first_by_text(sf_dir: str):
     return hashed.groupby("part").map_groups(first, batch_format="pandas")
 
 
+def _bucket_pairs_from_sigs(sigs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, band, band_hash) signature rows → candidate-pair Dataset
+    (doc_a < doc_b) via the hash-partitioned bucket groupby + run mining."""
+    from ..functions.dedup import mine_bucket_pairs
+
+    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
+    return sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+
+
 def _minhash_candidate_ds(ds: rd.Dataset) -> rd.Dataset:
     """documents (doc_id, text) → LSH candidate-pair Dataset (doc_a < doc_b):
     shingle→minhash→band→bucket groupby→run mining.  Shared by
     ``minhash_dup_pairs`` and ``crosscorpus_dup_pairs``."""
-    from ..functions.dedup import mine_bucket_pairs, minhash_signatures
+    from ..functions.dedup import minhash_signatures
 
     sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
-    sigs = sigs.map_batches(_add_part("band_hash"), batch_format="pyarrow")
-    return sigs.groupby("part").map_groups(mine_bucket_pairs, batch_format="pandas")
+    return _bucket_pairs_from_sigs(sigs)
 
 
 def _verified_jaccard_pairs(cands: rd.Dataset, sf_dir: str,
@@ -963,22 +971,92 @@ def crosscorpus_dup_pairs(sf_dir: str, threshold: float = 0.95):
     rows once and unions only the delta's signatures into the same bucket
     groupby — the shuffle shape and this verification path are unchanged."""
     cands = _minhash_candidate_ds(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = _verified_jaccard_pairs(
+        cands.map_batches(_cross_side_only, batch_format="pyarrow"), sf_dir, threshold)
+    return _orient_new_base(out)
 
-    def cross_side_only(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((a & 1) != (b & 1)))
 
-    out = _verified_jaccard_pairs(cands.map_batches(cross_side_only, batch_format="pyarrow"),
-                                  sf_dir, threshold)
+def _cross_side_only(t: pa.Table) -> pa.Table:
+    """Keep only candidate pairs straddling the odd/even snapshot split."""
+    if t.num_rows == 0:
+        return t
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    return t.filter(pa.array((a & 1) != (b & 1)))
+
+
+def _orient_new_base(out: pd.DataFrame) -> pd.DataFrame:
+    """(doc_a, doc_b, jaccard) cross-side pairs → (new_doc, base_doc,
+    jaccard) with the odd (new-snapshot) id first."""
     odd = (out["doc_a"].to_numpy() & 1).astype(bool)
     return pd.DataFrame({
         "new_doc": np.where(odd, out["doc_a"], out["doc_b"]).astype(np.int64),
         "base_doc": np.where(odd, out["doc_b"], out["doc_a"]).astype(np.int64),
         "jaccard": out["jaccard"].to_numpy(),
     })
+
+
+def crosscorpus_dup_pairs_incremental(sf_dir: str, threshold: float = 0.95):
+    """The PRODUCTION shape of cross-corpus dedup that
+    ``crosscorpus_dup_pairs``'s deployment note describes, as working code:
+    the base corpus's (doc_id, band, band_hash) MinHash signature rows are
+    persisted as partitioned parquet ONCE (a prior run's artifact — at
+    100 TB re-signing the base every delta is the dominant waste, and the
+    signature table is ~200× smaller than the text); each incremental run
+    signs ONLY the delta (odd doc_ids), unions the read-back base signature
+    Dataset, and runs the same bucket groupby → cross-side filter → exact
+    verification.  Results are identical to the symmetric operator, so the
+    SAME SQL oracle checks this path.
+
+    The signature store lives under /tmp/graft_minhash_base/<corpus-name>/
+    (the ``export_shards`` precedent) with a manifest fingerprinting the
+    source parquet (size + mtime) — a changed corpus rebuilds the store."""
+    import json
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
+    store = f"/tmp/graft_minhash_base/{os.path.basename(os.path.normpath(sf_dir))}"
+    manifest = os.path.join(store, "_manifest.json")
+    fresh = True
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            fresh = json.load(f) != fp
+    if fresh:
+        from ..functions.dedup import minhash_signatures
+
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+        os.makedirs(store, exist_ok=True)
+
+        def even_only(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids & 1) == 0))
+
+        (_read(sf_dir, "documents", ["doc_id", "text"])
+         .map_batches(even_only, batch_format="pyarrow")
+         .map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
+         .write_parquet(store))
+        with open(manifest, "w") as f:
+            json.dump(fp, f)
+
+    from ..functions.dedup import minhash_signatures
+
+    base_sigs = rd.read_parquet(store)
+
+    def odd_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids & 1) == 1))
+
+    delta_sigs = (_read(sf_dir, "documents", ["doc_id", "text"])
+                  .map_batches(odd_only, batch_format="pyarrow")
+                  .map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096))
+    cands = _bucket_pairs_from_sigs(base_sigs.union(delta_sigs))
+    out = _verified_jaccard_pairs(
+        cands.map_batches(_cross_side_only, batch_format="pyarrow"), sf_dir, threshold)
+    return _orient_new_base(out)
 
 
 # --------------------------------------------------------------------------
@@ -2307,6 +2385,7 @@ QUERIES = {
     "embedding_dup_pairs": embedding_dup_pairs,
     "semantic_dedup": semantic_dedup,
     "crosscorpus_dup_pairs": crosscorpus_dup_pairs,
+    "crosscorpus_dup_pairs_incremental": crosscorpus_dup_pairs_incremental,
     "ann_topk": ann_topk,
     "knn_join_embeddings": knn_join_embeddings,
     "ann_topk_lsh": ann_topk_lsh,
@@ -2621,8 +2700,17 @@ ORACLE_SQL = {
         FROM embeddings e
     """,
     # cross-side restriction of the exact 3-gram-Jaccard ground truth: only
-    # pairs straddling the odd/even snapshot split, oriented (new, base)
+    # pairs straddling the odd/even snapshot split, oriented (new, base).
+    # The incremental (persisted-base-signature) operator must produce the
+    # IDENTICAL result, so it shares the oracle.
     "crosscorpus_dup_pairs": f"""
+        WITH {_MINHASH_PAIRS_CTES}
+        SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
+               CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS base_doc,
+               jaccard
+        FROM pairs WHERE doc_a % 2 <> doc_b % 2
+    """,
+    "crosscorpus_dup_pairs_incremental": f"""
         WITH {_MINHASH_PAIRS_CTES}
         SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_doc,
                CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS base_doc,
