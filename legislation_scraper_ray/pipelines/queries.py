@@ -1602,6 +1602,93 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
+                           train_sample: int = 4096):
+    """IVF with a PERSISTED index — the build-once / probe-many serving shape
+    (``ann_topk_ivf`` re-trains and re-scans every call; a production index
+    is built once and each query reads only its probed cells).
+
+    Build (on corpus-fingerprint miss): train centroids exactly as
+    ``ann_topk_ivf``, one assignment pass over the corpus, write
+    (vec_id, embedding) parquet HIVE-PARTITIONED BY CELL + the centroid
+    matrix.  Probe: load the tiny centroid file, pick the query's ``n_probe``
+    cells, and ``read_parquet`` with a ``cell in probes`` filter — partition
+    pruning means only ~n_probe/√n of the INDEX BYTES are read at all (the
+    at-scale win over ann_topk_ivf's full-corpus scan-and-discard).
+    Rows-only (approximate); pytest pins full-probe == exact brute force,
+    store reuse, and self-retrieval."""
+    import json
+    import os
+    import shutil
+
+    from ..functions.ann import BruteForceTopK, kmeans_centroids, merge_topk, normalize
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
+    store = f"/tmp/graft_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
+    manifest = os.path.join(store, "_manifest.json")
+    cent_path = os.path.join(store, "_centroids.npy")
+    fresh = True
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            fresh = json.load(f) != fp
+    if fresh:
+        shutil.rmtree(store, ignore_errors=True)
+        os.makedirs(store, exist_ok=True)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        n = ds.count()
+        n_centroids = max(4, int(np.sqrt(n)))
+        sample = ds.limit(min(train_sample, n)).to_pandas()
+        centroids = kmeans_centroids(np.stack(sample["embedding"].to_numpy()), n_centroids)
+        cent_ref = ray.put(centroids)
+
+        class AssignCell:
+            def __init__(self):
+                self.cent = ray.get(cent_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                from ..functions.ann import _as_matrix
+
+                vecs = normalize(_as_matrix(t["embedding"]))
+                cell = (vecs @ self.cent.T).argmax(axis=1).astype(np.int32)
+                return t.append_column("cell", pa.array(cell, pa.int32()))
+
+        (ds.map_batches(AssignCell, batch_format="pyarrow", batch_size=4096,
+                        concurrency=(1, 4), num_cpus=0.5)
+         .write_parquet(os.path.join(store, "cells"), partition_cols=["cell"]))
+        np.save(cent_path, centroids)
+        with open(manifest, "w") as f:
+            json.dump(fp, f)
+
+    centroids = np.load(cent_path)
+    q_emb = _query_vector(sf_dir, 0)
+    qn = normalize(q_emb[None, :])
+    probe = np.argsort(-(qn[0] @ centroids.T))[: min(n_probe, len(centroids))]
+    ref = ray.put((np.array([0], dtype=np.int64), qn))
+
+    # partition pruning by PATH: only the probed cell=N/ directories are even
+    # listed — no filter evaluation, no bytes from unprobed cells.  A cell
+    # directory can be absent (no vector assigned to it at this scale).
+    import glob
+
+    probe_files = sorted(
+        f for c in probe
+        for f in glob.glob(os.path.join(store, "cells", f"cell={int(c)}", "*.parquet"))
+    )
+    probed = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
+    partials = probed.map_batches(
+        BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
+        batch_size=4096, concurrency=2,
+    )
+    merged = partials.groupby("query_id").map_groups(
+        lambda g: merge_topk(g, k), batch_format="pandas"
+    )
+    df = merged.to_pandas()
+    df["cos_sim"] = _round(df["cos_sim"], 4)
+    return df[["vec_id", "cos_sim", "rank"]]
+
+
 def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
                    n_codes: int = 16, train_sample: int = 4096):
     """IVF-PQ ANN — the MEMORY scale path next to IVF: the probed scan reads
@@ -2390,6 +2477,7 @@ QUERIES = {
     "knn_join_embeddings": knn_join_embeddings,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,

@@ -1,0 +1,68 @@
+"""Persisted IVF index: full-probe == exact brute force, partition-pruned
+probe reads only its cells, store reuse across calls."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _embeddings(tmp_path, n=600, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(v.astype(float)), pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    return tbl
+
+
+def test_full_probe_matches_brute_force_and_store_reuse(ray_session, tmp_path):
+    _embeddings(tmp_path)
+    from legislation_scraper_ray.pipelines.queries import ann_topk, ann_topk_ivf_persisted
+
+    exact = ann_topk(str(tmp_path)).reset_index(drop=True)
+    # probing EVERY cell must reproduce the exact result
+    full = ann_topk_ivf_persisted(str(tmp_path), n_probe=10**6).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact.sort_values("rank").reset_index(drop=True),
+        full.sort_values("rank").reset_index(drop=True),
+    )
+    store = f"/tmp/graft_ivf/{os.path.basename(str(tmp_path))}"
+    manifest = os.path.join(store, "_manifest.json")
+    m0 = os.path.getmtime(manifest)
+    # default narrow probe: self-retrieval at rank 1 (query = vec 0), and the
+    # store is reused, not rebuilt
+    narrow = ann_topk_ivf_persisted(str(tmp_path), n_probe=2)
+    top = narrow.sort_values("rank").iloc[0]
+    assert top["vec_id"] == 0 and abs(top["cos_sim"] - 1.0) < 1e-6
+    assert os.path.getmtime(manifest) == m0
+    # the index is genuinely cell-partitioned on disk
+    cells = glob.glob(os.path.join(store, "cells", "cell=*"))
+    assert len(cells) >= 4
+
+
+def test_narrow_probe_is_subset_scan(ray_session, tmp_path):
+    """A 1-cell probe scores only vectors assigned to that cell — every
+    returned neighbor must belong to the probed cell's partition."""
+    _embeddings(tmp_path, seed=8)
+    from legislation_scraper_ray.pipelines.queries import ann_topk_ivf_persisted
+
+    out = ann_topk_ivf_persisted(str(tmp_path), n_probe=1)
+    store = f"/tmp/graft_ivf/{os.path.basename(str(tmp_path))}"
+    # members of all cells, keyed by cell dir
+    import pyarrow.dataset as pads
+
+    members = set()
+    # the query's single probed cell is whichever cell contains vec 0's
+    # nearest centroid; recover it as the one whose members superset the out
+    for d in glob.glob(os.path.join(store, "cells", "cell=*")):
+        ids = set(pads.dataset(d).to_table(columns=["vec_id"])["vec_id"].to_pylist())
+        if set(out["vec_id"]).issubset(ids):
+            members = ids
+            break
+    assert members, "returned neighbors are not contained in any single cell"
