@@ -408,6 +408,54 @@ def sample_docs_hash(sf_dir: str, mod: int = 10):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
 
 
+def shuffle_docs_deterministic(sf_dir: str, n_buckets: int = 256):
+    """Reproducible global shuffle with EXPLICIT positions — the
+    training-data ordering primitive: every doc gets the rank of its
+    splitmix64(doc_id) key (a bijection on uint64, so no ties; doc_id breaks
+    them anyway for belt-and-braces).  Unlike ``Dataset.random_shuffle``
+    (nondeterministic across cluster shapes), the hash-rank order is
+    byte-identical on any cluster size and any resume — and the SQL oracle
+    mirrors it exactly (ROW_NUMBER over the bit-exact splitmix64 CTE).
+
+    Scale shape: range-partition by the key's TOP bits (uniform by
+    construction — no skew, no sampling pass), per-bucket local sort gives
+    local ranks, and global pos = exclusive-prefix bucket offset (an
+    O(buckets) driver table, same pattern as events_global_running_total) +
+    local rank.  Two column-pruned passes, one shuffle."""
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        skey = splitmix64(ids)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            # int64 view: uint64 groupby/join keys re-box as pickled objects
+            "skey": pa.array(skey.view(np.int64), pa.int64()),
+            "bucket": pa.array((skey >> shift).astype(np.int64), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    counts = (ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+              .groupby("bucket").aggregate(Count(alias_name="n")).to_pandas())
+    counts = counts.sort_values("bucket")
+    offsets = dict(zip(counts["bucket"],
+                       np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]])))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sort by the UNSIGNED key (the int64 column is a bit view)
+        sk = g["skey"].to_numpy().view(np.uint64)
+        order = np.lexsort((g["doc_id"].to_numpy(), sk))
+        base = offsets[int(g["bucket"].iloc[0])]
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[order],
+            "pos": base + np.arange(len(g), dtype=np.int64),
+        })
+        return out
+
+    return (ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket").map_groups(rank_bucket, batch_format="pandas"))
+
+
 def stratified_sample_docs(sf_dir: str, k: int = 20):
     """Stratified sample: k docs per lang, chosen by splitmix64 order (a
     deterministic uniform draw).  Grouped top-k combiner: each batch keeps at
@@ -2716,6 +2764,7 @@ ANALYTICS_QUERIES = {
     "top_tokens": top_tokens,
     "tfidf_top_term": tfidf_top_term,
     "sample_docs_hash": sample_docs_hash,
+    "shuffle_docs_deterministic": shuffle_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
     "customers_without_orders": customers_without_orders,
     "rollup_counts": rollup_counts,
@@ -3108,6 +3157,12 @@ ANALYTICS_ORACLE_SQL = {
     "sample_docs_hash": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')}
         SELECT doc_id, lang FROM smx WHERE skey % 10 = 0
+    """,
+    "shuffle_docs_deterministic": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id')}
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+        FROM smx
     """,
     "stratified_sample_docs": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')}
