@@ -167,24 +167,37 @@ def _weighted_quantile(vals: np.ndarray, counts: np.ndarray, q: float) -> float:
     return float((1 - f) * v_lo + f * v_hi)
 
 
-def value_quantiles_by_type(sf_dir: str):
-    """EXACT p25/p50/p75/p90 per event_type without sorting the table: the
-    pipeline ships a (event_type, value) frequency table (per-batch count
-    combiner → groupby sum), then interpolates quantiles from cumulative
-    counts.  Exchange volume = distinct values per group, independent of row
-    count — the scale-correct shape for bounded-cardinality measures."""
+def _value_freq_table(sf_dir: str) -> pd.DataFrame:
+    """Exact (event_type, value, n) frequency table — the shared exchange
+    behind the quantile / rank / NTILE / MAD / winsorize family.  Per-batch
+    Arrow count combiner, then the two-level partitioned sum — NOT
+    ``groupby([type, value]).aggregate()``: Ray's hash-shuffle aggregator
+    costs ~7 s of fixed overhead on this combiner-sized input at sf0.1 where
+    this pattern costs ~0.4 s (measured A/B; same finding as dup_ngram_docs).
+    Driver-side result is bounded by distinct-value cardinality (the
+    documented assumption; KLL is the unbounded-domain path)."""
 
     def freq(t: pa.Table) -> pa.Table:
         g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
         return g.rename_columns(["event_type", "value", "p_n"])
 
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    agg = (
-        ds.map_batches(freq, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "value"])
-        .aggregate(Sum("p_n", alias_name="n"))
-    )
-    pdf = agg.to_pandas()  # bounded: one row per (type, distinct value)
+    def merge_freq(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby(["event_type", "value"], sort=False)["p_n"].sum()
+        return g.rename("n").reset_index()
+
+    return (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(freq, batch_format="pyarrow", batch_size=65536)
+            .map_batches(_add_part("value"), batch_format="pyarrow")
+            .groupby("part").map_groups(merge_freq, batch_format="pandas")
+            .to_pandas())
+
+
+def value_quantiles_by_type(sf_dir: str):
+    """EXACT p25/p50/p75/p90 per event_type without sorting the table: the
+    shared ``_value_freq_table`` exchange, then quantile interpolation from
+    cumulative counts.  Exchange volume = distinct values per group,
+    independent of row count."""
+    pdf = _value_freq_table(sf_dir)  # bounded: one row per (type, distinct value)
     rows = []
     for et, g in pdf.groupby("event_type", sort=True):
         g = g.sort_values("value")
@@ -214,17 +227,7 @@ def winsorized_stats_by_type(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95
     O(types) dict and one partial-combine pass computes clipped sum/sumsq —
     no re-sort, no second shuffle of raw rows."""
 
-    def freq(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
-        return g.rename_columns(["event_type", "value", "p_n"])
-
-    ds = _read(sf_dir, "events", ["event_type", "value"])
-    pdf = (
-        ds.map_batches(freq, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "value"])
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_pandas()
-    )
+    pdf = _value_freq_table(sf_dir)
     bounds = {}
     for et, g in pdf.groupby("event_type", sort=True):
         g = g.sort_values("value")
@@ -254,6 +257,7 @@ def winsorized_stats_by_type(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95
         )
         return g.rename_columns(["event_type", "p_s", "p_s2", "p_n"])
 
+    ds = _read(sf_dir, "events", ["event_type", "value"])
     agg = (
         ds.map_batches(clipped_partial, batch_format="pyarrow", batch_size=65536)
         .groupby("event_type")
@@ -689,18 +693,8 @@ def value_rank_in_type(sf_dir: str):
     quantile sketch)."""
     import ray
 
-    def freq(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
-        return g.rename_columns(["event_type", "value", "p_n"])
-
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-    pdf = (
-        ds.select_columns(["event_type", "value"])
-        .map_batches(freq, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "value"])
-        .aggregate(Sum("p_n", alias_name="n"))
-        .to_pandas()
-    )
+    pdf = _value_freq_table(sf_dir)
     lut = {}
     for et, g in pdf.groupby("event_type"):
         g = g.sort_values("value")
@@ -1789,22 +1783,7 @@ def value_ntile_in_type(sf_dir: str, tiles: int = 4):
     cardinality assumed, as for value_quantiles_by_type; the KLL sketch is
     the unbounded-domain path."""
 
-    def freq(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
-        return g.rename_columns(["event_type", "value", "p_n"])
-
-    def merge_freq(part_df: pd.DataFrame) -> pd.DataFrame:
-        g = part_df.groupby(["event_type", "value"], sort=False)["p_n"].sum()
-        return g.rename("n").reset_index()
-
-    # two-level partitioned apply, not groupby().aggregate(): the hash-shuffle
-    # aggregator path costs ~10 s of fixed overhead on this combiner-sized
-    # input at sf0.1 vs ~1 s for this pattern (same finding as dup_ngram_docs)
-    pdf = (_read(sf_dir, "events", ["event_type", "value"])
-           .map_batches(freq, batch_format="pyarrow", batch_size=65536)
-           .map_batches(_add_part("value"), batch_format="pyarrow")
-           .groupby("part").map_groups(merge_freq, batch_format="pandas")
-           .to_pandas())
+    pdf = _value_freq_table(sf_dir)
 
     rows = []
     for et, g in pdf.groupby("event_type"):
@@ -2189,15 +2168,7 @@ def mad_value_by_type(sf_dir: str):
     value table driver-side (alphabet × distinct values), so no second corpus
     pass is needed."""
 
-    def freq(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type", "value"]).aggregate([("value", "count")])
-        return g.rename_columns(["event_type", "value", "p_n"])
-
-    agg = (_read(sf_dir, "events", ["event_type", "value"])
-           .map_batches(freq, batch_format="pyarrow", batch_size=65536)
-           .groupby(["event_type", "value"])
-           .aggregate(Sum("p_n", alias_name="n")))
-    pdf = agg.to_pandas()
+    pdf = _value_freq_table(sf_dir)
     rows = []
     for et, g in pdf.groupby("event_type", sort=True):
         g = g.sort_values("value")
