@@ -1976,6 +1976,89 @@ def aspect_bucket_stats(sf_dir: str):
     return agg[["bucket", "n", "n_small", "mean_w", "mean_h"]].reset_index(drop=True)
 
 
+def caption_consistency_docs(sf_dir: str, corpus_dir: str | None = None):
+    """Caption↔image pair-integrity filter — the curation pass that drops
+    MISMATCHED (image, caption) pairs (the rule-based analog of CLIP-score
+    filtering; the corpus encodes ground truth: a caption's "Lei N" must
+    match its image_id's numeric suffix, so a swap/corruption is detectable
+    exactly).  One stateless vectorized ``map_batches``: compiled-regex
+    extract (Arrow RE2 kernel) + integer compare; returns per-image
+    (image_id, caption_id, consistent) flags plus never moves pixel bytes.
+    Rows-only (image corpus has no DuckDB view); pytest plants swapped
+    captions and asserts exactly those pairs flag 0."""
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir or corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "caption"])
+
+    def check(t: pa.Table) -> pa.Table:
+        cap = t["caption"].combine_chunks() if isinstance(t["caption"], pa.ChunkedArray) else t["caption"]
+        img = t["image_id"].combine_chunks() if isinstance(t["image_id"], pa.ChunkedArray) else t["image_id"]
+        cap_n = pc.cast(pc.struct_field(
+            pc.extract_regex(cap, r"^Lei (?P<n>\d+) de"), "n"), pa.int64())
+        img_n = pc.cast(pc.struct_field(
+            pc.extract_regex(img, r"^img_(?P<n>\d+)$"), "n"), pa.int64())
+        ok = pc.fill_null(pc.equal(cap_n, img_n), False)
+        return pa.table({
+            "image_id": t["image_id"],
+            "caption_id": cap_n,
+            "consistent": pc.cast(ok, pa.int32()),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=65536)
+
+
+def caption_reuse_stats(sf_dir: str, flag_min: int = 2, corpus_dir: str | None = None):
+    """Alt-text reuse mining — the LAION-curation signal that a caption
+    shared across many images is boilerplate (downweight or drop): exact
+    caption dedup by content hash, reporting every caption reused ≥
+    ``flag_min`` times with its copy count and first image.  Same 8-byte
+    hash-key shuffle shape as ``dedup_first_by_text``: caption text never
+    travels beyond its combiner batch, only (hash, partial count, min id)
+    rows.  Rows-only (image corpus has no DuckDB view); pytest brute-forces
+    the same parquet in pandas."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir or corpus_dir_for_sf(sf_dir)
+    ds = rd.read_parquet(f"{corpus_dir}/corpus.parquet", columns=["image_id", "caption"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash64(t["caption"]).view(np.int64)
+        g = (pa.table({"cap_hash": pa.array(h, pa.int64()),
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "image_id": t["image_id"]})
+             .group_by("cap_hash")
+             .aggregate([("one", "sum"), ("image_id", "min")]))
+        return g.rename_columns(["cap_hash", "p_n", "p_first"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cap_hash": pd.Series(dtype="int64"),
+                              "n_images": pd.Series(dtype="int64"),
+                              "first_image_id": pd.Series(dtype="object")})
+        if not len(df):
+            return empty
+        g = df.groupby("cap_hash", sort=False).agg(
+            n_images=("p_n", "sum"), first_image_id=("p_first", "min"))
+        g = g[g["n_images"] >= flag_min]
+        if not len(g):
+            return empty
+        return g.reset_index().astype({"cap_hash": "int64", "n_images": "int64"})[
+            ["cap_hash", "n_images", "first_image_id"]]
+
+    out = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .map_batches(_add_part("cap_hash"), batch_format="pyarrow")
+           .groupby("part").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        # all-empty groups collapse to a zero-column frame — restore the schema
+        return pd.DataFrame({"cap_hash": pd.Series(dtype="int64"),
+                             "n_images": pd.Series(dtype="int64"),
+                             "first_image_id": pd.Series(dtype="object")})
+    return out.sort_values(["n_images", "cap_hash"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def image_training_prep(sf_dir: str, psnr_min: float = 40.0, min_side: int = 32,
                         cap_min_tokens: int = 2, n_shards: int = 8):
     """Composed IMAGE training-data flagship — the image-side mirror of
@@ -2483,6 +2566,8 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_pca": embedding_pca,
     "image_dup_by_phash": image_dup_by_phash,
+    "caption_consistency_docs": caption_consistency_docs,
+    "caption_reuse_stats": caption_reuse_stats,
     "image_dup_clusters": image_dup_clusters,
     "aspect_bucket_stats": aspect_bucket_stats,
     "image_training_prep": image_training_prep,
