@@ -689,6 +689,14 @@ def _pairs_join_payload(cands: rd.Dataset, payload: rd.Dataset, id_col: str,
             }
         )
         return rd.from_arrow(out)
+    # The shuffle-join plan is chosen for LARGE pair sets; when forced on a
+    # tiny one (GRAFT_BROADCAST_PAIRS_MAX=0 test path) sparse hash partitions
+    # can come up EMPTY on the pair side, and Ray 2.49's hash-shuffle join
+    # cannot finalize an empty-side partition (the empty block carries no
+    # schema — CLAUDE.md r3 gotcha).  Scale the partition count to the known
+    # pair count so partitions stay expected-dense; at real scale (pairs >
+    # broadcast budget) this leaves num_partitions unchanged.
+    num_partitions = max(1, min(num_partitions, n_pairs // 32 + 1))
     j1 = uniq.join(payload, join_type="inner", num_partitions=num_partitions,
                    on=("doc_a",), right_on=(id_col,))
     j1 = j1.map_batches(
