@@ -2304,20 +2304,27 @@ def audio_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# per-worker-process cache of pagerank's static part tables (keyed by
+# ObjectRef; ray.get of a plasma table is zero-copy, the cache only avoids
+# repeated deserialization across the 8 iterations' group tasks)
+_PAGERANK_PART_CACHE: dict = {}
+
+
 def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
     """Distributed PageRank over the crawl corpus link graph (rows-only —
     iterative float fixpoint, not SQL): rank the pages a crawler should
     prioritize.
 
-    Scale shape — the canonical iterative-join PageRank: edges and ranks both
-    stay Datasets end-to-end; each iteration is ONE hash-partitioned join
-    (edges ⨝ ranks on src: contribution flow), one ``groupby(dst)`` sum, and
-    one left-outer join back onto the node set (nodes with no in-links keep
-    the teleport mass).  The dangling-mass correction is a scalar aggregate.
-    Per-edge weight 1/outdeg is computed batch-locally at explode time (a
-    row's out-links live in that row).  ``ranks`` is materialized per
-    iteration — it is node-sized (the one state an iterative algorithm must
-    keep), never driver-collected; everything edge-sized streams.
+    Scale shape — iterate ONLY the mutable state: the static edge and node
+    relations are hash-partitioned ONCE into plasma ({part → ObjectRef} of
+    src-/node-sorted tables); each iteration shuffles just the node-sized
+    rank rows (exchange 1: per-part searchsorted rank lookup against the
+    part's static edges → contribution rows) and the edge-sized contribution
+    rows (exchange 2: scatter-add onto the part's static node list — every
+    node re-emitted, flowless ones at the teleport base).  The dangling-mass
+    correction is a scalar aggregate; per-edge weight 1/outdeg is computed
+    batch-locally at explode time.  ``ranks`` is materialized (and
+    block-coalesced) per iteration — node-sized, never driver-collected.
 
     Reference analog: crawl prioritization over discovered listing→doc links
     (/root/reference/src/scraper/base/scraper.py:469-485 orders work by year
@@ -2375,67 +2382,111 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
              .materialize())
     n = nodes.count()
 
-    # tagged-union exchange schemas (Ray union requires identical schemas).
-    # Hash-shuffle joins/aggregates carry ~1 s fixed overhead per op at this
-    # graph size; the two _add_part partitioned applies below run the same
-    # hash partitioning at map_groups cost (measured 24 s → ~6 s for 8
-    # iterations at sf0.01).
-    # Int columns get SENTINELS, not nulls: a null-bearing int64 Arrow column
-    # becomes float64 in the pandas map_groups conversion, silently corrupting
-    # 64-bit hash keys > 2^53 (CLAUDE.md gotcha).  Row kind is discriminated
-    # by the float columns (NaN-able without dtype loss): edges have w,
-    # ranks have rank, node rows have has_out >= 0.
-    _SCHEMA = {"key": (pa.int64(), 0), "dst": (pa.int64(), 0),
-               "w": (pa.float64(), None), "rank": (pa.float64(), None),
-               "has_out": (pa.int8(), -1)}
+    # r3 redesign — iterate ONLY the mutable state.  The r2 shape re-shuffled
+    # the STATIC edge and node relations through every iteration's exchange
+    # (tagged union → sort-groupby), so each of the 16 exchanges re-sorted
+    # ~2× the necessary rows.  Now both static sides are hash-partitioned
+    # ONCE into plasma (dict part → ObjectRef of the part's sorted table);
+    # each iteration shuffles only rank rows (exchange 1) and contribution
+    # rows (exchange 2), and the per-part worker fetches its static side
+    # zero-copy from the object store (cached per worker process).  This is
+    # the standard "build side is static" iterated-join layout; at cluster
+    # scale the part tables live distributed and only the tiny ref dict
+    # ships with the closure.
+    n_parts = 32
 
-    def _tag(cols: dict[str, np.ndarray], num: int) -> pa.Table:
-        out = {}
-        for name, (typ, sentinel) in _SCHEMA.items():
-            if name in cols:
-                out[name] = pa.array(cols[name], typ)
-            elif sentinel is None:
-                out[name] = pa.nulls(num, typ)
-            else:
-                out[name] = pa.array(np.full(num, sentinel), typ)
-        return pa.table(out)
+    def _static_parts(ds, key_col: str, sort: bool) -> dict:
+        """One pass: split every block into its hash parts (num_returns
+        fan-out, so no worker ever holds a foreign part), then one concat
+        task per part.  Returns {part: ObjectRef(pa.Table)}."""
+        import ray as _ray
 
-    edges_tagged = edges.map_batches(
-        lambda t: _tag({"key": t["src_h"].to_numpy(zero_copy_only=False),
-                        "dst": t["dst_h"].to_numpy(zero_copy_only=False),
-                        "w": t["w"].to_numpy(zero_copy_only=False)}, t.num_rows),
-        batch_format="pyarrow").materialize()
-    nodes_tagged = nodes.map_batches(
-        lambda t: _tag({"key": t["node"].to_numpy(zero_copy_only=False),
-                        "has_out": t["has_out"].to_numpy(zero_copy_only=False)},
-                       t.num_rows),
-        batch_format="pyarrow").materialize()
+        @_ray.remote(num_returns=n_parts)
+        def split(tbl: pa.Table):
+            if key_col not in tbl.schema.names or tbl.num_rows == 0:
+                # empty map_groups outputs surface as zero-COLUMN blocks
+                empty = tbl.slice(0, 0)
+                return tuple(empty for _ in range(n_parts))
+            v = tbl[key_col].to_numpy(zero_copy_only=False)
+            part = v.astype(np.uint64) % np.uint64(n_parts)  # _add_part's formula
+            return tuple(tbl.filter(pa.array(part == p)) for p in range(n_parts))
+
+        @_ray.remote
+        def combine(*tbls):
+            nonempty = [x for x in tbls if x.num_rows]
+            if not nonempty:
+                schemas = [x.schema for x in tbls if key_col in x.schema.names]
+                sch = schemas[0] if schemas else tbls[0].schema
+                return pa.table({f.name: pa.array([], f.type) for f in sch})
+            t = pa.concat_tables(nonempty, promote_options="default")
+            if sort:
+                t = t.sort_by(key_col)
+            return t.combine_chunks()
+
+        block_splits = [split.remote(ref) for ref in ds.to_arrow_refs()]
+        return {p: combine.remote(*[bs[p] for bs in block_splits])
+                for p in range(n_parts)}
+
+    edge_parts = _static_parts(edges, "src_h", sort=True)
+    node_parts = _static_parts(nodes, "node", sort=True)
 
     def init_rank(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "has_out": t["has_out"],
                          "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())})
 
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
-    # Block-count budget for the iterated state: the sort-groupby emits as
-    # many blocks as it was fed, and ranks feeds back into the next
-    # iteration's exchange — without a coalesce the state grows ~2× the
-    # exchange width in blocks PER ITERATION (measured 64→448 blocks over 3
-    # iterations at sf0.1; per-block fixed costs then dominate: 8 iterations
-    # 425 s → 59 s with the repartition).  Node-sized data in node-sized
-    # blocks, proportional to the input, so it holds at any scale.
+    # Block-count budget for the iterated state: sort-groupby output block
+    # count tracks its input, and ranks feed back into the next exchange —
+    # bound it per iteration (CLAUDE.md r3 law; measured 425 s → 59 s).
     n_state_blocks = max(ranks.num_blocks(), 1)
 
-    def flow_contribs(part_df: pd.DataFrame) -> pd.DataFrame:
-        """Partition owns every edge with src in its key range AND the rank
-        row of each such src: emit (key=dst, p_c=w·rank(src)) rows."""
-        r = part_df[part_df["rank"].notna()]
-        e = part_df[part_df["w"].notna()]
-        if e.empty:
-            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                 "p_c": pd.Series([], dtype="float64")})
-        rank_of = r.set_index("key")["rank"]
-        c = e["w"].to_numpy() * rank_of.reindex(e["key"]).to_numpy()
-        return pd.DataFrame({"key": e["dst"].astype("int64").to_numpy(),
+    # 32 sentinel rows (one per part, NaN float payload) unioned into each
+    # exchange AFTER partition assignment: a part whose exchange side came
+    # up empty would otherwise never invoke its group fn and its nodes
+    # would silently drop out of the iterated state.  Int columns carry
+    # sentinel VALUES, never nulls — a null-bearing int64 column becomes
+    # float64 in the pandas map_groups conversion and corrupts 64-bit hash
+    # keys > 2^53 (CLAUDE.md gotcha); the NaN float column is the row's
+    # discriminator.
+    def _sentinels(int_cols: dict, float_col: str) -> rd.Dataset:
+        data = {}
+        for name, (typ, fill) in int_cols.items():
+            data[name] = pa.array(np.full(n_parts, fill), typ)
+        data[float_col] = pa.nulls(n_parts, pa.float64())
+        data["part"] = pa.array(np.arange(n_parts, dtype=np.int32), pa.int32())
+        return rd.from_arrow(pa.table(data))
+
+    rank_sent = _sentinels({"node": (pa.int64(), 0), "has_out": (pa.int8(), -1)},
+                           "rank").materialize()
+    contrib_sent = _sentinels({"key": (pa.int64(), 0)}, "p_c").materialize()
+
+    def _cached(ref):
+        tbl = _PAGERANK_PART_CACHE.get(ref)
+        if tbl is None:
+            tbl = ray.get(ref)
+            _PAGERANK_PART_CACHE[ref] = tbl
+        return tbl
+
+    def flow_contribs(part_df: pd.DataFrame,
+                      edge_parts=edge_parts) -> pd.DataFrame:
+        """Group = one part's RANK rows; edges of the part come from the
+        static plasma table (src-sorted → searchsorted rank lookup)."""
+        empty = pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                              "p_c": pd.Series([], dtype="float64")})
+        part_df = part_df[part_df["rank"].notna()]
+        if not len(part_df):
+            return empty
+        p = int(part_df["part"].iloc[0])
+        et = _cached(edge_parts[p])
+        if et.num_rows == 0:
+            return empty
+        order = np.argsort(part_df["node"].to_numpy())
+        nodes_sorted = part_df["node"].to_numpy()[order]
+        ranks_sorted = part_df["rank"].to_numpy()[order]
+        sk = et["src_h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nodes_sorted, sk)  # every src IS a node
+        c = et["w"].to_numpy(zero_copy_only=False) * ranks_sorted[pos]
+        return pd.DataFrame({"key": et["dst_h"].to_numpy(zero_copy_only=False),
                              "p_c": c})
 
     for _ in range(n_iter):
@@ -2447,38 +2498,36 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
             batch_format="pyarrow").sum("s") or 0.0
         base = (1.0 - d) / n + d * dangling / n
 
-        ranks_tagged = ranks.map_batches(
-            lambda t: _tag({"key": t["node"].to_numpy(zero_copy_only=False),
-                            "rank": t["rank"].to_numpy(zero_copy_only=False)},
-                           t.num_rows),
-            batch_format="pyarrow")
-        contrib = (edges_tagged.union(ranks_tagged)
-                   .map_batches(_add_part("key"), batch_format="pyarrow")
+        contrib = (ranks.map_batches(_add_part("node"), batch_format="pyarrow")
+                   .union(rank_sent)
                    .groupby("part").map_groups(flow_contribs, batch_format="pandas"))
 
-        def update(part_df: pd.DataFrame, base=base) -> pd.DataFrame:
-            nd = part_df[part_df["has_out"] >= 0]
+        def update(part_df: pd.DataFrame, base=base,
+                   node_parts=node_parts) -> pd.DataFrame:
+            """Group = one part's CONTRIB rows; the node list (node-sorted)
+            comes from the static plasma table, so every node of the part is
+            re-emitted even when nothing flowed into it."""
+            p = int(part_df["part"].iloc[0])
+            nt = _cached(node_parts[p])
+            if nt.num_rows == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "has_out": pd.Series([], dtype="int8"),
+                                     "rank": pd.Series([], dtype="float64")})
+            node_arr = nt["node"].to_numpy(zero_copy_only=False)
+            c = np.zeros(len(node_arr), np.float64)
             cs = part_df[part_df["p_c"].notna()]
-            sums = cs.groupby("key", sort=False)["p_c"].sum()
-            c = sums.reindex(nd["key"]).fillna(0.0).to_numpy()
+            if len(cs):
+                keys = cs["key"].to_numpy()
+                pos = np.searchsorted(node_arr, keys)  # every dst IS a node
+                np.add.at(c, pos, cs["p_c"].to_numpy())
             return pd.DataFrame({
-                "node": nd["key"].astype("int64").to_numpy(),
-                "has_out": nd["has_out"].astype("int8").to_numpy(),
+                "node": node_arr,
+                "has_out": nt["has_out"].to_numpy(zero_copy_only=False),
                 "rank": base + d * c,
             })
 
-        contrib_tagged = contrib.map_batches(
-            lambda t: pa.table({"key": t["key"], "p_c": t["p_c"],
-                                "has_out": pa.array(
-                                    np.full(t.num_rows, -1, np.int8), pa.int8())}),
-            batch_format="pyarrow")
-        node_side = nodes_tagged.map_batches(
-            lambda t: pa.table({"key": t["key"],
-                                "p_c": pa.nulls(t.num_rows, pa.float64()),
-                                "has_out": t["has_out"]}),
-            batch_format="pyarrow")
-        ranks = (contrib_tagged.union(node_side)
-                 .map_batches(_add_part("key"), batch_format="pyarrow")
+        ranks = (contrib.map_batches(_add_part("key"), batch_format="pyarrow")
+                 .union(contrib_sent)
                  .groupby("part").map_groups(update, batch_format="pandas")
                  .repartition(n_state_blocks)
                  .materialize())
