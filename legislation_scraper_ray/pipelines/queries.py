@@ -922,6 +922,10 @@ def semantic_dedup(sf_dir: str, n_bands: int = 8, threshold: float = 0.99):
         run_id = run_id[multi]
         d = len(df["emb"].iloc[0]) // 4
         M = np.frombuffer(b"".join(df["emb"]), np.float32).reshape(len(df), d).astype(np.float64)
+        # re-normalize after the float32 pack round-trip — the pair-based
+        # verify does the same, so threshold-boundary flags can't diverge
+        # from embedding_dup_pairs / the float64 SQL oracle
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         ids = df["vec_id"].to_numpy()
         starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])
         ends = np.r_[starts[1:], len(run_id)]
@@ -1004,6 +1008,42 @@ def _orient_new_base(out: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def _fingerprinted_store(src_path: str, root: str):
+    """Content-addressed persisted-artifact directory for build-once
+    operators (incremental MinHash base signatures, the persisted IVF
+    index): the directory NAME encodes the source file's identity
+    (abspath + size + mtime_ns), so a changed or different-path corpus gets
+    a brand-new directory — no rmtree of a store a concurrent reader may be
+    scanning, no same-basename collision between distinct corpora, no
+    whole-second-mtime stale-reuse window.  Builders write into a private
+    tmp dir (the ``_complete`` marker last) and ``os.rename`` it into
+    place; the rename is atomic and fails if a concurrent builder won, in
+    which case the winner's store is used.  Stale stores just linger in
+    /tmp.  Returns ``(store_dir, ready, publish)`` where ``publish(tmp)``
+    installs a built tmp dir."""
+    import hashlib
+    import os
+    import shutil
+
+    st = os.stat(src_path)
+    key = f"{os.path.abspath(src_path)}|{st.st_size}|{st.st_mtime_ns}"
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
+    name = os.path.basename(os.path.dirname(os.path.abspath(src_path)))
+    store = os.path.join(root, f"{name}-{h}")
+    ready = os.path.exists(os.path.join(store, "_complete"))
+
+    def publish(tmp_dir: str) -> None:
+        open(os.path.join(tmp_dir, "_complete"), "w").close()
+        try:
+            os.rename(tmp_dir, store)
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)  # concurrent builder won
+            if not os.path.exists(os.path.join(store, "_complete")):
+                raise
+
+    return store, ready, publish
+
+
 def crosscorpus_dup_pairs_incremental(sf_dir: str, threshold: float = 0.95):
     """The PRODUCTION shape of cross-corpus dedup that
     ``crosscorpus_dup_pairs``'s deployment note describes, as working code:
@@ -1016,28 +1056,19 @@ def crosscorpus_dup_pairs_incremental(sf_dir: str, threshold: float = 0.95):
     verification.  Results are identical to the symmetric operator, so the
     SAME SQL oracle checks this path.
 
-    The signature store lives under /tmp/graft_minhash_base/<corpus-name>/
-    (the ``export_shards`` precedent) with a manifest fingerprinting the
-    source parquet (size + mtime) — a changed corpus rebuilds the store."""
-    import json
+    The signature store is a content-addressed directory under
+    /tmp/graft_minhash_base/ (``_fingerprinted_store``: the dir name encodes
+    the source parquet's abspath + size + mtime_ns) — a changed corpus gets
+    a NEW store, concurrent builders race on an atomic rename."""
     import os
 
-    src = f"{sf_dir}/documents.parquet"
-    st = os.stat(src)
-    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
-    store = f"/tmp/graft_minhash_base/{os.path.basename(os.path.normpath(sf_dir))}"
-    manifest = os.path.join(store, "_manifest.json")
-    fresh = True
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            fresh = json.load(f) != fp
-    if fresh:
-        from ..functions.dedup import minhash_signatures
+    from ..functions.dedup import minhash_signatures
 
-        import shutil
-
-        shutil.rmtree(store, ignore_errors=True)
-        os.makedirs(store, exist_ok=True)
+    store, ready, publish = _fingerprinted_store(
+        f"{sf_dir}/documents.parquet", "/tmp/graft_minhash_base")
+    if not ready:
+        tmp = f"{store}.build.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
 
         def even_only(t: pa.Table) -> pa.Table:
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1046,13 +1077,10 @@ def crosscorpus_dup_pairs_incremental(sf_dir: str, threshold: float = 0.95):
         (_read(sf_dir, "documents", ["doc_id", "text"])
          .map_batches(even_only, batch_format="pyarrow")
          .map_batches(minhash_signatures, batch_format="pyarrow", batch_size=4096)
-         .write_parquet(store))
-        with open(manifest, "w") as f:
-            json.dump(fp, f)
+         .write_parquet(os.path.join(tmp, "sigs")))
+        publish(tmp)
 
-    from ..functions.dedup import minhash_signatures
-
-    base_sigs = rd.read_parquet(store)
+    base_sigs = rd.read_parquet(os.path.join(store, "sigs"))
 
     def odd_only(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -1625,25 +1653,15 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
     at-scale win over ann_topk_ivf's full-corpus scan-and-discard).
     Rows-only (approximate); pytest pins full-probe == exact brute force,
     store reuse, and self-retrieval."""
-    import json
     import os
-    import shutil
 
     from ..functions.ann import BruteForceTopK, kmeans_centroids, merge_topk, normalize
 
-    src = f"{sf_dir}/embeddings.parquet"
-    st = os.stat(src)
-    fp = {"size": st.st_size, "mtime": int(st.st_mtime)}
-    store = f"/tmp/graft_ivf/{os.path.basename(os.path.normpath(sf_dir))}"
-    manifest = os.path.join(store, "_manifest.json")
-    cent_path = os.path.join(store, "_centroids.npy")
-    fresh = True
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            fresh = json.load(f) != fp
-    if fresh:
-        shutil.rmtree(store, ignore_errors=True)
-        os.makedirs(store, exist_ok=True)
+    store, ready, publish = _fingerprinted_store(
+        f"{sf_dir}/embeddings.parquet", "/tmp/graft_ivf")
+    if not ready:
+        tmp = f"{store}.build.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         n = ds.count()
         n_centroids = max(4, int(np.sqrt(n)))
@@ -1664,12 +1682,11 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
 
         (ds.map_batches(AssignCell, batch_format="pyarrow", batch_size=4096,
                         concurrency=(1, 4), num_cpus=0.5)
-         .write_parquet(os.path.join(store, "cells"), partition_cols=["cell"]))
-        np.save(cent_path, centroids)
-        with open(manifest, "w") as f:
-            json.dump(fp, f)
+         .write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"]))
+        np.save(os.path.join(tmp, "_centroids.npy"), centroids)
+        publish(tmp)
 
-    centroids = np.load(cent_path)
+    centroids = np.load(os.path.join(store, "_centroids.npy"))
     q_emb = _query_vector(sf_dir, 0)
     qn = normalize(q_emb[None, :])
     probe = np.argsort(-(qn[0] @ centroids.T))[: min(n_probe, len(centroids))]
@@ -2002,10 +2019,12 @@ def caption_consistency_docs(sf_dir: str, corpus_dir: str | None = None):
     def check(t: pa.Table) -> pa.Table:
         cap = t["caption"].combine_chunks() if isinstance(t["caption"], pa.ChunkedArray) else t["caption"]
         img = t["image_id"].combine_chunks() if isinstance(t["image_id"], pa.ChunkedArray) else t["image_id"]
+        # digit counts bounded to 18 so a corrupted huge number can't
+        # overflow the int64 cast (it simply fails the match -> flagged 0)
         cap_n = pc.cast(pc.struct_field(
-            pc.extract_regex(cap, r"^Lei (?P<n>\d+) de"), "n"), pa.int64())
+            pc.extract_regex(cap, r"^Lei (?P<n>\d{1,18}) de"), "n"), pa.int64())
         img_n = pc.cast(pc.struct_field(
-            pc.extract_regex(img, r"^img_(?P<n>\d+)$"), "n"), pa.int64())
+            pc.extract_regex(img, r"^img_(?P<n>\d{1,18})$"), "n"), pa.int64())
         ok = pc.fill_null(pc.equal(cap_n, img_n), False)
         return pa.table({
             "image_id": t["image_id"],
@@ -2306,8 +2325,24 @@ def audio_features(sf_dir: str):
 
 # per-worker-process cache of pagerank's static part tables (keyed by
 # ObjectRef; ray.get of a plasma table is zero-copy, the cache only avoids
-# repeated deserialization across the 8 iterations' group tasks)
+# repeated deserialization across the 8 iterations' group tasks).  FIFO
+# bound: repeated pagerank CALLS mint fresh refs, and an unbounded dict
+# would pin every call's edge/node relations in plasma for the worker's
+# lifetime.  128 ≥ 2 calls' worth of parts (2 relations × 32 parts).
 _PAGERANK_PART_CACHE: dict = {}
+_PAGERANK_CACHE_MAX = 128
+
+
+def _pagerank_cached(ref):
+    tbl = _PAGERANK_PART_CACHE.get(ref)
+    if tbl is None:
+        import ray as _ray
+
+        tbl = _ray.get(ref)
+        while len(_PAGERANK_PART_CACHE) >= _PAGERANK_CACHE_MAX:
+            _PAGERANK_PART_CACHE.pop(next(iter(_PAGERANK_PART_CACHE)))
+        _PAGERANK_PART_CACHE[ref] = tbl
+    return tbl
 
 
 def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
@@ -2460,13 +2495,6 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
                            "rank").materialize()
     contrib_sent = _sentinels({"key": (pa.int64(), 0)}, "p_c").materialize()
 
-    def _cached(ref):
-        tbl = _PAGERANK_PART_CACHE.get(ref)
-        if tbl is None:
-            tbl = ray.get(ref)
-            _PAGERANK_PART_CACHE[ref] = tbl
-        return tbl
-
     def flow_contribs(part_df: pd.DataFrame,
                       edge_parts=edge_parts) -> pd.DataFrame:
         """Group = one part's RANK rows; edges of the part come from the
@@ -2477,7 +2505,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
         if not len(part_df):
             return empty
         p = int(part_df["part"].iloc[0])
-        et = _cached(edge_parts[p])
+        et = _pagerank_cached(edge_parts[p])
         if et.num_rows == 0:
             return empty
         order = np.argsort(part_df["node"].to_numpy())
@@ -2508,7 +2536,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
             comes from the static plasma table, so every node of the part is
             re-emitted even when nothing flowed into it."""
             p = int(part_df["part"].iloc[0])
-            nt = _cached(node_parts[p])
+            nt = _pagerank_cached(node_parts[p])
             if nt.num_rows == 0:
                 return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                                      "has_out": pd.Series([], dtype="int8"),

@@ -3,7 +3,6 @@ to the symmetric operator, the store is reused while the corpus fingerprint
 holds, and a changed corpus rebuilds it."""
 
 import os
-import time
 
 import numpy as np
 import pandas as pd
@@ -33,24 +32,30 @@ def test_incremental_matches_symmetric_and_reuses_store(ray_session, tmp_path):
         crosscorpus_dup_pairs_incremental,
     )
 
+    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+
     sym = _sorted(crosscorpus_dup_pairs(str(tmp_path)))
     inc = _sorted(crosscorpus_dup_pairs_incremental(str(tmp_path)))
     pd.testing.assert_frame_equal(sym, inc)
     assert dict(zip(inc["new_doc"], inc["base_doc"])) == planted
 
-    store = f"/tmp/graft_minhash_base/{os.path.basename(str(tmp_path))}"
-    manifest = os.path.join(store, "_manifest.json")
-    m0 = os.path.getmtime(manifest)
-    # second run: store must be REUSED (manifest untouched), result unchanged
+    store, ready, _ = _fingerprinted_store(
+        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base")
+    assert ready  # the first run published the content-addressed store
+    marker = os.path.join(store, "_complete")
+    m0 = os.path.getmtime(marker)
+    # second run: store must be REUSED (marker untouched), result unchanged
     inc2 = _sorted(crosscorpus_dup_pairs_incremental(str(tmp_path)))
     pd.testing.assert_frame_equal(inc, inc2)
-    assert os.path.getmtime(manifest) == m0
+    assert os.path.getmtime(marker) == m0
 
-    # corpus change (different planted copies) → fingerprint mismatch →
-    # rebuild; results follow the NEW corpus
-    time.sleep(1.1)  # ensure a distinct mtime (fingerprint uses whole-second mtime)
+    # corpus change (different planted copies) → new fingerprint → NEW store
+    # (the old one is never mutated); results follow the NEW corpus
     planted2 = {101: 2, 199: 44}
     _docs(tmp_path, planted2, seed=12)
     inc3 = crosscorpus_dup_pairs_incremental(str(tmp_path))
     assert dict(zip(inc3["new_doc"], inc3["base_doc"])) == planted2
-    assert os.path.getmtime(manifest) > m0
+    store2, ready2, _ = _fingerprinted_store(
+        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base")
+    assert ready2 and store2 != store
+    assert os.path.getmtime(marker) == m0  # old store untouched

@@ -32,15 +32,19 @@ def test_full_probe_matches_brute_force_and_store_reuse(ray_session, tmp_path):
         exact.sort_values("rank").reset_index(drop=True),
         full.sort_values("rank").reset_index(drop=True),
     )
-    store = f"/tmp/graft_ivf/{os.path.basename(str(tmp_path))}"
-    manifest = os.path.join(store, "_manifest.json")
-    m0 = os.path.getmtime(manifest)
+    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+
+    store, ready, _ = _fingerprinted_store(f"{tmp_path}/embeddings.parquet",
+                                           "/tmp/graft_ivf")
+    assert ready
+    marker = os.path.join(store, "_complete")
+    m0 = os.path.getmtime(marker)
     # default narrow probe: self-retrieval at rank 1 (query = vec 0), and the
     # store is reused, not rebuilt
     narrow = ann_topk_ivf_persisted(str(tmp_path), n_probe=2)
     top = narrow.sort_values("rank").iloc[0]
     assert top["vec_id"] == 0 and abs(top["cos_sim"] - 1.0) < 1e-6
-    assert os.path.getmtime(manifest) == m0
+    assert os.path.getmtime(marker) == m0
     # the index is genuinely cell-partitioned on disk
     cells = glob.glob(os.path.join(store, "cells", "cell=*"))
     assert len(cells) >= 4
@@ -53,7 +57,10 @@ def test_narrow_probe_is_subset_scan(ray_session, tmp_path):
     from legislation_scraper_ray.pipelines.queries import ann_topk_ivf_persisted
 
     out = ann_topk_ivf_persisted(str(tmp_path), n_probe=1)
-    store = f"/tmp/graft_ivf/{os.path.basename(str(tmp_path))}"
+    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+
+    store, _, _ = _fingerprinted_store(f"{tmp_path}/embeddings.parquet",
+                                       "/tmp/graft_ivf")
     # members of all cells, keyed by cell dir
     import pyarrow.dataset as pads
 
