@@ -565,7 +565,11 @@ def jaccard_dup_pairs(sf_dir: str, threshold: float = 0.8):
         .groupby("part")
         .map_groups(sum_df, batch_format="pandas")
     )
-    joined = sh.join(dfreq, join_type="inner", num_partitions=8,
+    # partition count scaled to corpus size: Ray 2.49's hash-shuffle join
+    # cannot finalize a partition that is empty on one side (CLAUDE.md r3
+    # gotcha), and a tiny corpus can leave df partitions empty at 8
+    n_join_parts = int(np.clip(ds.count() // 50, 1, 8))
+    joined = sh.join(dfreq, join_type="inner", num_partitions=n_join_parts,
                      on=("sh_hash",), right_on=("j_sh",))
     joined = joined.map_batches(_add_part("doc_id"), batch_format="pyarrow")
     prefix = joined.groupby("part").map_groups(
