@@ -383,6 +383,59 @@ def bpe_train_token_counts(sf_dir: str, n_merges: int = 32, vocab_k: int = 50_00
     )
 
 
+def chunk_docs_overlap(sf_dir: str, window: int = 64, stride: int = 48):
+    """RAG-ingestion chunking: fixed ``window``-token chunks at ``stride``
+    token steps (overlap = window − stride) per document — the
+    retrieval-corpus construction step between cleaning and embedding.
+
+    Vectorized framing: chunk counts, token ranges, and character offsets
+    all come from one numpy pass (token lengths + cumulative char offsets;
+    the corpus text is single-space-joined, so every chunk is a SUBSTRING of
+    the original — no per-chunk re-join).  Only the final substring
+    extraction is a per-chunk Python comprehension (output construction,
+    the same exception class as jaccard_shingles).  Shuffle-free and
+    embarrassingly parallel.  Emits (doc_id, chunk_id, chunk_text,
+    n_tokens)."""
+    from ..functions.text import _flat_tokens
+
+    def chunk(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat, parents, counts = _flat_tokens(texts)
+        L = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        # char offset of token j's start within its doc (tokens + 1 space each)
+        gcum = np.concatenate([[0], np.cumsum(L + 1)])
+        doc_off = np.concatenate([[0], np.cumsum(counts)])  # global token idx
+        n_chunks = np.where(
+            counts > 0,
+            np.maximum(-(-(counts - window) // stride), 0) + 1,
+            0,
+        ).astype(np.int64)
+        d = np.repeat(np.arange(len(counts)), n_chunks)
+        k = np.arange(len(d)) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+        a = k * stride
+        b = np.minimum(a + window, counts[d])
+        ga = doc_off[d] + a
+        glast = doc_off[d] + b - 1
+        base = gcum[doc_off[d]]
+        start = gcum[ga] - base
+        end = gcum[glast] - base + L[glast]
+        texts_py = texts.to_pylist()
+        chunk_text = [texts_py[di][s:e] for di, s, e in zip(d, start, end)]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "chunk_id": pa.array(k, pa.int64()),
+            "chunk_text": pa.array(chunk_text, pa.string()),
+            "n_tokens": pa.array(b - a, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(chunk, batch_format="pyarrow", batch_size=8192)
+
+
 def fingerprint_docs(sf_dir: str):
     from ..functions.text import fingerprint
 
@@ -2634,6 +2687,7 @@ QUERIES = {
     "quality_model_score_docs": quality_model_score_docs,
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
+    "chunk_docs_overlap": chunk_docs_overlap,
     "bpe_train_token_counts": bpe_train_token_counts,
     "bpe_token_stats_props": bpe_token_stats_props,
     "redact_pii_customers": redact_pii_customers,
@@ -2878,6 +2932,22 @@ ORACLE_SQL = {
         ) GROUP BY lang
     """,
     "token_stats_docs": "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+    # window=64 / stride=48 framing replayed with 1-based inclusive list
+    # slices; generate_series is inclusive so the chunk count formula is
+    # CEIL((n-64)/48) extra chunks past the first
+    "chunk_docs_overlap": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n FROM documents),
+        k AS (SELECT doc_id, toks, n,
+                     unnest(generate_series(0, CAST(CASE WHEN n > 64
+                          THEN CEIL((n - 64) / 48.0) ELSE 0 END AS BIGINT))) AS chunk_id
+              FROM t)
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[48 * chunk_id + 1 : LEAST(48 * chunk_id + 64, n)],
+                               ' ') AS chunk_text,
+               CAST(LEAST(48 * chunk_id + 64, n) - 48 * chunk_id AS BIGINT) AS n_tokens
+        FROM k
+    """,
     "quality_by_lang": """
         SELECT lang, ROUND(AVG(n_chars), 2) AS avg_chars,
                ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens, COUNT(*) AS n
