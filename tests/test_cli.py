@@ -11,7 +11,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=240):
+def _run(args, timeout=420):  # generous: the box is multi-tenant (CLAUDE.md)
     return subprocess.run(
         [sys.executable, "-m", "legislation_scraper_ray.cli", *args],
         capture_output=True, text=True, timeout=timeout, cwd=REPO,
