@@ -436,6 +436,65 @@ def chunk_docs_overlap(sf_dir: str, window: int = 64, stride: int = 48):
     return ds.map_batches(chunk, batch_format="pyarrow", batch_size=8192)
 
 
+def rag_prep_docs(sf_dir: str):
+    """Composed RAG-ingestion flagship: overlapping chunking
+    (``chunk_docs_overlap``) → EXACT cross-document chunk dedup (first-wins
+    by (doc_id, chunk_id) on the chunk text — boilerplate passages shared
+    across docs index once) → per-document keep stats
+    (doc_id, n_chunks, n_kept, tokens_kept).
+
+    Scale shape: chunk rows carry an 8-byte content hash into the first-wins
+    exchange (the ``dedup_first_by_text`` pattern — text only travels within
+    its hash partition), and the per-doc rollup is a second two-level
+    partitioned sum over (doc_id, flag) rows.  One end-to-end SQL oracle
+    (chunk CTE + ROW_NUMBER first-wins + conditional rollup) checks the
+    whole composition."""
+    from ..functions.hashing import hash64
+
+    chunks = chunk_docs_overlap(sf_dir)
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chunk_id": t["chunk_id"],
+            "n_tokens": t["n_tokens"],
+            "chash": pa.array(hash64(t["chunk_text"]).view(np.int64), pa.int64()),
+        })
+
+    def first_wins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["chash", "doc_id", "chunk_id"])
+        keep = ~df.duplicated("chash", keep="first")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": df["n_tokens"].astype("int64"),
+            "kept": keep.astype("int64"),
+        })
+
+    flagged = (chunks.map_batches(hashed, batch_format="pyarrow")
+               .map_batches(_add_part("chash"), batch_format="pyarrow")
+               .groupby("part").map_groups(first_wins, batch_format="pandas"))
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"doc_id": t["doc_id"],
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "kept": t["kept"],
+                       "tk": pc.multiply(t["kept"], t["n_tokens"])})
+             .group_by("doc_id")
+             .aggregate([("one", "sum"), ("kept", "sum"), ("tk", "sum")]))
+        return g.rename_columns(["doc_id", "p_n", "p_kept", "p_tok"])
+
+    def doc_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            n_chunks=("p_n", "sum"), n_kept=("p_kept", "sum"),
+            tokens_kept=("p_tok", "sum"))
+        return g.reset_index().astype({"doc_id": "int64", "n_chunks": "int64",
+                                       "n_kept": "int64", "tokens_kept": "int64"})
+
+    return (flagged.map_batches(doc_partial, batch_format="pyarrow", batch_size=65536)
+            .map_batches(_add_part("doc_id"), batch_format="pyarrow")
+            .groupby("part").map_groups(doc_merge, batch_format="pandas"))
+
+
 def fingerprint_docs(sf_dir: str):
     from ..functions.text import fingerprint
 
@@ -2688,6 +2747,7 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
     "chunk_docs_overlap": chunk_docs_overlap,
+    "rag_prep_docs": rag_prep_docs,
     "bpe_train_token_counts": bpe_train_token_counts,
     "bpe_token_stats_props": bpe_token_stats_props,
     "redact_pii_customers": redact_pii_customers,
@@ -2947,6 +3007,30 @@ ORACLE_SQL = {
                                ' ') AS chunk_text,
                CAST(LEAST(48 * chunk_id + 64, n) - 48 * chunk_id AS BIGINT) AS n_tokens
         FROM k
+    """,
+    # end-to-end composition oracle: the chunk CTE, global first-wins by
+    # (doc_id, chunk_id) per chunk text, conditional per-doc rollup
+    "rag_prep_docs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n FROM documents),
+        k AS (SELECT doc_id, toks, n,
+                     unnest(generate_series(0, CAST(CASE WHEN n > 64
+                          THEN CEIL((n - 64) / 48.0) ELSE 0 END AS BIGINT))) AS chunk_id
+              FROM t),
+        ch AS (SELECT doc_id, chunk_id,
+                      array_to_string(toks[48 * chunk_id + 1 : LEAST(48 * chunk_id + 64, n)],
+                                      ' ') AS chunk_text,
+                      LEAST(48 * chunk_id + 64, n) - 48 * chunk_id AS n_tokens
+               FROM k),
+        ranked AS (SELECT doc_id, chunk_id, n_tokens,
+                          ROW_NUMBER() OVER (PARTITION BY chunk_text
+                                             ORDER BY doc_id, chunk_id) AS rn
+                   FROM ch)
+        SELECT doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+        FROM ranked GROUP BY doc_id
     """,
     "quality_by_lang": """
         SELECT lang, ROUND(AVG(n_chars), 2) AS avg_chars,
