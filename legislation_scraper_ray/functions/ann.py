@@ -59,6 +59,27 @@ def unpack_matrix(col) -> np.ndarray:
     return flat.reshape(len(col), d).astype(np.float64)
 
 
+def pack_matrix_f64(m: np.ndarray) -> pa.Array:
+    """(n, d) float64 matrix → FixedSizeList<double> column (zero-copy buffer).
+
+    Unlike ``pack_matrix`` (float32 binary), this preserves float64 exactly —
+    required wherever similarities are tie-ranked at 12 dp against a float64
+    oracle (a float32 round-trip of normalized vectors perturbs cosines at
+    ~1e-8 and flips near-tie ranks)."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(m.reshape(-1), type=pa.float64()), m.shape[1]
+    )
+
+
+def unpack_matrix_f64(col) -> np.ndarray:
+    """Inverse of ``pack_matrix_f64``: FixedSizeList<double> → (n, d) float64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(-1, d)
+
+
 class BruteForceTopK:
     """map_batches stage: per-batch cosine top-k partials vs broadcast queries.
 

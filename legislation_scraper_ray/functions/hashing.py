@@ -80,6 +80,35 @@ def hash64(values: pa.Array | pa.ChunkedArray | list[str] | np.ndarray) -> np.nd
     return h
 
 
+#: second FNV offset basis (splitmix64-mixed default basis) — gives a second
+#: hash family whose per-byte state evolution diverges from the default one,
+#: so a cross-text collision must hold under BOTH bases (≈128-bit key).
+FNV_OFFSET_B = np.uint64(0x9E3779B97F4A7C15) ^ FNV_OFFSET
+
+
+def hash64_pair(values: pa.Array | pa.ChunkedArray | list[str] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized FNV-1a 64 hashes in ONE byte-column sweep.
+
+    Exact-dedup keys at 10^10-row scale cannot rest on a single 64-bit
+    non-cryptographic hash (birthday collisions misattribute first-wins keep
+    flags); a (h1, h2) 128-bit composite drops the collision odds to ~1e-19
+    while costing one extra multiply per byte column, not a second matrix
+    build."""
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values, type=pa.string())
+    mat, lengths = _padded_byte_matrix(values)
+    n, max_len = mat.shape
+    h1 = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    h2 = np.full(n, FNV_OFFSET_B, dtype=np.uint64)
+    for j in range(max_len):
+        c = mat[:, j].astype(np.uint64)
+        active = j < lengths
+        h1 = np.where(active, (h1 ^ c) * FNV_PRIME, h1)
+        h2 = np.where(active, (h2 ^ c) * FNV_PRIME, h2)
+    ln = lengths.astype(np.uint64)
+    return (h1 ^ ln) * FNV_PRIME, (h2 ^ ln) * FNV_PRIME
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constants) — the engine's
     integer-key mixer.  Used for deterministic sampling (sample_docs_hash /

@@ -74,6 +74,70 @@ def _add_part(col: str, n_parts: int = 32):
     return add
 
 
+def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
+                 sort_by=None) -> dict:
+    """Hash-partition a STATIC relation ONCE into plasma: one ``num_returns``
+    fan-out task per block (no worker ever holds a foreign part), then one
+    concat task per part.  Returns ``{part: ObjectRef(pa.Table)}`` — the
+    iterated-join build side (pagerank) / probe side (cell-partitioned kNN).
+    Part formula matches ``_add_part`` (uint64 key % n_parts), so exchange
+    rows tagged by ``_add_part(key_col, n_parts)`` land on the same part.
+    ``sort_by``: optional column list each part table is sorted by (enables
+    searchsorted lookups in the per-part group fns)."""
+    import ray as _ray
+
+    @_ray.remote(num_returns=n_parts)
+    def split(tbl: pa.Table):
+        if key_col not in tbl.schema.names or tbl.num_rows == 0:
+            # empty map_groups outputs surface as zero-COLUMN blocks
+            empty = tbl.slice(0, 0)
+            return tuple(empty for _ in range(n_parts))
+        v = tbl[key_col].to_numpy(zero_copy_only=False)
+        part = v.astype(np.uint64) % np.uint64(n_parts)
+        return tuple(tbl.filter(pa.array(part == p)) for p in range(n_parts))
+
+    @_ray.remote
+    def combine(*tbls):
+        nonempty = [x for x in tbls if x.num_rows]
+        if not nonempty:
+            schemas = [x.schema for x in tbls if key_col in x.schema.names]
+            sch = schemas[0] if schemas else tbls[0].schema
+            return pa.table({f.name: pa.array([], f.type) for f in sch})
+        t = pa.concat_tables(nonempty, promote_options="default")
+        if sort_by:
+            t = t.sort_by([(c, "ascending") for c in sort_by]
+                          if isinstance(sort_by, (list, tuple)) else sort_by)
+        return t.combine_chunks()
+
+    block_splits = [split.remote(ref) for ref in ds.to_arrow_refs()]
+    return {p: combine.remote(*[bs[p] for bs in block_splits])
+            for p in range(n_parts)}
+
+
+# Per-worker-process cache of static part tables, keyed by (epoch, ref).
+# ray.get of a plasma table is zero-copy; the cache only avoids repeated
+# deserialization across a call's many group tasks.  EPOCH-scoped: each
+# driver call mints a fresh epoch, and any access drops entries from other
+# epochs — so a finished call's plasma buffers are unpinned the next time
+# any part-cached query touches the worker, instead of lingering for the
+# worker's lifetime (the r3 FIFO bound kept up to 128 dead-ref tables
+# pinned between calls).
+_PART_CACHE: dict = {}
+
+
+def part_cache_get(epoch: str, ref):
+    for k in [k for k in _PART_CACHE if k[0] != epoch]:
+        _PART_CACHE.pop(k, None)
+    key = (epoch, ref)
+    tbl = _PART_CACHE.get(key)
+    if tbl is None:
+        import ray
+
+        tbl = ray.get(ref)
+        _PART_CACHE[key] = tbl
+    return tbl
+
+
 _M64 = 1 << 64
 
 # shared CTE chain: token-3-gram shingles → exact Jaccard → verified near-dup

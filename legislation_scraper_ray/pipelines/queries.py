@@ -443,27 +443,32 @@ def rag_prep_docs(sf_dir: str):
     across docs index once) → per-document keep stats
     (doc_id, n_chunks, n_kept, tokens_kept).
 
-    Scale shape: chunk rows carry an 8-byte content hash into the first-wins
+    Scale shape: chunk rows carry a 16-byte content key (two independent
+    FNV-1a bases, one byte sweep — ``hash64_pair``) into the first-wins
     exchange (the ``dedup_first_by_text`` pattern — text only travels within
-    its hash partition), and the per-doc rollup is a second two-level
-    partitioned sum over (doc_id, flag) rows.  One end-to-end SQL oracle
-    (chunk CTE + ROW_NUMBER first-wins + conditional rollup) checks the
-    whole composition."""
-    from ..functions.hashing import hash64
+    its hash partition); a single 64-bit non-crypto hash is not a safe exact
+    key at 10^10 chunks (birthday collisions would silently misattribute
+    keep flags).  The per-doc rollup is a second two-level partitioned sum
+    over (doc_id, flag) rows.  One end-to-end SQL oracle (chunk CTE +
+    ROW_NUMBER first-wins + conditional rollup) checks the whole
+    composition."""
+    from ..functions.hashing import hash64_pair
 
     chunks = chunk_docs_overlap(sf_dir)
 
     def hashed(t: pa.Table) -> pa.Table:
+        h1, h2 = hash64_pair(t["chunk_text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "chunk_id": t["chunk_id"],
             "n_tokens": t["n_tokens"],
-            "chash": pa.array(hash64(t["chunk_text"]).view(np.int64), pa.int64()),
+            "chash": pa.array(h1.view(np.int64), pa.int64()),
+            "chash2": pa.array(h2.view(np.int64), pa.int64()),
         })
 
     def first_wins(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["chash", "doc_id", "chunk_id"])
-        keep = ~df.duplicated("chash", keep="first")
+        df = df.sort_values(["chash", "chash2", "doc_id", "chunk_id"])
+        keep = ~df.duplicated(["chash", "chash2"], keep="first")
         return pd.DataFrame({
             "doc_id": df["doc_id"].astype("int64"),
             "n_tokens": df["n_tokens"].astype("int64"),
@@ -1241,35 +1246,39 @@ def ann_topk(sf_dir: str, k: int = 10):
     return df[["vec_id", "cos_sim", "rank"]]
 
 
-def knn_join_embeddings(sf_dir: str, k: int = 5):
+def knn_join_embeddings(sf_dir: str, k: int = 5, broadcast_limit: int = 200_000):
     """Exact k-nearest-neighbor SELF-join: every vector → its top-``k``
     cosine neighbors (self excluded).  The batch-level primitive behind
     embedding dedup, clustering seeds, and hard-negative mining.
 
-    Shape: the index side (vec_id-sorted, L2-normalized matrix) is collected
-    index-sized and broadcast ONCE via ``ray.put``; the query side is a
-    single stateless ``map_batches`` — one numpy matmul per batch, stable
-    per-row argsort for tie-determinism, no shuffle, embarrassingly parallel
-    in the query dimension.  Valid while the INDEX fits a worker heap (the
-    standard ANN-serving regime); for a corpus×corpus join past that,
-    co-partition both sides by IVF cell (``ann_topk_ivf``'s centroid
-    assignment) and run this same kernel per cell.
+    Two branches, identical output (pytest pins equality; the same SQL
+    oracle checks both):
+
+    - ``n ≤ broadcast_limit`` — broadcast the vec_id-sorted normalized index
+      matrix ONCE via ``ray.put``; the query side is one stateless
+      ``map_batches`` matmul.  The standard ANN-serving regime while the
+      index fits a worker heap (~100 MB at the default limit, d=64).
+    - past the limit — ``_knn_join_cells``: co-partition BOTH sides by IVF
+      cell and prove exactness with a per-cell cosine upper bound (no
+      broadcast of anything corpus-sized; the 100-TB shape).
 
     Tie handling: similarities are quantized to 12 dp on BOTH engines before
     ranking (ties then break by ascending neighbor id), so float summation
-    order can't flip near-equal ranks between numpy and DuckDB."""
+    order can't flip near-equal ranks between numpy and DuckDB.  Returns a
+    lazy Dataset — the result is corpus-sized (n·k rows) and must never be
+    driver-collected inside the engine."""
     import ray
 
-    from ..functions.ann import _as_matrix, normalize
+    from ..functions.ann import _as_matrix, normalize, pack_matrix_f64
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if ds.count() > broadcast_limit:
+        return _knn_join_cells(sf_dir, k)
 
     def pack(t: pa.Table) -> pa.Table:
         m = normalize(_as_matrix(t["embedding"]))
-        return pa.table(
-            {"vec_id": t["vec_id"].cast(pa.int64()),
-             "emb": pa.FixedSizeListArray.from_arrays(
-                 pa.array(m.reshape(-1), pa.float64()), m.shape[1])})
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                         "emb": pack_matrix_f64(m)})
 
     idx_tbl = pa.concat_tables(
         ray.get(ds.map_batches(pack, batch_format="pyarrow", batch_size=8192)
@@ -1300,8 +1309,269 @@ def knn_join_embeddings(sf_dir: str, k: int = 5):
             "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), b), pa.int64()),
         })
 
-    out = ds.map_batches(topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    return out.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return ds.map_batches(topk, batch_format="pyarrow", batch_size=4096)
+
+
+def _knn_cell_ub(sims: np.ndarray, min_cos: np.ndarray) -> np.ndarray:
+    """Exact per-cell cosine upper bound for cell-partitioned kNN.
+
+    Every member x of cell c lies within angle r_c = arccos(min_cos[c]) of
+    the unit centroid ĉ (min_cos = the cell's minimum member·centroid cosine,
+    tracked at assignment time).  For a unit query q at angle θ = arccos(q·ĉ):
+    cos(q, x) ≤ cos(max(0, θ − r_c)) = q·ĉ·min_cos + sin θ·sin r_c.  Cells
+    with no members (NaN min_cos) bound at −inf."""
+    t = np.clip(sims, -1.0, 1.0)
+    with np.errstate(invalid="ignore"):
+        ub = t * min_cos + np.sqrt(np.maximum(0.0, 1.0 - t * t)) * np.sqrt(
+            np.maximum(0.0, 1.0 - min_cos * min_cos))
+        ub = np.where(t >= min_cos, 1.0, ub)
+    return np.where(np.isnan(min_cos), -np.inf, ub)
+
+
+def _knn_join_cells(sf_dir: str, k: int = 5, n_probe: int = 8,
+                    n_parts: int = 32, train_sample: int = 4096):
+    """EXACT kNN self-join with BOTH sides co-partitioned by IVF cell — the
+    100-TB branch of ``knn_join_embeddings`` (nothing corpus-sized is ever
+    broadcast or driver-collected).
+
+    Shape: spherical-kmeans centroids on a bounded sample; ONE assignment
+    pass tags every vector with its cell and tracks each cell's pruning
+    radius (min member·centroid cosine); the index side is hash-partitioned
+    ONCE into plasma by cell (``static_parts`` — the pagerank static-side
+    layout), and only QUERY rows move through the exchanges:
+
+    1. round 1 — each query routes to its ``n_probe`` best cells by the
+       ``_knn_cell_ub`` upper bound; per-part group fns searchsorted into the
+       cell-sorted static table and matmul per probed cell → candidate rows
+       (vec_id, nbr_id, cos12), ≤ n_probe·k per query.
+    2. round 2 (verify-expand, the exactness step) — candidates and the
+       query vectors meet in a tagged-union exchange keyed on part(vec_id);
+       per query, every cell whose upper bound ≥ its current k-th candidate
+       similarity (−1e-9 slack for fp/12-dp quantization) and not already
+       probed is routed exactly like round 1.  A cell probed in neither
+       round has ub < kth₁ ≤ kth_final, so it cannot hold a true top-k
+       neighbor — the result is EXACT, not approximate.
+    3. final — cand₁ ∪ cand₂ → part(vec_id) exchange → per-query top-k with
+       12-dp tie quantization and ascending-id tie-break (identical ranking
+       rule to the broadcast branch; a (q, nbr) pair can appear in at most
+       one round, so no dedup is needed).
+
+    Exchange payloads are ids + 8-byte cosines except the routed query
+    vectors themselves (n_probe copies of d·8 bytes — the irreducible cost
+    of co-partitioned exact kNN).  Centroids + radii are O(√n·d) and ride
+    ``ray.put`` like any IVF index."""
+    import uuid
+
+    import ray
+
+    from ..functions.ann import (
+        _as_matrix, kmeans_centroids, normalize, pack_matrix_f64, unpack_matrix_f64,
+    )
+    from .common import static_parts
+
+    epoch = uuid.uuid4().hex
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    sample = ds.limit(min(train_sample, n)).to_pandas()
+    centroids = kmeans_centroids(np.stack(sample["embedding"].to_numpy()),
+                                 max(4, int(np.sqrt(n))))
+    n_centroids = len(centroids)
+    npb = min(n_probe, n_centroids)
+    cent_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = normalize(_as_matrix(t["embedding"]))
+        sims = m @ cent.T
+        cell = sims.argmax(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "mcos": pa.array(sims[np.arange(len(m)), cell], pa.float64()),
+            "emb": pack_matrix_f64(m),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=4096).materialize()
+
+    # per-cell pruning radius (min member cosine to centroid): per-batch
+    # arrow partials → one tiny groupby (≤ √n rows total)
+    mins = (assigned.map_batches(
+                lambda t: t.select(["cell", "mcos"]).group_by("cell")
+                           .aggregate([("mcos", "min")])
+                           .rename_columns(["cell", "p_m"]),
+                batch_format="pyarrow", batch_size=65536)
+            .groupby("cell").aggregate(Min("p_m", alias_name="min_cos"))
+            .to_pandas())
+    min_cos = np.full(n_centroids, np.nan)
+    min_cos[mins["cell"].to_numpy().astype(np.int64)] = mins["min_cos"].to_numpy()
+    meta_ref = ray.put((np.ascontiguousarray(centroids.T), min_cos))
+
+    index_parts = static_parts(assigned.drop_columns(["mcos"]), "cell",
+                               n_parts, sort_by=["cell", "vec_id"])
+
+    def route1(t: pa.Table) -> pa.Table:
+        cent_t, mc = ray.get(meta_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        q = unpack_matrix_f64(t["emb"])
+        ub = _knn_cell_ub(q @ cent_t, mc)
+        probe = np.argsort(-ub, axis=1, kind="stable")[:, :npb]
+        rows = np.repeat(np.arange(len(ids)), npb)
+        cells = probe.reshape(-1)
+        keep = np.isfinite(ub[rows, cells])  # skip empty cells
+        rows, cells = rows[keep], cells[keep]
+        return pa.table({
+            "vec_id": pa.array(ids[rows], pa.int64()),
+            "cell": pa.array(cells.astype(np.int64), pa.int64()),
+            "emb": pack_matrix_f64(q[rows]),
+        })
+
+    _EMPTY_CAND = pa.table({"vec_id": pa.array([], pa.int64()),
+                            "nbr_id": pa.array([], pa.int64()),
+                            "cos12": pa.array([], pa.float64())})
+
+    def score(t: pa.Table, index_parts=index_parts, epoch=epoch) -> pa.Table:
+        """Group = one part's routed query rows; the part's cell-sorted index
+        tables come zero-copy from plasma.  One matmul per distinct probed
+        cell; per-(query, cell) local top-k partials."""
+        from .common import part_cache_get
+
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return _EMPTY_CAND
+        p = int(t["part"][0].as_py())
+        it = part_cache_get(epoch, index_parts[p])
+        if it.num_rows == 0:
+            return _EMPTY_CAND
+        icell = it["cell"].to_numpy(zero_copy_only=False)
+        ivid = it["vec_id"].to_numpy(zero_copy_only=False)
+        imat = unpack_matrix_f64(it["emb"])
+        qcell = t["cell"].to_numpy(zero_copy_only=False)
+        qvid = t["vec_id"].to_numpy(zero_copy_only=False)
+        qmat = unpack_matrix_f64(t["emb"])
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(qcell):
+            lo = np.searchsorted(icell, c, "left")
+            hi = np.searchsorted(icell, c, "right")
+            if lo == hi:
+                continue
+            qsel = np.flatnonzero(qcell == c)
+            cids = ivid[lo:hi]  # vec_id-ascending within the cell
+            cs = np.round(qmat[qsel] @ imat[lo:hi].T, 12)
+            qq = qvid[qsel]
+            pos = np.searchsorted(cids, qq)  # self-exclusion
+            hit = (pos < len(cids)) & (cids[np.minimum(pos, len(cids) - 1)] == qq)
+            cs[np.flatnonzero(hit), pos[hit]] = -np.inf
+            kk = min(k, cs.shape[1])
+            top = np.argpartition(-cs, kth=kk - 1, axis=1)[:, :kk]
+            sel = np.take_along_axis(cs, top, axis=1).reshape(-1)
+            valid = np.isfinite(sel)  # drop the −inf self slots
+            out_q.append(np.repeat(qq, kk)[valid])
+            out_n.append(cids[top.reshape(-1)][valid])
+            out_s.append(sel[valid])
+        if not out_q:
+            return _EMPTY_CAND
+        return pa.table({"vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "nbr_id": pa.array(np.concatenate(out_n), pa.int64()),
+                         "cos12": pa.array(np.concatenate(out_s), pa.float64())})
+
+    cand1 = (assigned.select_columns(["vec_id", "emb"])
+             .map_batches(route1, batch_format="pyarrow", batch_size=4096)
+             .map_batches(_add_part("cell", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(score, batch_format="pyarrow")
+             .materialize())
+
+    # round 2: tagged union (candidate rows + query vectors) keyed on
+    # part(vec_id) — the _add_part partitioned-merge pattern; avoids a
+    # Dataset.join (sparse sides crash Ray 2.49's hash join, CLAUDE.md r3)
+    d = centroids.shape[1]
+    emb_t = pa.list_(pa.float64(), d)
+
+    def _tag_cand(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"], "cos12": t["cos12"],
+                         "emb": pa.nulls(t.num_rows, emb_t)})
+
+    def _tag_emb(t: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": t["vec_id"],
+                         "cos12": pa.nulls(t.num_rows, pa.float64()),
+                         "emb": t["emb"]})
+
+    tagged = (cand1.map_batches(_tag_cand, batch_format="pyarrow")
+              .union(assigned.select_columns(["vec_id", "emb"])
+                     .map_batches(_tag_emb, batch_format="pyarrow"))
+              .map_batches(_add_part("vec_id", n_parts), batch_format="pyarrow"))
+
+    def route2(t: pa.Table) -> pa.Table:
+        """Group = one part's (candidates ∪ query vectors) by vec_id: compute
+        each query's k-th round-1 similarity, re-derive its round-1 probe set
+        (same stable argsort), and route it to every unprobed non-empty cell
+        whose upper bound could still beat kth (exactness escape)."""
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "emb": pa.nulls(0, emb_t)})
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return empty
+        cent_t, mc = ray.get(meta_ref)
+        is_emb = pc.is_valid(t["emb"]).to_numpy(zero_copy_only=False)
+        et = t.filter(pa.array(is_emb))
+        ct = t.filter(pa.array(~is_emb))
+        ids = et["vec_id"].to_numpy(zero_copy_only=False)
+        q = unpack_matrix_f64(et["emb"])
+        cvid = ct["vec_id"].to_numpy(zero_copy_only=False)
+        ccos = ct["cos12"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-ccos, cvid))
+        cvid_s, ccos_s = cvid[order], ccos[order]
+        starts = np.searchsorted(cvid_s, ids, "left")
+        cnt = np.searchsorted(cvid_s, ids, "right") - starts
+        kth = np.where(
+            cnt >= k,
+            ccos_s[np.minimum(starts + k - 1, max(len(ccos_s) - 1, 0))]
+            if len(ccos_s) else -np.inf,
+            -np.inf,
+        )
+        ub = _knn_cell_ub(q @ cent_t, mc)
+        probe1 = np.argsort(-ub, axis=1, kind="stable")[:, :npb]
+        need = ub >= (kth[:, None] - 1e-9)
+        need &= np.isfinite(ub)
+        need[np.arange(len(ids))[:, None], probe1] = False
+        rows, cells = np.nonzero(need)
+        if not len(rows):
+            return empty
+        return pa.table({
+            "vec_id": pa.array(ids[rows], pa.int64()),
+            "cell": pa.array(cells.astype(np.int64), pa.int64()),
+            "emb": pack_matrix_f64(q[rows]),
+        })
+
+    cand2 = (tagged.groupby("part").map_groups(route2, batch_format="pyarrow")
+             .map_batches(_add_part("cell", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(score, batch_format="pyarrow"))
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "cos_sim": pa.array([], pa.float64()),
+                          "rank": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            return empty
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        cos = t["cos12"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, -cos, vid))  # same rule as the broadcast branch
+        vs, cs_, ns = vid[order], cos[order], nbr[order]
+        grp_start = np.flatnonzero(np.diff(vs, prepend=vs[0] - 1))
+        rank = np.arange(len(vs)) - np.repeat(
+            grp_start, np.diff(np.append(grp_start, len(vs)))) + 1
+        keep = rank <= k
+        return pa.table({
+            "vec_id": pa.array(vs[keep], pa.int64()),
+            "nbr_id": pa.array(ns[keep], pa.int64()),
+            "cos_sim": pa.array(_round(cs_[keep], 4), pa.float64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        })
+
+    return (cand1.union(cand2)
+            .map_batches(_add_part("vec_id", n_parts), batch_format="pyarrow")
+            .groupby("part").map_groups(final_topk, batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------
@@ -2439,28 +2709,6 @@ def audio_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-# per-worker-process cache of pagerank's static part tables (keyed by
-# ObjectRef; ray.get of a plasma table is zero-copy, the cache only avoids
-# repeated deserialization across the 8 iterations' group tasks).  FIFO
-# bound: repeated pagerank CALLS mint fresh refs, and an unbounded dict
-# would pin every call's edge/node relations in plasma for the worker's
-# lifetime.  128 ≥ 2 calls' worth of parts (2 relations × 32 parts).
-_PAGERANK_PART_CACHE: dict = {}
-_PAGERANK_CACHE_MAX = 128
-
-
-def _pagerank_cached(ref):
-    tbl = _PAGERANK_PART_CACHE.get(ref)
-    if tbl is None:
-        import ray as _ray
-
-        tbl = _ray.get(ref)
-        while len(_PAGERANK_PART_CACHE) >= _PAGERANK_CACHE_MAX:
-            _PAGERANK_PART_CACHE.pop(next(iter(_PAGERANK_PART_CACHE)))
-        _PAGERANK_PART_CACHE[ref] = tbl
-    return tbl
-
-
 def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
     """Distributed PageRank over the crawl corpus link graph (rows-only —
     iterative float fixpoint, not SQL): rank the pages a crawler should
@@ -2544,42 +2792,15 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
     # the standard "build side is static" iterated-join layout; at cluster
     # scale the part tables live distributed and only the tiny ref dict
     # ships with the closure.
+    import uuid
+
+    from .common import static_parts
+
     n_parts = 32
+    epoch = uuid.uuid4().hex  # scopes the worker-side part cache to this call
 
-    def _static_parts(ds, key_col: str, sort: bool) -> dict:
-        """One pass: split every block into its hash parts (num_returns
-        fan-out, so no worker ever holds a foreign part), then one concat
-        task per part.  Returns {part: ObjectRef(pa.Table)}."""
-        import ray as _ray
-
-        @_ray.remote(num_returns=n_parts)
-        def split(tbl: pa.Table):
-            if key_col not in tbl.schema.names or tbl.num_rows == 0:
-                # empty map_groups outputs surface as zero-COLUMN blocks
-                empty = tbl.slice(0, 0)
-                return tuple(empty for _ in range(n_parts))
-            v = tbl[key_col].to_numpy(zero_copy_only=False)
-            part = v.astype(np.uint64) % np.uint64(n_parts)  # _add_part's formula
-            return tuple(tbl.filter(pa.array(part == p)) for p in range(n_parts))
-
-        @_ray.remote
-        def combine(*tbls):
-            nonempty = [x for x in tbls if x.num_rows]
-            if not nonempty:
-                schemas = [x.schema for x in tbls if key_col in x.schema.names]
-                sch = schemas[0] if schemas else tbls[0].schema
-                return pa.table({f.name: pa.array([], f.type) for f in sch})
-            t = pa.concat_tables(nonempty, promote_options="default")
-            if sort:
-                t = t.sort_by(key_col)
-            return t.combine_chunks()
-
-        block_splits = [split.remote(ref) for ref in ds.to_arrow_refs()]
-        return {p: combine.remote(*[bs[p] for bs in block_splits])
-                for p in range(n_parts)}
-
-    edge_parts = _static_parts(edges, "src_h", sort=True)
-    node_parts = _static_parts(nodes, "node", sort=True)
+    edge_parts = static_parts(edges, "src_h", n_parts, sort_by=["src_h"])
+    node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
     def init_rank(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "has_out": t["has_out"],
@@ -2612,16 +2833,18 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
     contrib_sent = _sentinels({"key": (pa.int64(), 0)}, "p_c").materialize()
 
     def flow_contribs(part_df: pd.DataFrame,
-                      edge_parts=edge_parts) -> pd.DataFrame:
+                      edge_parts=edge_parts, epoch=epoch) -> pd.DataFrame:
         """Group = one part's RANK rows; edges of the part come from the
         static plasma table (src-sorted → searchsorted rank lookup)."""
+        from .common import part_cache_get
+
         empty = pd.DataFrame({"key": pd.Series([], dtype="int64"),
                               "p_c": pd.Series([], dtype="float64")})
         part_df = part_df[part_df["rank"].notna()]
         if not len(part_df):
             return empty
         p = int(part_df["part"].iloc[0])
-        et = _pagerank_cached(edge_parts[p])
+        et = part_cache_get(epoch, edge_parts[p])
         if et.num_rows == 0:
             return empty
         order = np.argsort(part_df["node"].to_numpy())
@@ -2647,12 +2870,14 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
                    .groupby("part").map_groups(flow_contribs, batch_format="pandas"))
 
         def update(part_df: pd.DataFrame, base=base,
-                   node_parts=node_parts) -> pd.DataFrame:
+                   node_parts=node_parts, epoch=epoch) -> pd.DataFrame:
             """Group = one part's CONTRIB rows; the node list (node-sorted)
             comes from the static plasma table, so every node of the part is
             re-emitted even when nothing flowed into it."""
+            from .common import part_cache_get
+
             p = int(part_df["part"].iloc[0])
-            nt = _pagerank_cached(node_parts[p])
+            nt = part_cache_get(epoch, node_parts[p])
             if nt.num_rows == 0:
                 return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                                      "has_out": pd.Series([], dtype="int8"),
@@ -3027,7 +3252,7 @@ ORACLE_SQL = {
                                              ORDER BY doc_id, chunk_id) AS rn
                    FROM ch)
         SELECT doc_id, COUNT(*) AS n_chunks,
-               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
                    AS tokens_kept
         FROM ranked GROUP BY doc_id

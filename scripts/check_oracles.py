@@ -84,10 +84,13 @@ def main():
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # dtype-strict (like the driver's value hash): an oracle that
+                # returns HUGEINT->float64 for an integer engine column must
+                # FAIL here, not be papered over (r3's rag_prep_docs red row).
                 pd.testing.assert_frame_equal(
                     mine.reset_index(drop=True),
                     oracle.reset_index(drop=True),
-                    check_dtype=False,
+                    check_dtype=True,
                     check_exact=False,
                     atol=1e-6,
                 )

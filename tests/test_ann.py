@@ -151,7 +151,7 @@ def test_knn_join_embeddings_exact(ray_session, tmp_path):
     pq_.write_table(tbl, tmp_path / "embeddings.parquet")
 
     k = 5
-    got = knn_join_embeddings(str(tmp_path), k=k)
+    got = knn_join_embeddings(str(tmp_path), k=k).to_pandas()
     assert len(got) == len(m) * k
 
     mn = normalize(np.asarray(
@@ -167,6 +167,58 @@ def test_knn_join_embeddings_exact(ray_session, tmp_path):
     sub10 = got[got["vec_id"] == 10].sort_values("rank")
     assert sub10["nbr_id"].tolist()[:2] == [40, 41]
     assert sub10["cos_sim"].tolist()[:2] == [1.0, 1.0]
+
+
+def _canon_knn(df):
+    return (df.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+            [["vec_id", "nbr_id", "cos_sim", "rank"]])
+
+
+def test_knn_join_cells_matches_broadcast(ray_session, tmp_path):
+    """Forced cell-partitioned branch == broadcast branch, row for row —
+    the exactness claim of the verify-expand design (mirrors
+    test_shuffle_join_path's force-the-scale-branch pattern).  Includes
+    planted exact duplicates (tie ranks) and a planted near-dup cluster
+    (stresses the round-2 escape: tight kth vs high cell bounds)."""
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.queries import (
+        _knn_join_cells, knn_join_embeddings,
+    )
+
+    rng = np.random.default_rng(23)
+    m = rng.standard_normal((300, 16))
+    m[40] = m[10]                                  # exact duplicate tie
+    m[41] = m[10]
+    m[100:110] = m[99] + 0.05 * rng.standard_normal((10, 16))  # near-dup cluster
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(m)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+    pq_.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    bc = _canon_knn(knn_join_embeddings(str(tmp_path), k=5).to_pandas())
+    # tiny n_probe stresses the round-2 expansion (most mass found in round 2)
+    cells = _canon_knn(_knn_join_cells(str(tmp_path), k=5, n_probe=2).to_pandas())
+    pd.testing.assert_frame_equal(bc, cells)
+    # a second probe width must give the same exact answer
+    cells8 = _canon_knn(_knn_join_cells(str(tmp_path), k=5, n_probe=8).to_pandas())
+    pd.testing.assert_frame_equal(bc, cells8)
+
+
+def test_knn_join_real_table_both_branches(ray_session):
+    """On the real sf0.001 embeddings (Gaussian sea — worst case for cell
+    pruning, neighbors at cos≈0.4 scattered across cells), the cell branch
+    still reproduces the broadcast branch exactly."""
+    from legislation_scraper_ray.pipelines.queries import (
+        _knn_join_cells, knn_join_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bc = _canon_knn(knn_join_embeddings(sf, k=5).to_pandas())
+    cells = _canon_knn(_knn_join_cells(sf, k=5).to_pandas())
+    pd.testing.assert_frame_equal(bc, cells)
 
 
 def test_ann_ivfpq_registry(ray_session):

@@ -71,3 +71,21 @@ def test_canonicalize_idempotent():
 def test_extract_hosts():
     out = extract_hosts(pa.array(["https://host0.x/a/b", "http://h:8080/", "nourl"]))
     assert out.to_pylist() == ["host0.x", "h:8080", None]
+
+
+def test_hash64_pair_first_matches_hash64_and_second_independent():
+    """hash64_pair's first hash IS hash64 (same basis, same sweep); the second
+    basis must disagree with the first on every test string (independence for
+    the 128-bit exact-dedup composite key), and both must be deterministic."""
+    import numpy as np
+
+    from legislation_scraper_ray.functions.hashing import hash64, hash64_pair
+
+    strs = ["", "a", "ab", "hello world", "x" * 200, "Hello", "hellp"]
+    h1, h2 = hash64_pair(strs)
+    assert (h1 == hash64(strs)).all()
+    assert (h1 != h2).all()
+    h1b, h2b = hash64_pair(strs)
+    assert (h1 == h1b).all() and (h2 == h2b).all()
+    # distinct strings stay distinct under BOTH bases
+    assert len(np.unique(h2)) == len(strs)
