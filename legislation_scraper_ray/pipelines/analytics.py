@@ -1175,8 +1175,10 @@ def decontaminate_docs(sf_dir: str, k: int = 4, eval_mod: int = 20):
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          "n_hits": pa.array(n_hits[keep], pa.int64())})
 
-    out = ds.map_batches(hits, batch_format="pyarrow", batch_size=8192).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # corpus-sized output → return the lazy Dataset (the harness/driver
+    # canonicalizes order itself; a trailing to_pandas would be an O(corpus)
+    # driver materialization at 100 TB)
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=8192)
 
 
 def repetition_ratio_docs(sf_dir: str, k: int = 3):
@@ -1204,8 +1206,8 @@ def repetition_ratio_docs(sf_dir: str, k: int = 3):
             "rep_ratio": pa.array(_round(ratio, 4), pa.float64()),
         })
 
-    out = ds.map_batches(rep, batch_format="pyarrow", batch_size=8192).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # corpus-sized output → lazy Dataset (no driver materialization)
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=8192)
 
 
 def dup_ngram_docs(sf_dir: str, k: int = 4):
@@ -1256,10 +1258,9 @@ def dup_ngram_docs(sf_dir: str, k: int = 4):
         g = part_df.groupby("doc_id", sort=False)["p_shared"].sum().rename("n_shared")
         return g.reset_index().astype({"doc_id": "int64", "n_shared": "int64"})
 
-    out = (partials.map_batches(_add_part("doc_id"), batch_format="pyarrow")
-           .groupby("part").map_groups(sum_per_doc, batch_format="pandas")
-           .to_pandas())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # corpus-sized output → lazy Dataset (no driver materialization)
+    return (partials.map_batches(_add_part("doc_id"), batch_format="pyarrow")
+            .groupby("part").map_groups(sum_per_doc, batch_format="pandas"))
 
 
 def c4_filter_docs(sf_dir: str):
@@ -1298,8 +1299,8 @@ def c4_filter_docs(sf_dir: str):
             "keep": pa.array(keep, pa.int64()),
         })
 
-    out = ds.map_batches(flags, batch_format="pyarrow", batch_size=8192).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    # corpus-sized output → lazy Dataset (no driver materialization)
+    return ds.map_batches(flags, batch_format="pyarrow", batch_size=8192)
 
 
 def export_shards(sf_dir: str, n_shards: int = 32):

@@ -181,7 +181,7 @@ def consolidate(
             .drop_columns(["part"])  # "shard" is the path level we read inside
         )
         if "subject_ids" in out.schema().names:
-            out = out.map_batches(SubjectJoin, batch_format="pyarrow", concurrency=2)
+            out = out.map_batches(SubjectJoin, batch_format="pyarrow", concurrency=(1, 4), num_cpus=0.5)
         out.write_parquet(shard_out, partition_cols=["year", "type", "situation"])
         state["completed"].append(s)
         _save_manifest(manifest_path, state)

@@ -165,7 +165,7 @@ def supplier_revenue(sf_dir: str):
             return g.rename_columns(["s_name", "p_rev", "p_n"])
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    parts = ds.map_batches(JoinPartial, batch_format="pyarrow", batch_size=65536, concurrency=2)
+    parts = ds.map_batches(JoinPartial, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4), num_cpus=0.5)
     agg = parts.groupby("s_name").aggregate(
         Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n")
     )
@@ -1001,7 +1001,22 @@ def semantic_dedup(sf_dir: str, n_bands: int = 8, threshold: float = 0.99):
     OR across bands/partitions via the same hash-partitioned max-combine as
     before, so the drop side still never sits on the driver or in a
     broadcast.  Same flags as the pair-based derivation: the predicate is
-    identical (∃ lower-id vector sharing ≥1 bucket with cos ≥ threshold)."""
+    identical (∃ lower-id vector sharing ≥1 bucket with cos ≥ threshold).
+
+    RECALL BOUND (candidate generation is LSH, so the EXISTS oracle is a
+    bound the engine meets with probability, not certainty): a true pair at
+    angle θ = arccos(cos_sim) collides in one ``n_bits``-hyperplane band
+    with p = (1 − θ/π)^n_bits, so the miss probability over ``n_bands``
+    independent bands is (1 − p)^n_bands.  At threshold 0.99
+    (θ ≈ 8.1°, θ/π ≈ 0.045) with the default 8 bands × adaptive_bits(n):
+    n_bits=8 → p ≈ 0.69, miss ≈ (0.31)^8 ≈ 8e-5; n_bits=12 → p ≈ 0.57,
+    miss ≈ 1.2e-3.  The DuckDB oracle is exact brute force, so a miss IS a
+    legitimate conformance failure at that probability — acceptable for
+    per-query checks, and pinned empirically by
+    tests/test_semantic_dedup.py, which plants both near-identical copies
+    AND near-THRESHOLD pairs (cos just above 0.99) so a band/bit recall
+    regression fails loudly instead of passing vacuously on a dup-free
+    driver corpus."""
     from ..functions.ann import _as_matrix, normalize, pack_matrix
     from ..functions.dedup import adaptive_bits, hyperplane_bands
 
@@ -1129,14 +1144,50 @@ def _orient_new_base(out: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def _fingerprinted_store(src_path: str, root: str):
+def _builder_code_salt(*objs) -> str:
+    """Version salt for persisted-artifact keys: a hash of the builder
+    functions' SOURCE (plus any constant reprs passed in).  Editing
+    ``minhash_signatures`` / ``kmeans_centroids`` / the band constants then
+    invalidates every store built under the old code — the 'stale fixtures
+    silently mask changes' failure mode (CLAUDE.md) applied to /tmp stores."""
+    import hashlib
+    import inspect
+
+    parts = []
+    for o in objs:
+        try:
+            parts.append(inspect.getsource(o))
+        except (TypeError, OSError):
+            parts.append(repr(o))
+    return hashlib.sha1("\x00".join(parts).encode()).hexdigest()[:8]
+
+
+def _minhash_store_params() -> str:
+    """Build-config key for the persisted MinHash base-signature store."""
+    from ..functions import dedup as _d
+
+    return (f"nperm={_d.N_PERM}|bands={_d.LSH_BANDS}"
+            f"|code={_builder_code_salt(_d.minhash_signatures, _d._perm_params)}")
+
+
+def _ivf_store_params(train_sample: int) -> str:
+    """Build-config key for the persisted IVF index store."""
+    from ..functions.ann import kmeans_centroids as _km
+
+    return f"train={train_sample}|code={_builder_code_salt(_km)}"
+
+
+def _fingerprinted_store(src_path: str, root: str, params: str = ""):
     """Content-addressed persisted-artifact directory for build-once
     operators (incremental MinHash base signatures, the persisted IVF
     index): the directory NAME encodes the source file's identity
-    (abspath + size + mtime_ns), so a changed or different-path corpus gets
-    a brand-new directory — no rmtree of a store a concurrent reader may be
-    scanning, no same-basename collision between distinct corpora, no
-    whole-second-mtime stale-reuse window.  Builders write into a private
+    (abspath + size + mtime_ns) AND the build configuration (``params`` —
+    the builder's parameters plus a code-version salt), so a changed
+    corpus, a different build parameterization, or edited builder code each
+    get a brand-new directory — no rmtree of a store a concurrent reader
+    may be scanning, no same-basename collision between distinct corpora,
+    no whole-second-mtime stale-reuse window, no silent reuse of an index
+    built under an old configuration.  Builders write into a private
     tmp dir (the ``_complete`` marker last) and ``os.rename`` it into
     place; the rename is atomic and fails if a concurrent builder won, in
     which case the winner's store is used.  Stale stores just linger in
@@ -1147,7 +1198,7 @@ def _fingerprinted_store(src_path: str, root: str):
     import shutil
 
     st = os.stat(src_path)
-    key = f"{os.path.abspath(src_path)}|{st.st_size}|{st.st_mtime_ns}"
+    key = f"{os.path.abspath(src_path)}|{st.st_size}|{st.st_mtime_ns}|{params}"
     h = hashlib.sha1(key.encode()).hexdigest()[:12]
     name = os.path.basename(os.path.dirname(os.path.abspath(src_path)))
     store = os.path.join(root, f"{name}-{h}")
@@ -1186,7 +1237,8 @@ def crosscorpus_dup_pairs_incremental(sf_dir: str, threshold: float = 0.95):
     from ..functions.dedup import minhash_signatures
 
     store, ready, publish = _fingerprinted_store(
-        f"{sf_dir}/documents.parquet", "/tmp/graft_minhash_base")
+        f"{sf_dir}/documents.parquet", "/tmp/graft_minhash_base",
+        params=_minhash_store_params())
     if not ready:
         tmp = f"{store}.build.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
@@ -1236,7 +1288,7 @@ def ann_topk(sf_dir: str, k: int = 10):
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=(1, 4), num_cpus=0.5,
     )
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
@@ -1974,7 +2026,7 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
     cand = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
     partials = cand.map_batches(
         BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
     )
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
@@ -2014,7 +2066,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
 
     partials = ds.map_batches(
         IVFTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
     )
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
@@ -2044,7 +2096,8 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
     from ..functions.ann import BruteForceTopK, kmeans_centroids, merge_topk, normalize
 
     store, ready, publish = _fingerprinted_store(
-        f"{sf_dir}/embeddings.parquet", "/tmp/graft_ivf")
+        f"{sf_dir}/embeddings.parquet", "/tmp/graft_ivf",
+        params=_ivf_store_params(train_sample))
     if not ready:
         tmp = f"{store}.build.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
@@ -2083,14 +2136,31 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
     # directory can be absent (no vector assigned to it at this scale).
     import glob
 
-    probe_files = sorted(
-        f for c in probe
-        for f in glob.glob(os.path.join(store, "cells", f"cell={int(c)}", "*.parquet"))
-    )
+    def _cell_files(cells):
+        return sorted(
+            f for c in cells
+            for f in glob.glob(os.path.join(store, "cells", f"cell={int(c)}", "*.parquet"))
+        )
+
+    probe_files = _cell_files(probe)
+    if not probe_files:
+        # every probed cell is empty/absent (possible at tiny scale when
+        # sampled centroids attract no assignments): widen to the next-nearest
+        # cells in bound order until something non-empty is probed, else
+        # return an empty frame with the expected columns
+        rest = np.argsort(-(qn[0] @ centroids.T))[n_probe:]
+        for c in rest:
+            probe_files = _cell_files([c])
+            if probe_files:
+                break
+        if not probe_files:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64"),
+                                 "rank": pd.Series([], dtype="int64")})
     probed = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
     partials = probed.map_batches(
         BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=2,
+        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
     )
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
@@ -2322,9 +2392,9 @@ def image_dup_by_phash(sf_dir: str):
     def dups(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["n_copies"], 2))
 
-    df = (grouped.map_batches(dups, batch_format="pyarrow")
-          .to_pandas().sort_values("phash").reset_index(drop=True))
-    return df[["phash", "n_copies", "first_image_id"]]
+    # dup-group-sized but corpus-scaling output → lazy Dataset
+    return (grouped.map_batches(dups, batch_format="pyarrow")
+            .select_columns(["phash", "n_copies", "first_image_id"]))
 
 
 ASPECT_LADDER = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
@@ -2661,15 +2731,18 @@ def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
         g = part_df.drop_duplicates(subset=["id_a", "id_b"])
         return g[["id_a", "id_b", "hamming"]]
 
-    pairs = (ds.map_batches(band_rows, batch_format="pyarrow", batch_size=65536)
-             .map_batches(_add_part("bkey"), batch_format="pyarrow")
-             .groupby("part").map_groups(bucket_pairs, batch_format="pandas")
-             .map_batches(pair_key, batch_format="pyarrow")
-             .map_batches(_add_part("pkey"), batch_format="pyarrow")
-             .groupby("part").map_groups(dedup_pairs, batch_format="pandas"))
-    out = pairs.to_pandas()
-    return (out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-            .astype({"hamming": "int64"}))
+    def cast_hamming(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("hamming")
+        return t.set_column(i, "hamming", t["hamming"].cast(pa.int64()))
+
+    # pair-graph-sized but corpus-scaling output → lazy Dataset
+    return (ds.map_batches(band_rows, batch_format="pyarrow", batch_size=65536)
+            .map_batches(_add_part("bkey"), batch_format="pyarrow")
+            .groupby("part").map_groups(bucket_pairs, batch_format="pandas")
+            .map_batches(pair_key, batch_format="pyarrow")
+            .map_batches(_add_part("pkey"), batch_format="pyarrow")
+            .groupby("part").map_groups(dedup_pairs, batch_format="pandas")
+            .map_batches(cast_hamming, batch_format="pyarrow"))
 
 
 def audio_features(sf_dir: str):
@@ -2703,10 +2776,16 @@ def audio_features(sf_dir: str):
         AudioFeatureActor, batch_format="pyarrow", batch_size=512,
         concurrency=(1, 4), num_cpus=0.5,
     )
-    out = feats.drop_columns(["bytes"]).to_pandas()
-    for c in ("duration_ms", "rms", "zcr", "peak"):
-        out[c] = _round(out[c], 4)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    def round_cols(t: pa.Table) -> pa.Table:
+        for c in ("duration_ms", "rms", "zcr", "peak"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pa.array(
+                _round(t[c].to_numpy(zero_copy_only=False), 4), pa.float64()))
+        return t
+
+    # corpus-sized output → lazy Dataset (no driver materialization)
+    return feats.drop_columns(["bytes"]).map_batches(
+        round_cols, batch_format="pyarrow")
 
 
 def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
@@ -3507,12 +3586,113 @@ ORACLE_SQL = {
         WITH {_jaccard_pairs_ctes(0.8)}
         SELECT doc_a, doc_b, jaccard FROM pairs
     """,
-    # ann_topk_lsh, image_dup_by_phash, crawl_seen_set: intentionally no SQL
-    # oracle (approximate search / image decode / crawl protocol are not
-    # SQL-expressible); the driver records rows-only checks and pytest covers
-    # them with recall@k, planted-dup fixtures, and the reference-semantics
-    # simulator.
+    # ann_topk_lsh, crawl_seen_set: intentionally no SQL oracle (approximate
+    # search / crawl protocol are not SQL-expressible); the driver records
+    # rows-only checks and pytest covers them with recall@k, planted-dup
+    # fixtures, and the reference-semantics simulator.
 }
+
+# ---------------------------------------------------------------------------
+# image-corpus oracles (r4): the driver's DuckDB session only VIEWS the sf
+# tables, but DuckDB can read_parquet() the generated image corpus directly.
+# The driver compares at sf0.01, whose corpus scale is t2
+# (sources/corpus.py SF_TO_SCALE) — these five SQLs are pinned to that
+# corpus file and are only meaningful at sf0.01 (the engine side generates
+# the corpus before the oracle runs).  CACHE_ROOT mirrors corpus.py.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+_CORPUS_T2 = _os.path.join(
+    _os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus"), "t2", "corpus.parquet")
+
+# signed view of a UBIGINT 64-bit hash (the engine stores int64 views)
+def _ub_to_i64(expr: str) -> str:
+    return (f"CASE WHEN ({expr}) >= 9223372036854775808::UBIGINT "
+            f"THEN CAST(({expr})::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT) "
+            f"ELSE CAST(({expr}) AS BIGINT) END")
+
+
+ORACLE_SQL.update({
+    # all-pairs Hamming ≤ 3 over the 64-bit phash (int64 two's-complement
+    # xor/bit_count == uint64 semantics), canonical id_a < id_b orientation
+    "phash_hamming_pairs": f"""
+        WITH c AS (SELECT image_id, phash FROM read_parquet('{_CORPUS_T2}'))
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM c a JOIN c b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    "image_dup_by_phash": f"""
+        SELECT phash, COUNT(*) AS n_copies, MIN(image_id) AS first_image_id
+        FROM read_parquet('{_CORPUS_T2}')
+        GROUP BY phash HAVING COUNT(*) >= 2
+    """,
+    # connected components over the Hamming-≤3 pair graph via the same
+    # recursive-CTE reachable-set-min technique as dup_clusters
+    "image_dup_clusters": f"""
+        WITH RECURSIVE c AS (
+            SELECT image_id, phash FROM read_parquet('{_CORPUS_T2}')
+        ),
+        pairs AS (
+            SELECT a.image_id AS ia, b.image_id AS ib
+            FROM c a JOIN c b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        ),
+        edges AS (
+            SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        labels AS (SELECT src AS image_id, MIN(node) AS cluster_id
+                   FROM reach GROUP BY src)
+        SELECT image_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM labels
+    """,
+    # nearest log-aspect ladder bucket (lowest-index tiebreak), LAION-style
+    # min-side gate; ladder mirrors ASPECT_LADDER
+    "aspect_bucket_stats": f"""
+        WITH img AS (
+            SELECT image_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h
+            FROM read_parquet('{_CORPUS_T2}')
+        ),
+        lad(idx, bucket, r) AS (
+            VALUES (0, '1:1', 1.0), (1, '4:3', 4.0/3.0), (2, '3:4', 3.0/4.0),
+                   (3, '16:9', 16.0/9.0), (4, '9:16', 9.0/16.0)
+        ),
+        ranked AS (
+            SELECT img.image_id, img.w, img.h, lad.bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY img.image_id
+                       ORDER BY abs(ln(img.w / img.h) - ln(lad.r)), lad.idx
+                   ) AS rn
+            FROM img CROSS JOIN lad
+        )
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN LEAST(w, h) < 32 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small,
+               ROUND(AVG(w), 2) AS mean_w, ROUND(AVG(h), 2) AS mean_h
+        FROM ranked WHERE rn = 1 GROUP BY bucket
+    """,
+    # exact caption-reuse mining keyed on the engine's FNV-1a64 content hash
+    # (signed int64 view), reuse threshold 2
+    "caption_reuse_stats": f"""
+        WITH c AS (
+            SELECT image_id, ({_fnv_sql('caption')})::UBIGINT AS h
+            FROM read_parquet('{_CORPUS_T2}')
+        ),
+        g AS (
+            SELECT h, COUNT(*) AS n_images, MIN(image_id) AS first_image_id
+            FROM c GROUP BY h HAVING COUNT(*) >= 2
+        )
+        SELECT {_ub_to_i64('h')} AS cap_hash, n_images, first_image_id FROM g
+    """,
+})
 
 # analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,
 # TF-IDF) lives in analytics.py; merged here so the driver sees one registry.

@@ -77,7 +77,7 @@ def test_audio_features_query(ray_session):
     clip's RMS is the sine's A/√2 and its ZCR tracks its planted frequency."""
     from legislation_scraper_ray.pipelines.queries import audio_features
 
-    out = audio_features("/root/testdata/sf0.001")
+    out = audio_features("/root/testdata/sf0.001").to_pandas()
     assert len(out) == 500  # sf0.001 documents rows
     assert np.allclose(out["duration_ms"], 80.0)
     assert np.allclose(out["rms"], 0.5 / np.sqrt(2), atol=3e-3)

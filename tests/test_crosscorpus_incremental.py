@@ -32,7 +32,9 @@ def test_incremental_matches_symmetric_and_reuses_store(ray_session, tmp_path):
         crosscorpus_dup_pairs_incremental,
     )
 
-    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+    from legislation_scraper_ray.pipelines.queries import (
+        _fingerprinted_store, _minhash_store_params,
+    )
 
     sym = _sorted(crosscorpus_dup_pairs(str(tmp_path)))
     inc = _sorted(crosscorpus_dup_pairs_incremental(str(tmp_path)))
@@ -40,7 +42,8 @@ def test_incremental_matches_symmetric_and_reuses_store(ray_session, tmp_path):
     assert dict(zip(inc["new_doc"], inc["base_doc"])) == planted
 
     store, ready, _ = _fingerprinted_store(
-        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base")
+        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base",
+        params=_minhash_store_params())
     assert ready  # the first run published the content-addressed store
     marker = os.path.join(store, "_complete")
     m0 = os.path.getmtime(marker)
@@ -56,6 +59,7 @@ def test_incremental_matches_symmetric_and_reuses_store(ray_session, tmp_path):
     inc3 = crosscorpus_dup_pairs_incremental(str(tmp_path))
     assert dict(zip(inc3["new_doc"], inc3["base_doc"])) == planted2
     store2, ready2, _ = _fingerprinted_store(
-        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base")
+        f"{tmp_path}/documents.parquet", "/tmp/graft_minhash_base",
+        params=_minhash_store_params())
     assert ready2 and store2 != store
     assert os.path.getmtime(marker) == m0  # old store untouched

@@ -11,7 +11,7 @@ def test_image_dup_by_phash_matches_planted(ray_session):
     from legislation_scraper_ray.sources.corpus import generate
 
     t2 = generate("t2")
-    out = image_dup_by_phash("/root/testdata/sf0.01")  # maps to the t2 corpus
+    out = image_dup_by_phash("/root/testdata/sf0.01").to_pandas()  # t2 corpus
     c = pq.read_table(f"{t2}/corpus.parquet")
     dup_of = c["dup_of"].to_numpy()
     phash = c["phash"].to_numpy()
@@ -75,7 +75,7 @@ def test_image_dup_clusters_union_find(ray_session):
     from legislation_scraper_ray.sources.corpus import generate
 
     got = image_dup_clusters("/root/testdata/sf0.01", max_dist=3)
-    pairs = phash_hamming_pairs("/root/testdata/sf0.01", max_dist=3)
+    pairs = phash_hamming_pairs("/root/testdata/sf0.01", max_dist=3).to_pandas()
 
     parent = {}
 

@@ -32,10 +32,13 @@ def test_full_probe_matches_brute_force_and_store_reuse(ray_session, tmp_path):
         exact.sort_values("rank").reset_index(drop=True),
         full.sort_values("rank").reset_index(drop=True),
     )
-    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+    from legislation_scraper_ray.pipelines.queries import (
+        _fingerprinted_store, _ivf_store_params,
+    )
 
     store, ready, _ = _fingerprinted_store(f"{tmp_path}/embeddings.parquet",
-                                           "/tmp/graft_ivf")
+                                           "/tmp/graft_ivf",
+                                           params=_ivf_store_params(4096))
     assert ready
     marker = os.path.join(store, "_complete")
     m0 = os.path.getmtime(marker)
@@ -57,10 +60,13 @@ def test_narrow_probe_is_subset_scan(ray_session, tmp_path):
     from legislation_scraper_ray.pipelines.queries import ann_topk_ivf_persisted
 
     out = ann_topk_ivf_persisted(str(tmp_path), n_probe=1)
-    from legislation_scraper_ray.pipelines.queries import _fingerprinted_store
+    from legislation_scraper_ray.pipelines.queries import (
+        _fingerprinted_store, _ivf_store_params,
+    )
 
     store, _, _ = _fingerprinted_store(f"{tmp_path}/embeddings.parquet",
-                                       "/tmp/graft_ivf")
+                                       "/tmp/graft_ivf",
+                                       params=_ivf_store_params(4096))
     # members of all cells, keyed by cell dir
     import pyarrow.dataset as pads
 
@@ -73,3 +79,27 @@ def test_narrow_probe_is_subset_scan(ray_session, tmp_path):
             members = ids
             break
     assert members, "returned neighbors are not contained in any single cell"
+
+
+def test_store_key_includes_build_params(tmp_path):
+    """ADVICE r3: the store fingerprint must fold in build parameters and a
+    code-version salt, so a different train_sample (or edited builder code)
+    can never silently reuse a stale index."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from legislation_scraper_ray.pipelines.queries import (
+        _fingerprinted_store, _ivf_store_params, _minhash_store_params,
+    )
+
+    pq_.write_table(pa.table({"x": [1]}), tmp_path / "embeddings.parquet")
+    src = f"{tmp_path}/embeddings.parquet"
+    s_a, _, _ = _fingerprinted_store(src, "/tmp/graft_ivf",
+                                     params=_ivf_store_params(4096))
+    s_b, _, _ = _fingerprinted_store(src, "/tmp/graft_ivf",
+                                     params=_ivf_store_params(2048))
+    s_c, _, _ = _fingerprinted_store(src, "/tmp/graft_ivf",
+                                     params=_ivf_store_params(4096))
+    assert s_a != s_b      # parameter change → new store
+    assert s_a == s_c      # same config → same store (reuse still works)
+    assert "code=" in _minhash_store_params()

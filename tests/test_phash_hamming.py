@@ -26,7 +26,8 @@ def test_phash_hamming_matches_bruteforce(ray_session):
     from legislation_scraper_ray.sources.corpus import generate
 
     corpus_dir = generate("t1")
-    got = phash_hamming_pairs("/root/testdata/sf0.001", max_dist=3)
+    got = (phash_hamming_pairs("/root/testdata/sf0.001", max_dist=3)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     want = _brute_pairs(corpus_dir, 3)
     assert len(got) == len(want)
     assert len(want) > 0, "t1 corpus must contain at least one near-dup pair"

@@ -112,3 +112,52 @@ def test_crosscorpus_pairs_planted_copies(ray_session, tmp_path):
     assert got == planted
     assert (out["jaccard"] == 1.0).all()
     pd.testing.assert_index_equal(out.columns, pd.Index(["new_doc", "base_doc", "jaccard"]))
+
+
+def test_semantic_dedup_near_threshold_boundary(ray_session, tmp_path):
+    """Recall at the THRESHOLD boundary (the vacuity ADVICE flagged: the
+    driver corpus has no near-dups, so its oracle pass proves nothing about
+    recall).  Plant 20 pairs JUST ABOVE threshold (7.5°, cos ≈ 0.99144) and
+    20 JUST BELOW (9.5°, cos ≈ 0.98629): every above-pair must be flagged
+    (at 8 bands the per-pair analytic miss probability is ≤ ~1e-3 — 20
+    independent pairs all passing pins band recall), and no below-pair may
+    be."""
+    rng = np.random.default_rng(17)
+    dim, n_pairs = 16, 20
+
+    def rotate(u, theta):
+        r = rng.standard_normal(len(u))
+        r -= (r @ u) * u
+        r /= np.linalg.norm(r)
+        return np.cos(theta) * u + np.sin(theta) * r
+
+    base = rng.standard_normal((2 * n_pairs, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    above = np.stack([rotate(base[i], np.deg2rad(7.5)) for i in range(n_pairs)])
+    below = np.stack([rotate(base[n_pairs + i], np.deg2rad(9.5))
+                      for i in range(n_pairs)])
+    sea = rng.standard_normal((200, dim))
+    sea /= np.linalg.norm(sea, axis=1, keepdims=True)
+    v = np.vstack([base, above, below, sea])
+    n = len(v)
+    cos_above = (base[:n_pairs] * above).sum(axis=1)
+    cos_below = (base[n_pairs:] * below).sum(axis=1)
+    assert (cos_above >= 0.99).all() and (cos_below < 0.99).all()
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(v.astype(float)), pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    from legislation_scraper_ray.pipelines.queries import semantic_dedup
+
+    flags = (semantic_dedup(str(tmp_path)).to_pandas()
+             .set_index("vec_id")["is_dup"].sort_index())
+    # exact brute-force ground truth over the whole planted table
+    sims = v @ v.T
+    expect = np.array([bool((sims[i, :i] >= 0.99).any()) for i in range(n)])
+    # above-threshold partners (ids 2n_pairs..3n_pairs-1) are all flagged
+    assert (flags.to_numpy().astype(bool) == expect).all()
+    assert (flags.loc[2 * n_pairs : 3 * n_pairs - 1] == 1).all()
+    # below-threshold partners must NOT be flagged by their planted base
+    # (expect[] already encodes any accidental sea collisions)
+    assert expect[2 * n_pairs : 3 * n_pairs].all()
