@@ -87,10 +87,20 @@ def main(argv: list[str] | None = None) -> int:
             sources = None
             if args.sources:
                 from .sources.base import REGISTRY
-                from .sources.corpus import generate_rest
+                from .sources.corpus import (
+                    generate_b64, generate_browser, generate_form, generate_rest,
+                    generate_speculative,
+                )
 
                 scale = args.scale or "t1"
-                dirs = {"synthetic": lambda: generate(scale), "rest": lambda: generate_rest(scale)}
+                dirs = {
+                    "synthetic": lambda: generate(scale),
+                    "rest": lambda: generate_rest(scale),
+                    "form": lambda: generate_form(scale),
+                    "paged": lambda: generate_speculative(scale),
+                    "b64": lambda: generate_b64(scale),
+                    "browser": lambda: generate_browser(scale),
+                }
                 sources = [REGISTRY[n](dirs[n]()) for n in args.sources.split(",")]
             res = run_crawl(corpus_dir, args.out, cfg, resume=args.resume,
                             sources=sources, recrawl=args.recrawl)

@@ -122,6 +122,30 @@ def simulate(corpus_dir: str, robots_disallow: dict | None = None) -> SimResult:
         res.n_waves = wave
         return res
 
+    if pagination == "browser":
+        # Click-through protocol (parana.py:127-156): pages past page 1 have
+        # no URL — the scraper opens the entry, clicks through the scripted
+        # DOM collecting links per page, then fetches all discovered docs.
+        # Clicks are not fetches: they never enter the seen set or lineage.
+        pages = pq.read_table(f"{corpus_dir}/browser_pages.parquet")
+        by_entry: dict[str, list[tuple[int, list[str]]]] = {}
+        for e, p, ls in zip(pages["entry_url"].to_pylist(),
+                            pages["page"].to_pylist(), pages["links"].to_pylist()):
+            by_entry.setdefault(e, []).append((int(p), list(ls or [])))
+        for seed in seed_rows:
+            entry = fetch(seed["url"], wave)
+            wave += 1
+            if entry is None:
+                continue
+            doc_links = [_resolve(entry["url"], u) for u in entry["out_links"]]
+            for _p, ls in sorted(by_entry.get(_canon(seed["url"]), [])):
+                doc_links.extend(_resolve(entry["url"], u) for u in ls)
+            for u in doc_links:
+                fetch(u, wave)
+            wave += 1
+        res.n_waves = wave
+        return res
+
     for seed in seed_rows:
         page1 = fetch(seed["url"], wave)
         if page1 is None:

@@ -166,6 +166,12 @@ class CrawlConfig:
     collect_stats: bool = False  # keep ds.stats() of each generation's pipeline
     ocr_threshold: int = 0
     keep_payloads: bool = False  # write decoded payload bytes into the doc sink
+    browser_pool: bool = False  # S3/T2 browser stand-in (r4): insert a
+    # BrowserExpand actor stage after fetch — one ScriptedBrowser handle per
+    # actor (state/browser.py) drives each OK entry listing through its
+    # scripted click-chain and merges the clicked pages' links into
+    # out_links.  Auto-enabled when any registered Source declares
+    # ``browser_pool = True``; lineage gains (pages_clicked, dom_token).
 
 
 @dataclass
@@ -351,13 +357,19 @@ def _run_crawl_inner(
     cfg = cfg or CrawlConfig()
     t_start = time.perf_counter()
     parse_listing_fn = parse_doc_fn = None
+    cfg._browser_pages_ref = None  # set below when a browser-pool source is active
     if sources:
         prepared, corpora = [], []
+        browser_tbls: list[pa.Table] = []
         delays_ms: dict[str, int] = {}
         offset = 0
         for s in sources:
             g, c, _m = _load_tables(s.corpus_dir)
             delays_ms.update(s.politeness())
+            if getattr(s, "browser_pool", False):
+                browser_tbls.append(
+                    pq.read_table(os.path.join(s.corpus_dir, "browser_pages.parquet"))
+                )
             p = prepare_web_cached(s.corpus_dir, g, c)
             if offset:
                 idx = p["image_idx"]
@@ -385,6 +397,11 @@ def _run_crawl_inner(
         frontier_default = pa.concat_tables(seed_tbls)
         parse_listing_fn = _make_dispatch(sources, "parse_listing")
         parse_doc_fn = _make_dispatch(sources, "parse_doc")
+        if browser_tbls:
+            cfg.browser_pool = True  # reflect source-driven auto-enable (lineage cols)
+            cfg._browser_pages_ref = ray.put(
+                pa.concat_tables(browser_tbls, promote_options="default")
+            )
     else:
         graph_ref, corpus_ref, manifest = stage_corpus(corpus_dir)
         delays_ms = manifest["robots_delay_ms"]
@@ -637,11 +654,17 @@ def _write_gen_lineage(fetched: rd.Dataset, out_dir: str, gen: int, cfg: CrawlCo
     lin_dir = os.path.join(out_dir, "lineage", f"gen={gen}")
     if os.path.exists(lin_dir):
         shutil.rmtree(lin_dir)
-    lin_cols = LINEAGE_COLUMNS + (["fetch_seq", "fetch_pid"] if cfg.host_affinity else [])
-    if cfg.session_tokens:
-        lin_cols = lin_cols + ["post_token"]
-    fetched.select_columns(lin_cols).write_parquet(lin_dir)
+    fetched.select_columns(_lineage_cols(cfg)).write_parquet(lin_dir)
     return lin_dir
+
+
+def _lineage_cols(cfg: CrawlConfig) -> list[str]:
+    cols = LINEAGE_COLUMNS + (["fetch_seq", "fetch_pid"] if cfg.host_affinity else [])
+    if cfg.session_tokens:
+        cols = cols + ["post_token"]
+    if getattr(cfg, "browser_pool", False):
+        cols = cols + ["pages_clicked", "dom_token"]
+    return cols
 
 
 def _derive_gen_stats(fetched: rd.Dataset, lin_dir: str | None):
@@ -954,6 +977,7 @@ def _bfs(
                     batch_format="pyarrow",
                     batch_size=bs_eff,
                 )
+            fetched = _browser_stage(fetched, cfg, bs_eff)
             fetched = fetched.map_batches(
                 lambda b, g=gen: b.append_column(
                     "generation", pa.array(np.full(b.num_rows, g, np.int32))
@@ -1172,7 +1196,7 @@ def _make_gen_sink(gen: int, out_dir: str, cfg: CrawlConfig, parse_listing_fn, p
             uid = uuid.uuid4().hex
             os.makedirs(lin_dir, exist_ok=True)
             pq.write_table(
-                batch.select(LINEAGE_COLUMNS),
+                batch.select(_lineage_cols(cfg)),
                 os.path.join(lin_dir, f"part-{uid}.parquet"),
             )
             if parse_doc_fn is not None:
@@ -1236,6 +1260,7 @@ def _gen_segment(
         chain = chain.map_batches(
             _make_fetch_fn(*fetch_args), batch_format="pyarrow", batch_size=bs_eff
         )
+    chain = _browser_stage(chain, cfg, bs_eff)
     return chain.map_batches(
         _make_gen_sink(gen, out_dir, cfg, parse_listing_fn, parse_doc_fn),
         batch_format="pyarrow",
@@ -1456,6 +1481,87 @@ def _make_host_fetch_fn(*fetch_args, session_shards: list | None = None):
         )
 
     return fetch_host
+
+
+# one live ScriptedBrowser per WORKER PROCESS (keyed by the click-chain ref):
+# the T2 "one driver per worker" semantic (base/scraper.py:134-171) WITHOUT an
+# actor-pool reservation — a per-generation-segment actor pool would add
+# min-pool CPU reservations per window segment and deadlock small sessions
+# (the repo's known fixed-pool gotcha; measured hang at num_cpus=4 with the
+# default 4-generation window).  ray.get of the pages table is a zero-copy
+# plasma view, so the cache only skips the per-batch index-dict build.
+_BROWSER_CACHE: dict = {}
+
+
+def _worker_browser(pages_ref):
+    b = _BROWSER_CACHE.get(pages_ref)
+    if b is None:
+        from ..state.browser import ScriptedBrowser
+
+        _BROWSER_CACHE.clear()  # refs from finished crawls: drop their pins
+        b = ScriptedBrowser(ray.get(pages_ref))
+        _BROWSER_CACHE[pages_ref] = b
+    return b
+
+
+def _make_browser_expand(pages_ref):
+    """Browser click-through expansion (S3/T2 stand-in): every OK listing row
+    whose URL is a click-through entry is driven ``open`` → ``click_next``\\*
+    through its scripted pagination (parana.py:127-156's 'próximo' loop) on
+    the worker's live ScriptedBrowser handle, and the clicked pages' links
+    are appended to the row's ``out_links`` so the ordinary frontier explode
+    sees them.  The per-entry loop is row-at-a-time BY PROTOCOL — each click
+    depends on the previous DOM state, exactly like a live browser — and
+    entries are listing-count-sized, never doc-sized.  Rows that aren't
+    browser entries (docs, other sources in a union crawl) pass through
+    untouched.  Adds audit columns: ``pages_clicked`` (0 for non-entries) and
+    ``dom_token`` (the final DOM state — lineage replays the chain to prove
+    no click was skipped or interleaved)."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        clicked = np.zeros(n, np.int32)
+        dom = np.zeros(n, np.uint64)
+        if n and "out_links" in batch.schema.names:
+            b = _worker_browser(pages_ref)
+            urls = batch["url"].to_pylist()
+            status = batch["status"].to_pylist()
+            kind = batch["kind"].to_pylist()
+            links_col = None
+            for i in range(n):
+                if status[i] != "ok" or kind[i] != "listing" or not b.is_entry(urls[i]):
+                    continue
+                if links_col is None:
+                    links_col = batch["out_links"].to_pylist()
+                b.open(urls[i])
+                extra: list[str] = []
+                while b.has_next():
+                    extra.extend(b.click_next())
+                links_col[i] = list(links_col[i] or []) + extra
+                clicked[i] = b.page - 1
+                dom[i] = b.dom_token
+            if links_col is not None:
+                batch = batch.set_column(
+                    batch.schema.get_field_index("out_links"), "out_links",
+                    pa.array(links_col, pa.list_(pa.string())),
+                )
+        return batch.append_column(
+            "pages_clicked", pa.array(clicked, pa.int32())
+        ).append_column("dom_token", pa.array(dom, pa.uint64()))
+
+    return expand
+
+
+def _browser_stage(fetched: rd.Dataset, cfg: CrawlConfig, bs_eff: int) -> rd.Dataset:
+    """Insert the click-through expansion when a browser-pool source is
+    active (no-op otherwise).  Task stage sharing ``bs_eff`` so it fuses onto
+    the fetch chain; handle state lives in the worker-process cache."""
+    bp_ref = getattr(cfg, "_browser_pages_ref", None)
+    if bp_ref is None:
+        return fetched
+    return fetched.map_batches(
+        _make_browser_expand(bp_ref), batch_format="pyarrow", batch_size=bs_eff
+    )
 
 
 # doc-sink columns produced by DecodeActor itself (not read from the fetch row)

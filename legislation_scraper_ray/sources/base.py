@@ -222,12 +222,36 @@ class Base64JsonSource(SyntheticCorpusSource):
     name: str = "b64"
 
 
+@dataclass
+class BrowserSource(SyntheticCorpusSource):
+    """Sixth registered source (r4): the Selenium browser-pool stand-in
+    (S3/T2) — result pages past page 1 have NO URL; enumerating a listing
+    means driving a stateful browser handle through the click-chain, one page
+    at a time (reference: the per-worker Selenium driver of
+    src/scraper/base/scraper.py:134-171,284-310 and the click-through
+    pagination loop of src/scraper/state_legislation/parana.py:127-156).
+
+    ``browser_pool = True`` makes ``run_crawl`` stage the corpus's
+    ``browser_pages.parquet`` click-chain and insert a BrowserExpand actor
+    stage after fetch: one ScriptedBrowser handle per actor (built once in
+    ``__init__`` — the T2 'model/driver handle' pattern), each OK entry
+    listing driven open → click_next*… sequentially, merged links feeding the
+    ordinary frontier explode.  Lineage gains ``pages_clicked`` +
+    ``dom_token`` audit columns, so tests can re-derive every click chain and
+    prove it never skipped or interleaved.  Corpus: corpus.generate_browser
+    (``js{i}.legis.example``)."""
+
+    name: str = "browser"
+    browser_pool: bool = True
+
+
 REGISTRY: dict[str, Callable[..., Source]] = {
     "synthetic": SyntheticCorpusSource,
     "rest": RestApiSource,
     "form": FormPostSource,
     "paged": SpeculativePagedSource,
     "b64": Base64JsonSource,
+    "browser": BrowserSource,
 }
 
 

@@ -136,7 +136,15 @@ def generate(scale: str, root: str | None = None, force: bool = False,
       and the NEXT page, and the chain ends at an EMPTY terminal page — the
       grow-until-empty protocol of espirito_santo.py:238-269,
       minas_gerais.py:222-252 (the frontier must keep probing waves until an
-      empty page, so total pages is discovered, not read).
+      empty page, so total pages is discovered, not read);
+    - ``"browser"`` — pages past page 1 have NO URL AT ALL: only the entry
+      page is in the web graph (out_links = its own doc slice), and pages
+      2..P live in a side table ``browser_pages.parquet`` (entry_url, page,
+      dom_token, links) readable only by driving a ScriptedBrowser handle
+      through the click-chain (state/browser.py) — the Selenium click-through
+      protocol of parana.py:127-156.  Click pages carry no fail modes (the
+      scripted DOM renders deterministically once reached); entry listings
+      and docs fail like every other corpus.
 
     ``payload_encoding="b64json"`` stores every doc payload base64-encoded
     inside a JSON body (``{"doc": {"conteudo": "<b64>"}}``) and marks the doc
@@ -198,6 +206,7 @@ def generate(scale: str, root: str | None = None, force: bool = False,
     g_urls, g_hosts, g_kind, g_out, g_img, g_year, g_sit, g_typ = [], [], [], [], [], [], [], []
     g_subjects: list[list[int] | None] = []
     seed_rows = []
+    browser_rows: list[dict] = []  # pagination == "browser": pages 2..P
     doc_counter = 0
     for hi, host in enumerate(hosts):
         # spread the host's docs over (year, situation, type) cells, deterministic
@@ -230,6 +239,49 @@ def generate(scale: str, root: str | None = None, force: bool = False,
                     doc_urls = []
                     for d in range(nd):
                         doc_urls.append(f"https://{host}/doc/{year}/{typ}/{sit}/{doc_counter + d}")
+                    if pagination == "browser":
+                        # click-through protocol: ONLY the entry page has a
+                        # URL; pages 2..P live in the browser_pages side
+                        # table, gated by the scripted DOM token chain
+                        from ..state.browser import advance_dom, seed_dom
+
+                        entry = listing_urls[0]
+                        g_urls.append(entry)
+                        g_hosts.append(host)
+                        g_kind.append("listing")
+                        g_out.append(doc_urls[: spec.per_page])
+                        g_img.append(None)
+                        g_year.append(year)
+                        g_sit.append(sit)
+                        g_typ.append(typ)
+                        g_subjects.append(None)
+                        dom = seed_dom(entry)
+                        for p in range(1, len(listing_urls)):
+                            links = doc_urls[p * spec.per_page : (p + 1) * spec.per_page]
+                            if spec.dup_link_frac > 0:
+                                prev = doc_urls[(p - 1) * spec.per_page : p * spec.per_page]
+                                k = int(len(prev) * spec.dup_link_frac)
+                                if k:
+                                    links = list(rng.choice(prev, size=k, replace=False)) + links
+                            dom = advance_dom(dom, p + 1)
+                            browser_rows.append(
+                                {"entry_url": entry, "page": p + 1,
+                                 "dom_token": dom, "links": links}
+                            )
+                        for d, durl in enumerate(doc_urls):
+                            g_urls.append(durl)
+                            g_hosts.append(host)
+                            g_kind.append("doc")
+                            g_out.append([])
+                            g_img.append(f"img_{(doc_counter + d) % spec.n_images:08d}")
+                            g_year.append(year)
+                            g_sit.append(sit)
+                            g_typ.append(typ)
+                            g_subjects.append(
+                                rng.integers(0, 50, size=int(rng.integers(1, 4))).tolist()
+                            )
+                        doc_counter += nd
+                        continue
                     # page p's out_links = its slice of docs (+ all other listing pages on p1:
                     # the count-probe fan-out, scrape.py:267-285; speculative: + next page only)
                     for p, lurl in enumerate(listing_urls):
@@ -295,6 +347,19 @@ def generate(scale: str, root: str | None = None, force: bool = False,
             [payload_encoding if k == "doc" else None for k in g_kind], pa.string()
         )
     pq.write_table(pa.table(graph_cols), os.path.join(out, "web_graph.parquet"))
+
+    if pagination == "browser":
+        pq.write_table(
+            pa.table(
+                {
+                    "entry_url": pa.array([r["entry_url"] for r in browser_rows], pa.string()),
+                    "page": pa.array([r["page"] for r in browser_rows], pa.int32()),
+                    "dom_token": pa.array([r["dom_token"] for r in browser_rows], pa.uint64()),
+                    "links": pa.array([r["links"] for r in browser_rows], pa.list_(pa.string())),
+                }
+            ),
+            os.path.join(out, "browser_pages.parquet"),
+        )
 
     # ---- seeds (F2): priority = lexicographic (year, situation_idx, type_idx) — O2 ----
     year0 = spec.years[0]
@@ -545,6 +610,18 @@ def generate_b64(scale: str, root: str | None = None, force: bool = False) -> st
     ``b64h{i}.legis.example`` host namespace."""
     return generate(scale, root=root, force=force, host_prefix="b64h",
                     variant="b64", payload_encoding="b64json")
+
+
+def generate_browser(scale: str, root: str | None = None, force: bool = False) -> str:
+    """Corpus for the Selenium-stand-in browser source (S3/T2): result pages
+    past page 1 have NO URL — they exist only as scripted-DOM states reachable
+    by clicking through from the entry page (state/browser.py; reference:
+    parana.py:127-156 drives a live driver through 'próximo' clicks).  The web
+    graph holds only entry listings (+ docs); ``browser_pages.parquet`` holds
+    the click-chain (entry_url, page, dom_token, links).  Disjoint
+    ``js{i}.legis.example`` host namespace."""
+    return generate(scale, root=root, force=force, host_prefix="js",
+                    variant="browser", pagination="browser")
 
 
 def corpus_dir_for_sf(sf_dir: str) -> str:
