@@ -3613,6 +3613,15 @@ def _ub_to_i64(expr: str) -> str:
             f"ELSE CAST(({expr}) AS BIGINT) END")
 
 
+# These five oracles read the sf0.01 (t2) image corpus by absolute path, so
+# they are only VALID when the engine side also runs at sf0.01 (the driver's
+# conformance scale).  scripts/check_oracles.py downgrades them to rows-only
+# at other scales instead of comparing apples to a different corpus.
+ORACLE_SF01_ONLY = {
+    "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
+    "aspect_bucket_stats", "caption_reuse_stats",
+}
+
 ORACLE_SQL.update({
     # all-pairs Hamming ≤ 3 over the 64-bit phash (int64 two's-complement
     # xor/bit_count == uint64 semantics), canonical id_a < id_b orientation

@@ -35,7 +35,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(4)
+            # width-normalize (float32 ROUND outputs from DuckDB FLOAT[] ops)
+            # but stay strict about int-vs-float KIND (the r3 rag_prep red row)
+            df[c] = df[c].astype("float64").round(4)
         if str(df[c].dtype).startswith("uint"):
             df[c] = df[c].astype("int64", errors="ignore")
         if str(df[c].dtype).startswith("datetime"):
@@ -57,6 +59,12 @@ def main():
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
+    # corpus-path oracles are pinned to the sf0.01 (t2) image corpus — at any
+    # other scale the engine reads a different corpus, so compare rows-only
+    if "sf0.01" not in sf_dir:
+        from legislation_scraper_ray.pipelines.queries import ORACLE_SF01_ONLY
+
+        sqls = {k: v for k, v in sqls.items() if k not in ORACLE_SF01_ONLY}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

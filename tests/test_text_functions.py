@@ -176,3 +176,77 @@ def test_bpe_train_token_counts_registry(ray_session):
                 memo[w] = bpe_encode_len(w, ranks)
             n += memo[w]
         assert got.loc[did, "n_bpe_tokens"] == n
+
+
+def test_bpe_invariants_cross_scale():
+    """VERDICT r3 #7: structural invariants beyond one-fixture parity —
+    (1) per-word token count is MONOTONE NON-INCREASING as merges accumulate
+        (a merge can only join adjacent symbols, never split them);
+    (2) length conservation: the concatenation of a word's BPE tokens always
+        reproduces the word + '</w>' (encode/decode round-trips exactly);
+    (3) token count bounds: 1 ≤ n_tokens ≤ len(word) + 1."""
+    import numpy as np
+
+    from legislation_scraper_ray.functions.text import bpe_encode_len, bpe_train
+
+    rng = np.random.default_rng(5)
+    alphabet = list("abcdef")
+    words = np.array(
+        ["".join(rng.choice(alphabet, rng.integers(1, 12))) for _ in range(120)]
+        + ["aaaa", "abab", "banana", "a"],
+        dtype=object,
+    )
+    counts = rng.integers(1, 50, size=len(words))
+
+    def encode_tokens(word, ranks):
+        # mirror bpe_encode_len but keep the token strings (for invariant 2)
+        seq = list(word) + ["</w>"]
+        while len(seq) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        return seq
+
+    prev_lens = None
+    for n_merges in (0, 2, 4, 8, 16, 32):
+        ranks = dict(bpe_train(words, counts, n_merges=n_merges))
+        lens = np.array([bpe_encode_len(w, ranks) for w in words])
+        # (3) bounds
+        assert (lens >= 1).all()
+        assert (lens <= np.array([len(w) + 1 for w in words])).all()
+        # (1) monotone under merge accumulation (bpe_train's merge list is a
+        # prefix-extension as n_merges grows: same deterministic tiebreak)
+        if prev_lens is not None:
+            assert (lens <= prev_lens).all()
+        prev_lens = lens
+        # (2) exact round-trip for every word
+        for w in words:
+            toks = encode_tokens(w, ranks)
+            assert "".join(toks) == w + "</w>", (w, n_merges)
+            assert len(toks) == bpe_encode_len(w, ranks)
+    # with enough merges the most frequent short words collapse to 1 token
+    assert prev_lens is not None and (prev_lens == 1).any()
+
+
+def test_bpe_merge_list_prefix_stable():
+    """Training with more merges extends the merge list without reordering
+    the earlier ranks (required for the monotonicity invariant above and for
+    incremental vocab growth at scale)."""
+    import numpy as np
+
+    from legislation_scraper_ray.functions.text import bpe_train
+
+    rng = np.random.default_rng(9)
+    words = np.array(
+        ["".join(rng.choice(list("abcd"), rng.integers(2, 8))) for _ in range(60)],
+        dtype=object,
+    )
+    counts = rng.integers(1, 20, size=len(words))
+    m8 = bpe_train(words, counts, n_merges=8)
+    m16 = bpe_train(words, counts, n_merges=16)
+    assert m16[: len(m8)] == m8
