@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "minhash_dup_pairs",
     "ann_topk",
     "knn_join_embeddings",
+    "knn_join_cells",
     "dup_ngram_docs",
     "token_stats_docs",
 ]

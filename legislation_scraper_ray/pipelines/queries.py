@@ -3065,6 +3065,9 @@ QUERIES = {
     "crosscorpus_dup_pairs_incremental": crosscorpus_dup_pairs_incremental,
     "ann_topk": ann_topk,
     "knn_join_embeddings": knn_join_embeddings,
+    # the 100-TB branch FORCED (cell co-partition + verify-expand), registered
+    # separately so the driver checks its exactness against the same oracle
+    "knn_join_cells": _knn_join_cells,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
@@ -3612,6 +3615,9 @@ def _ub_to_i64(expr: str) -> str:
             f"THEN CAST(({expr})::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT) "
             f"ELSE CAST(({expr}) AS BIGINT) END")
 
+
+# the forced cell branch is EXACT — the ground truth is identical
+ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
 
 # These five oracles read the sf0.01 (t2) image corpus by absolute path, so
 # they are only VALID when the engine side also runs at sf0.01 (the driver's
