@@ -1447,16 +1447,22 @@ def _knn_join_cells(sf_dir: str, k: int = 5, n_probe: int = 8,
                               batch_size=4096).materialize()
 
     # per-cell pruning radius (min member cosine to centroid): per-batch
-    # arrow partials → one tiny groupby (≤ √n rows total)
-    mins = (assigned.map_batches(
-                lambda t: t.select(["cell", "mcos"]).group_by("cell")
-                           .aggregate([("mcos", "min")])
-                           .rename_columns(["cell", "p_m"]),
-                batch_format="pyarrow", batch_size=65536)
-            .groupby("cell").aggregate(Min("p_m", alias_name="min_cos"))
-            .to_pandas())
+    # arrow partials (≤ √n rows each) merged DRIVER-side with one scatter-min
+    # — the final combine is index-sized (√n ≤ ~10^5 even at 10^10 rows), so
+    # a Ray groupby here would pay an all-to-all's fixed cost for nothing
+    min_parts = ray.get(
+        assigned.map_batches(
+            lambda t: t.select(["cell", "mcos"]).group_by("cell")
+                       .aggregate([("mcos", "min")])
+                       .rename_columns(["cell", "p_m"]),
+            batch_format="pyarrow", batch_size=65536,
+        ).to_arrow_refs()
+    )
     min_cos = np.full(n_centroids, np.nan)
-    min_cos[mins["cell"].to_numpy().astype(np.int64)] = mins["min_cos"].to_numpy()
+    for mp in min_parts:
+        c = mp["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = mp["p_m"].to_numpy(zero_copy_only=False)
+        np.fmin.at(min_cos, c, v)  # fmin: NaN (unseen) loses to any value
     meta_ref = ray.put((np.ascontiguousarray(centroids.T), min_cos))
 
     index_parts = static_parts(assigned.drop_columns(["mcos"]), "cell",
