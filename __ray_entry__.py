@@ -48,4 +48,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from legislation_scraper_ray.pipelines.queries import ORACLE_SQL
 
+    # The five image-corpus oracles read the generated t2 corpus parquet by
+    # absolute path; make sure it exists even if the driver evaluates the SQL
+    # before the corresponding Ray query has generated it (generation is
+    # plain numpy+zlib — no Ray session needed — and cached after first use).
+    try:
+        from legislation_scraper_ray.sources.corpus import generate
+
+        generate("t2")
+    except Exception:
+        pass  # worst case: those five oracles fail exactly as without this
+
     return dict(ORACLE_SQL)
