@@ -2298,6 +2298,65 @@ def embedding_pca(sf_dir: str, k: int = 4):
     )
 
 
+def embedding_covariance(sf_dir: str, max_dim: int = 16):
+    """Feature covariance matrix (upper triangle, first ``max_dim`` dims) —
+    the SAME mergeable second-moment partials ``embedding_pca`` reduces over,
+    but emitted directly so the exchange stage has an exact SQL ground truth
+    (DuckDB ``covar_samp`` over the unnested list column): each batch ships
+    one (n, Σx, ΣxᵀX) row, a small partitioned merge sums them, and the
+    driver finishes with O(d²) arithmetic.  Data crosses the wire once as
+    O(d²) partials — the covariance/correlation-matrix shape that holds at
+    100 TB.  Output: (i, j, cov) for 0 ≤ i ≤ j < max_dim, sample (n−1)
+    normalization, rounded 6 on both sides."""
+    from ..functions.ann import _as_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"]).astype(np.float64)[:, :max_dim]
+        part = int(t["vec_id"][0].as_py()) % 32
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "n": pa.array([float(len(m))], pa.float64()),
+                "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "c": pa.array([(m.T @ m).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([float(np.sum(t["n"].to_numpy(zero_copy_only=False)))]),
+                "s": pa.array([np.sum(np.stack(t["s"].to_pylist()), axis=0)],
+                              pa.list_(pa.float64())),
+                "c": pa.array([np.sum(np.stack(t["c"].to_pylist()), axis=0)],
+                              pa.list_(pa.float64())),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    c = np.sum(np.stack(parts["c"].to_numpy()), axis=0)
+    d = len(s)
+    mean = s / n
+    cov = (c.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1.0)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame(
+        {
+            "i": pd.Series(iu, dtype="int64"),
+            "j": pd.Series(ju, dtype="int64"),
+            "cov": _round(cov[iu, ju], 6),
+        }
+    )
+
+
 def dup_clusters(sf_dir: str):
     """Duplicate-document clusters: MinHash near-dup pairs → connected
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
@@ -2471,8 +2530,9 @@ def caption_consistency_docs(sf_dir: str, corpus_dir: str | None = None):
     exactly).  One stateless vectorized ``map_batches``: compiled-regex
     extract (Arrow RE2 kernel) + integer compare; returns per-image
     (image_id, caption_id, consistent) flags plus never moves pixel bytes.
-    Rows-only (image corpus has no DuckDB view); pytest plants swapped
-    captions and asserts exactly those pairs flag 0."""
+    Oracle (r4): identical RE2 extract+compare in DuckDB over the generated
+    corpus parquet (sf0.01-gated like the other image oracles); pytest
+    additionally plants swapped captions and asserts exactly those flag 0."""
     from ..sources.corpus import corpus_dir_for_sf
 
     corpus_dir = corpus_dir or corpus_dir_for_sf(sf_dir)
@@ -3081,6 +3141,7 @@ QUERIES = {
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
     "embedding_pca": embedding_pca,
+    "embedding_covariance": embedding_covariance,
     "image_dup_by_phash": image_dup_by_phash,
     "caption_consistency_docs": caption_consistency_docs,
     "caption_reuse_stats": caption_reuse_stats,
@@ -3483,6 +3544,21 @@ ORACLE_SQL = {
                ROUND(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4) AS l2_norm
         FROM embeddings
     """,
+    # upper-triangle sample covariance over the first 16 dims; DuckDB unnests
+    # value+ordinal in lockstep, self-joins within vec_id (1-based -> 0-based)
+    "embedding_covariance": """
+        WITH u AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS idx,
+                   CAST(UNNEST(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        )
+        SELECT CAST(a.idx - 1 AS BIGINT) AS i, CAST(b.idx - 1 AS BIGINT) AS j,
+               ROUND(covar_samp(a.x, b.x), 6) AS cov
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.idx <= b.idx
+        WHERE a.idx <= 16 AND b.idx <= 16
+        GROUP BY 1, 2
+    """,
     "join_lineitem_orders": """
         SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                COUNT(*) AS n
@@ -3631,7 +3707,7 @@ ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
 # at other scales instead of comparing apples to a different corpus.
 ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
-    "aspect_bucket_stats", "caption_reuse_stats",
+    "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
 }
 
 ORACLE_SQL.update({
@@ -3712,6 +3788,21 @@ ORACLE_SQL.update({
             FROM c GROUP BY h HAVING COUNT(*) >= 2
         )
         SELECT {_ub_to_i64('h')} AS cap_hash, n_images, first_image_id FROM g
+    """,
+    # caption↔image consistency: both engines extract the numeric suffix with
+    # the SAME RE2 patterns (Arrow and DuckDB both use RE2); a non-match is
+    # NULL on both sides and flags consistent=0
+    "caption_consistency_docs": f"""
+        SELECT image_id,
+               TRY_CAST(NULLIF(regexp_extract(caption, '^Lei (\\d{{1,18}}) de', 1),
+                               '') AS BIGINT) AS caption_id,
+               CAST(COALESCE(
+                   TRY_CAST(NULLIF(regexp_extract(caption,
+                                   '^Lei (\\d{{1,18}}) de', 1), '') AS BIGINT)
+                   = TRY_CAST(NULLIF(regexp_extract(image_id,
+                                     '^img_(\\d{{1,18}})$', 1), '') AS BIGINT),
+                   FALSE) AS INTEGER) AS consistent
+        FROM read_parquet('{_CORPUS_T2}')
     """,
 })
 

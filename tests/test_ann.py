@@ -290,3 +290,20 @@ def test_embedding_pca_matches_numpy(ray_session):
         got["explained_var"].to_numpy(), evals[:6] / evals.sum(), atol=1e-5
     )
     assert (np.diff(got["eigenvalue"].to_numpy()) <= 1e-12).all()  # sorted desc
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """Mergeable second-moment partials == numpy full-table covariance
+    (upper triangle, first 16 dims, sample normalization)."""
+    from legislation_scraper_ray.pipelines.queries import embedding_covariance
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_covariance(sf)
+    df = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)[:, :16]
+    cov = np.cov(m, rowvar=False)
+    iu, ju = np.triu_indices(16)
+    assert len(got) == 16 * 17 // 2
+    key = got.sort_values(["i", "j"]).reset_index(drop=True)
+    assert (key["i"].to_numpy() == iu).all() and (key["j"].to_numpy() == ju).all()
+    assert np.allclose(key["cov"].to_numpy(), cov[iu, ju], atol=2e-6)
