@@ -56,18 +56,31 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--num-cpus", type=int, default=8)
 
+    for s in (c, k, q):
+        s.add_argument(
+            "--address", default=None,
+            help="Ray cluster address (default: $RAY_ADDRESS or a fresh "
+                 "local session).  Under `ray job submit` leave unset — the "
+                 "job runtime exports RAY_ADDRESS and the CLI joins the "
+                 "cluster instead of nesting a local one.")
+
     args = p.parse_args(argv)
+
+    import os
 
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
+        address = args.address or os.environ.get("RAY_ADDRESS") or "local"
+        kwargs = dict(
+            address=address,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":  # num_cpus is only valid when starting a session
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

@@ -9,7 +9,18 @@ import ray.data as rd
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned lazy read of one input table.  Routed through the
+    Lance-or-parquet adapter: a ``<table>.lance`` dataset directory next to
+    (or instead of) the parquet file wins when the Lance runtime is present,
+    so the same pipelines run unchanged over the north-star Lance corpora."""
+    import os
+
+    from ..sources.table_io import read_table
+
+    lance_dir = f"{sf_dir}/{table}.lance"
+    if os.path.isdir(lance_dir):
+        return read_table(lance_dir, columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round(x, n: int):
