@@ -2619,9 +2619,10 @@ def image_training_prep(sf_dir: str, psnr_min: float = 40.0, min_side: int = 32,
     manifest from one partial-combine pass.  Every stage streams; driver
     state is the ladder×shards manifest.
 
-    Rows-only (the image corpus has no DuckDB view); pytest replays the
-    whole pipeline in pandas at a gate that actually drops rows and checks
-    the manifest cell-for-cell.
+    DuckDB oracle (r4, sf0.01-gated): the same gate → ROW_NUMBER-per-phash
+    dedup → ladder ROW_NUMBER → FNV-shard groupby over the t2 corpus
+    parquet; pytest additionally replays the whole pipeline in pandas at a
+    gate that actually drops rows and checks the manifest cell-for-cell.
 
     Reference analog: build_dataset.py's duplicate drop + validity gates
     feeding the dataset builder (/root/reference/src/datasets/
@@ -2854,10 +2855,17 @@ def audio_features(sf_dir: str):
         round_cols, batch_format="pyarrow")
 
 
-def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
-    """Distributed PageRank over the crawl corpus link graph (rows-only —
-    iterative float fixpoint, not SQL): rank the pages a crawler should
-    prioritize.
+def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
+                   round_to: int | None = 9):
+    """Distributed PageRank over the crawl corpus link graph: rank the pages
+    a crawler should prioritize.
+
+    The registered query rounds ranks to ``round_to`` dp (half-away, matching
+    SQL ROUND) so the driver's value hash can compare it against the unrolled
+    8-iteration DuckDB oracle — the engine-vs-SQL float divergence is ~1e-17
+    (different summation orders, contracted by damping) while the closest
+    rank to a 1e-9 rounding boundary sits ~3e-12 away, a 4×10^5 margin.
+    The numpy parity pytest calls with ``round_to=None`` and checks 1e-12.
 
     Scale shape — iterate ONLY the mutable state: the static edge and node
     relations are hash-partitioned ONCE into plasma ({part → ObjectRef} of
@@ -3053,6 +3061,8 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85):
     out = ranks.join(url_map, join_type="left_outer", num_partitions=4,
                      on=("node",)).to_pandas()
     out["rank"] = out["rank"].astype("float64")
+    if round_to is not None:
+        out["rank"] = _round(out["rank"], round_to)
     return (out.sort_values(["rank", "node"], ascending=[False, True])
             .reset_index(drop=True)[["url", "node", "rank"]])
 
@@ -3701,14 +3711,79 @@ def _ub_to_i64(expr: str) -> str:
 # the forced cell branch is EXACT — the ground truth is identical
 ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
 
-# These five oracles read the sf0.01 (t2) image corpus by absolute path, so
+# These oracles read the sf0.01 (t2) generated corpus by absolute path, so
 # they are only VALID when the engine side also runs at sf0.01 (the driver's
 # conformance scale).  scripts/check_oracles.py downgrades them to rows-only
 # at other scales instead of comparing apples to a different corpus.
 ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
+    "image_training_prep", "pagerank_pages",
 }
+
+_PREP_T2 = _os.path.join(
+    _os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus"),
+    "t2", "prepared_web.parquet")
+
+
+def _pagerank_sql(prep_path: str, n_iter: int = 8, d: float = 0.85,
+                  round_to: int = 9) -> str:
+    """Unrolled ``n_iter``-step PageRank in plain SQL (no recursion needed —
+    the iteration count is a fixed constant, so each step is one CTE).
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines plain CTEs at each
+    reference, and r_i referencing r_{i-1} twice (dangling scalar + flow
+    join) would otherwise blow the plan up 2^n_iter-fold (measured: >110 s
+    inlined vs 1.8 s materialized on the 5.7k-node t2 graph).  Node ids are
+    the engine's signed-int64 view of FNV-1a64(url); dangling mass and the
+    teleport base follow pagerank_pages exactly."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        prev = f"r{i-1}"
+        iters.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT n.node, n.has_out,
+                   (1.0 - {d}) / nn.n
+                   + {d} * (SELECT SUM(CASE WHEN has_out = 0 THEN rank
+                                            ELSE 0.0 END) FROM {prev}) / nn.n
+                   + {d} * COALESCE(f.f, 0.0) AS rank
+            FROM r0 n
+            LEFT JOIN (
+                SELECT e.dst AS node, SUM(e.w * r.rank) AS f
+                FROM edges e JOIN {prev} r ON r.node = e.src
+                GROUP BY e.dst
+            ) f ON f.node = n.node
+            CROSS JOIN nn
+        )""")
+    return f"""
+    WITH hashed AS MATERIALIZED (
+        SELECT {_ub_to_i64(f"({_fnv_sql('url')})::UBIGINT")} AS node,
+               url, out_links, len(out_links) AS outdeg
+        FROM read_parquet('{prep_path}')
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, {_ub_to_i64(f"({_fnv_sql('dst')})::UBIGINT")} AS dst, w
+        FROM (
+            SELECT node AS src, unnest(out_links) AS dst, 1.0 / outdeg AS w
+            FROM hashed WHERE outdeg > 0
+        )
+    ),
+    nodes AS MATERIALIZED (
+        SELECT node, MAX(has_out) AS has_out FROM (
+            SELECT node, CASE WHEN outdeg > 0 THEN 1 ELSE 0 END AS has_out
+            FROM hashed
+            UNION ALL
+            SELECT dst, 0 FROM edges
+        ) GROUP BY node
+    ),
+    nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, has_out, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+    ),
+    {",".join(iters)}
+    SELECT h.url AS url, r.node AS node, ROUND(r.rank, {round_to}) AS rank
+    FROM r{n_iter} r LEFT JOIN hashed h ON h.node = r.node
+    """
 
 ORACLE_SQL.update({
     # all-pairs Hamming ≤ 3 over the 64-bit phash (int64 two's-complement
@@ -3804,6 +3879,44 @@ ORACLE_SQL.update({
                    FALSE) AS INTEGER) AS consistent
         FROM read_parquet('{_CORPUS_T2}')
     """,
+    # the composed image flagship end-to-end: quality gate → first-wins
+    # phash dedup → nearest log-aspect ladder bucket → FNV shard → manifest
+    "image_training_prep": f"""
+        WITH gated AS (
+            SELECT image_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+                   phash
+            FROM read_parquet('{_CORPUS_T2}')
+            WHERE psnr_db >= 40.0 AND LEAST(w, h) >= 32
+              AND len(string_split(caption, ' ')) >= 2
+        ),
+        kept AS (
+            SELECT image_id, w, h FROM (
+                SELECT image_id, w, h,
+                       ROW_NUMBER() OVER (PARTITION BY phash
+                                          ORDER BY image_id) AS rn
+                FROM gated
+            ) WHERE rn = 1
+        ),
+        lad(idx, bucket, r) AS (
+            VALUES (0, '1:1', 1.0), (1, '4:3', 4.0/3.0), (2, '3:4', 3.0/4.0),
+                   (3, '16:9', 16.0/9.0), (4, '9:16', 9.0/16.0)
+        ),
+        ranked AS (
+            SELECT kept.image_id, kept.w, kept.h, lad.bucket,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY kept.image_id
+                       ORDER BY abs(ln(kept.w / kept.h) - ln(lad.r)), lad.idx
+                   ) AS rn
+            FROM kept CROSS JOIN lad
+        )
+        SELECT bucket,
+               CAST(({_fnv_sql('image_id')})::UBIGINT % 8 AS BIGINT) AS shard,
+               COUNT(*) AS n,
+               ROUND(AVG(w), 2) AS mean_w, ROUND(AVG(h), 2) AS mean_h
+        FROM ranked WHERE rn = 1
+        GROUP BY bucket, shard
+    """,
+    "pagerank_pages": _pagerank_sql(_PREP_T2),
 })
 
 # analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,

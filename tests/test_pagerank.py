@@ -40,7 +40,7 @@ def test_pagerank_matches_dense(ray_session):
     from legislation_scraper_ray.sources.corpus import generate
 
     corpus_dir = generate("t1")
-    got = pagerank_pages("/root/testdata/sf0.001", n_iter=8)
+    got = pagerank_pages("/root/testdata/sf0.001", n_iter=8, round_to=None)
     node_ids, r = _dense_pagerank(corpus_dir, n_iter=8, d=0.85)
     assert len(got) == len(node_ids)
     assert abs(got["rank"].sum() - 1.0) < 1e-9          # probability mass conserved
