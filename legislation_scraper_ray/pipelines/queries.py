@@ -3067,6 +3067,249 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
             .reset_index(drop=True)[["url", "node", "rank"]])
 
 
+def _run_pairs(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run (i, j) index pairs (i < j, global indices into the
+    run-sorted row order) for runs of the given lengths — fully vectorized
+    (no Python loop over runs): each row at local position p in a run of
+    length c is the left element of (c-1-p) pairs with the rows right after
+    it, so the pair list is one ``repeat`` + one offset ``arange``."""
+    n = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    local_pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    reps = np.repeat(counts, counts) - 1 - local_pos
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    i_idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    block_start = np.cumsum(reps) - reps
+    offset = np.arange(total, dtype=np.int64) - np.repeat(block_start, reps)
+    return i_idx, i_idx + 1 + offset
+
+
+def link_triangles(sf_dir: str):
+    """Exact distributed triangle counting over the undirected crawl link
+    graph: per-node triangle participation (how many 3-cliques each page
+    sits in) — the classic graph-locality signal a crawl scheduler or
+    spam-detector computes over a web graph.
+
+    Scale shape (the MapReduce node-iterator++ / "compact-forward" layout):
+    1. canonical distinct edges (a<b on the 64-bit url hash; ids-only,
+       payloads never move) via one hash-partitioned dedup;
+    2. degree table from one partial-count pass; degrees attach to both
+       endpoints through two partitioned merges (no broadcast — the degree
+       table is node-sized);
+    3. edges orient low-degree → high-degree (ties by id), bounding every
+       out-neighborhood by O(√m), so wedge generation is Σ d_out(d_out-1)/2
+       — the provably output-efficient enumeration order;
+    4. wedges (apex's neighbor pairs, vectorized run-pair emission) meet the
+       edge set in a side-tagged union keyed on the wedge's (a) endpoint —
+       a pandas hash-merge per partition confirms closing edges;
+    5. each matched wedge is exactly ONE triangle (in a degree-acyclic
+       orientation each triangle has a unique out-degree-2 apex), so
+       per-node counts are one explode + partial-count + tiny groupby.
+
+    Exchanges carry only int64 ids; the url map joins back on the
+    output-sized triangle-node set.  DuckDB oracle: 3-way self-join over
+    the distinct undirected edge list (sf0.01-gated corpus path).
+
+    Reference analog: link-graph post-processing over the scraper's
+    discovered listing→doc edges (/root/reference/src/scraper/base/
+    scraper.py:469-485 orders crawl work heuristically; triangle density is
+    the standard structural upgrade)."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    pages = rd.read_parquet(f"{corpus_dir}/prepared_web.parquet",
+                            columns=["url", "out_links"])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        src = hash64(t["url"])[parents]
+        dst = hash64(pc.list_flatten(links))
+        keep = src != dst  # self-links are not triangle material
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)  # canonical on the uint64 order
+        b = np.maximum(src, dst)
+        return pa.table({"a": pa.array(a.view(np.int64), pa.int64()),
+                         "b": pa.array(b.view(np.int64), pa.int64())})
+
+    def dedup_edges(part_df: pd.DataFrame) -> pd.DataFrame:
+        return part_df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
+                               batch_size=4096)
+             .map_batches(_add_part("a"), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_edges, batch_format="pandas")
+             .materialize())
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                               t["b"].to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": pa.array(node, pa.int64()),
+                       "one": pa.array(np.ones(len(node), np.int64))})
+             .group_by("node").aggregate([("one", "sum")]))
+        return g.rename_columns(["node", "p_deg"])
+
+    degrees = (edges.map_batches(degree_partial, batch_format="pyarrow",
+                                 batch_size=65536)
+               .groupby("node").aggregate(Sum("p_deg", alias_name="deg")))
+
+    # attach deg to both endpoints: two side-tagged partitioned merges (the
+    # degree table is node-sized — never broadcast).  Side 0 = degree rows
+    # (key, deg); side 1 = edge rows (key, other, deg_other_so_far).  Int
+    # columns carry 0-SENTINELS on the side that lacks them, never nulls —
+    # a null-bearing int64 column becomes float64 in the pandas map_groups
+    # conversion and corrupts 64-bit hash keys > 2^53 (CLAUDE.md gotcha);
+    # the int8 ``side`` column is the discriminator.
+    def _attach(edge_ds, key_col: str, other_col: str, carry: list[str]):
+        def tag_deg(t: pa.Table) -> pa.Table:
+            zero = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({"k": t["node"], "side": pa.array(
+                np.zeros(t.num_rows, np.int8)), "deg_v": t["deg"],
+                **{c: zero for c in [other_col, *carry]}})
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"k": t[key_col], "side": pa.array(
+                np.ones(t.num_rows, np.int8)),
+                "deg_v": pa.array(np.zeros(t.num_rows, np.int64)),
+                other_col: t[other_col],
+                **{c: t[c] for c in carry}})
+
+        def merge(part_df: pd.DataFrame) -> pd.DataFrame:
+            d = part_df[part_df["side"] == 0][["k", "deg_v"]]
+            e = part_df[part_df["side"] == 1].drop(columns=["deg_v", "side",
+                                                            "part"])
+            m = e.merge(d, on="k", how="left")
+            out = m.rename(columns={"k": key_col,
+                                    "deg_v": f"deg_{key_col}"})
+            cols = [key_col, other_col, *carry, f"deg_{key_col}"]
+            return out[cols].astype({f"deg_{key_col}": "int64"})
+
+        tagged = (degrees.map_batches(tag_deg, batch_format="pyarrow")
+                  .union(edge_ds.map_batches(tag_edge, batch_format="pyarrow"))
+                  .map_batches(_add_part("k"), batch_format="pyarrow"))
+        return tagged.groupby("part").map_groups(merge, batch_format="pandas")
+
+    e_a = _attach(edges, "a", "b", [])
+    e_ab = _attach(e_a, "b", "a", ["deg_a"])
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        da = t["deg_a"].to_numpy(zero_copy_only=False)
+        db = t["deg_b"].to_numpy(zero_copy_only=False)
+        # low-degree endpoint first; ties keep the canonical (a<b) order
+        a_first = da <= db
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    oriented = e_ab.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_rows(part_df: pd.DataFrame) -> pd.DataFrame:
+        """Group = all oriented edges whose src hashes to this part: emit
+        each apex's out-neighbor pairs as candidate closing edges."""
+        part_df = part_df.sort_values(["src", "dst"])
+        src = part_df["src"].to_numpy()
+        dst = part_df["dst"].to_numpy()
+        _, counts = np.unique(src, return_counts=True)
+        i_idx, j_idx = _run_pairs(counts)
+        c1 = dst[i_idx]
+        c2 = dst[j_idx]
+        wa = np.minimum(c1.view(np.uint64), c2.view(np.uint64))
+        wb = np.maximum(c1.view(np.uint64), c2.view(np.uint64))
+        return pd.DataFrame({"a": wa.view(np.int64), "b": wb.view(np.int64),
+                             "apex": src[i_idx]})
+
+    wedges = (oriented.map_batches(_add_part("src"), batch_format="pyarrow")
+              .groupby("part").map_groups(wedge_rows, batch_format="pandas"))
+
+    # side-tagged wedge ↔ edge match keyed on the wedge's low endpoint
+    # (apex carries a 0-sentinel on the edge side — same null-int64 rule)
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "apex": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_w(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"], "apex": t["apex"],
+                         "side": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def match(part_df: pd.DataFrame) -> pd.DataFrame:
+        e = part_df[part_df["side"] == 0][["a", "b"]]
+        w = part_df[part_df["side"] == 1][["a", "b", "apex"]]
+        if not len(e) or not len(w):
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "z": pd.Series([], dtype="int64")})
+        m = w.merge(e, on=["a", "b"], how="inner")
+        return pd.DataFrame({"x": m["apex"].astype("int64"),
+                             "y": m["a"].astype("int64"),
+                             "z": m["b"].astype("int64")})
+
+    tagged = (edges.map_batches(tag_e, batch_format="pyarrow")
+              .union(wedges.map_batches(tag_w, batch_format="pyarrow"))
+              .map_batches(_add_part("a"), batch_format="pyarrow"))
+    tris = tagged.groupby("part").map_groups(match, batch_format="pandas")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        node = np.concatenate([t["x"].to_numpy(zero_copy_only=False),
+                               t["y"].to_numpy(zero_copy_only=False),
+                               t["z"].to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": pa.array(node, pa.int64()),
+                       "one": pa.array(np.ones(len(node), np.int64))})
+             .group_by("node").aggregate([("one", "sum")]))
+        return g.rename_columns(["node", "p_n"])
+
+    counts = (tris.map_batches(count_partial, batch_format="pyarrow",
+                               batch_size=65536)
+              .groupby("node").aggregate(Sum("p_n", alias_name="n_triangles")))
+
+    # url map-back on the output-sized triangle-node set: side-tagged
+    # partitioned merge (Dataset.join's empty-hash-partition crash bites
+    # exactly this sparse-side shape — CLAUDE.md r3)
+    url_map = pages.map_batches(
+        lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64),
+                                             pa.int64()),
+                            "url": t["url"]}), batch_format="pyarrow")
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "url": t["url"],
+                         "n_v": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_c(t: pa.Table) -> pa.Table:
+        # n_v is a small count (float64 roundtrip-safe), but keep the
+        # 0-sentinel convention anyway; url stays a nullable string.
+        return pa.table({"node": t["node"],
+                         "url": pa.nulls(t.num_rows, pa.string()),
+                         "n_v": t["n_triangles"],
+                         "side": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def merge_url(part_df: pd.DataFrame) -> pd.DataFrame:
+        c = part_df[part_df["side"] == 1][["node", "n_v"]]
+        if not len(c):
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "n_triangles": pd.Series([], dtype="int64")})
+        u = part_df[part_df["side"] == 0][["node", "url"]]
+        m = c.merge(u, on="node", how="left")
+        return pd.DataFrame({"url": m["url"],
+                             "n_triangles": m["n_v"].astype("int64")})
+
+    out = (url_map.map_batches(tag_u, batch_format="pyarrow")
+           .union(counts.map_batches(tag_c, batch_format="pyarrow"))
+           .map_batches(_add_part("node"), batch_format="pyarrow")
+           .groupby("part").map_groups(merge_url, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["n_triangles", "url"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
 # --------------------------------------------------------------------------
 # crawl-engine queries (non-SQL; verified by pytest parity + rows-only checks)
 # --------------------------------------------------------------------------
@@ -3161,6 +3404,7 @@ QUERIES = {
     "phash_hamming_pairs": phash_hamming_pairs,
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,
+    "link_triangles": link_triangles,
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
@@ -3718,7 +3962,7 @@ ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
 ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
-    "image_training_prep", "pagerank_pages",
+    "image_training_prep", "pagerank_pages", "link_triangles",
 }
 
 _PREP_T2 = _os.path.join(
@@ -3917,6 +4161,31 @@ ORACLE_SQL.update({
         GROUP BY bucket, shard
     """,
     "pagerank_pages": _pagerank_sql(_PREP_T2),
+    # exact per-node triangle participation: 3-way self-join over the
+    # distinct undirected edge list (orientation-free ground truth — the
+    # engine's degree-orientation is an enumeration order, not a semantic)
+    "link_triangles": f"""
+        WITH p AS (
+            SELECT url, unnest(out_links) AS dst
+            FROM read_parquet('{_PREP_T2}')
+        ),
+        u AS (
+            SELECT DISTINCT LEAST(url, dst) AS a, GREATEST(url, dst) AS b
+            FROM p WHERE url <> dst
+        ),
+        t AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM u e1
+            JOIN u e2 ON e2.a = e1.b
+            JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        n AS (
+            SELECT x AS url FROM t
+            UNION ALL SELECT y FROM t
+            UNION ALL SELECT z FROM t
+        )
+        SELECT url, COUNT(*) AS n_triangles FROM n GROUP BY url
+    """,
 })
 
 # analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,
