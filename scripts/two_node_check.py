@@ -15,8 +15,10 @@ What it proves:
    single-node parity sets exactly (docs, errors, seen URL set);
 3. fetch/decode tasks demonstrably executed on BOTH nodes
    (ray.util.state.list_tasks node attribution);
-4. the cell-partitioned kNN (plasma-partitioned static side + exchanges) and
-   two oracle queries match DuckDB bit-for-bit on the same cluster.
+4. the cell-partitioned kNN (plasma-partitioned static side + exchanges), the
+   graph suite (pagerank / HITS static_parts iteration, triangle partitioned
+   merges) and the broadcast/shuffle oracle queries match DuckDB on the same
+   cluster.
 
 Run: python scripts/two_node_check.py   (~2-3 min; prints one JSON line)
 Documented in BASELINE.md §two-node evidence.
@@ -155,7 +157,12 @@ def main():
         return df.sort_values(list(df.columns), ignore_index=True)
 
     q_ok = {}
-    for name in ("supplier_revenue", "minhash_dup_pairs", "knn_join_embeddings"):
+    for name in ("supplier_revenue", "minhash_dup_pairs", "knn_join_embeddings",
+                 # graph suite: pagerank + HITS iterate plasma static_parts
+                 # (per-part ObjectRefs fetched via part_cache_get — here a
+                 # genuine cross-object-store read), triangles exercise the
+                 # side-tagged partitioned merges
+                 "pagerank_pages", "hits_pages", "link_triangles"):
         mine = qs[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
