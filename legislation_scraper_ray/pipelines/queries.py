@@ -2888,7 +2888,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
     from ..sources.corpus import corpus_dir_for_sf
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
-    pages = rd.read_parquet(f"{corpus_dir}/prepared_web.parquet",
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
     def explode_edges(t: pa.Table) -> pa.Table:
@@ -3120,7 +3120,7 @@ def link_triangles(sf_dir: str):
     from ..sources.corpus import corpus_dir_for_sf
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
-    pages = rd.read_parquet(f"{corpus_dir}/prepared_web.parquet",
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -3341,7 +3341,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     from .common import static_parts
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
-    pages = rd.read_parquet(f"{corpus_dir}/prepared_web.parquet",
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
     def edge_rows(t: pa.Table) -> pa.Table:
@@ -4183,9 +4183,12 @@ ORACLE_SF01_ONLY = {
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
 }
 
-_PREP_T2 = _os.path.join(
+# the graph oracles read web_graph.parquet (written by generate() itself, so
+# the oracle_sql() pre-generation fully covers them) — NOT prepared_web.parquet,
+# which only exists after a crawl has run at that scale (prepare_web_cached)
+_GRAPH_T2 = _os.path.join(
     _os.environ.get("GRAFT_CORPUS_CACHE", "/tmp/graft_corpus"),
-    "t2", "prepared_web.parquet")
+    "t2", "web_graph.parquet")
 
 
 def _pagerank_sql(prep_path: str, n_iter: int = 8, d: float = 0.85,
@@ -4442,14 +4445,14 @@ ORACLE_SQL.update({
         FROM ranked WHERE rn = 1
         GROUP BY bucket, shard
     """,
-    "pagerank_pages": _pagerank_sql(_PREP_T2),
+    "pagerank_pages": _pagerank_sql(_GRAPH_T2),
     # exact per-node triangle participation: 3-way self-join over the
     # distinct undirected edge list (orientation-free ground truth — the
     # engine's degree-orientation is an enumeration order, not a semantic)
     "link_triangles": f"""
         WITH p AS (
             SELECT url, unnest(out_links) AS dst
-            FROM read_parquet('{_PREP_T2}')
+            FROM read_parquet('{_GRAPH_T2}')
         ),
         u AS (
             SELECT DISTINCT LEAST(url, dst) AS a, GREATEST(url, dst) AS b
@@ -4468,7 +4471,7 @@ ORACLE_SQL.update({
         )
         SELECT url, COUNT(*) AS n_triangles FROM n GROUP BY url
     """,
-    "hits_pages": _hits_sql(_PREP_T2),
+    "hits_pages": _hits_sql(_GRAPH_T2),
 })
 
 # analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,

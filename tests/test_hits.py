@@ -10,7 +10,7 @@ import pyarrow.parquet as pq
 def _dense_hits(corpus_dir: str, n_iter: int):
     from legislation_scraper_ray.functions.hashing import hash64
 
-    t = pq.read_table(f"{corpus_dir}/prepared_web.parquet",
+    t = pq.read_table(f"{corpus_dir}/web_graph.parquet",
                       columns=["url", "out_links"])
     src_h = hash64(t["url"].combine_chunks())
     links = t["out_links"].combine_chunks()

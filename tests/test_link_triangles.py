@@ -11,7 +11,7 @@ import pyarrow.parquet as pq
 
 
 def _brute_triangles(corpus_dir: str) -> dict[str, int]:
-    t = pq.read_table(f"{corpus_dir}/prepared_web.parquet",
+    t = pq.read_table(f"{corpus_dir}/web_graph.parquet",
                       columns=["url", "out_links"])
     urls = t["url"].to_pylist()
     links = t["out_links"].combine_chunks()
