@@ -85,6 +85,23 @@ def _add_part(col: str, n_parts: int = 32):
     return add
 
 
+def session_parts(lo: int = 16, hi: int = 256) -> int:
+    """Exchange partition count sized to the session's CPU capacity (CLAUDE.md
+    r3 law: size pools/parts from ``ray.cluster_resources()``, not fixed
+    constants).  One part = one ``map_groups`` task, so a fixed 32 would cap
+    exchange parallelism on a big cluster and pay 32 tiny-task overheads in a
+    4-CPU pytest session.  Clamped: ``lo`` keeps key skew tolerable at tiny
+    scale, ``hi`` bounds the per-exchange task count (and the sentinel-row
+    union) at cluster scale."""
+    try:
+        import ray
+
+        cpu = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        return 32
+    return int(np.clip(cpu, lo, hi))
+
+
 def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
                  sort_by=None) -> dict:
     """Hash-partition a STATIC relation ONCE into plasma: one ``num_returns``

@@ -2926,10 +2926,14 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
         g = part_df.groupby("node", sort=False)["has_out"].max().reset_index()
         return g.astype({"node": "int64", "has_out": "int8"})
 
+    from .common import session_parts
+
+    n_parts = session_parts()  # one part = one map_groups task per exchange
+
     edges = pages.map_batches(explode_edges, batch_format="pyarrow",
                               batch_size=4096).materialize()
     nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
-             .map_batches(_add_part("node"), batch_format="pyarrow")
+             .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
              .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
              .materialize())
     n = nodes.count()
@@ -2949,7 +2953,6 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
 
     from .common import static_parts
 
-    n_parts = 32
     epoch = uuid.uuid4().hex  # scopes the worker-side part cache to this call
 
     edge_parts = static_parts(edges, "src_h", n_parts, sort_by=["src_h"])
@@ -3018,7 +3021,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
             batch_format="pyarrow").sum("s") or 0.0
         base = (1.0 - d) / n + d * dangling / n
 
-        contrib = (ranks.map_batches(_add_part("node"), batch_format="pyarrow")
+        contrib = (ranks.map_batches(_add_part("node", n_parts), batch_format="pyarrow")
                    .union(rank_sent)
                    .groupby("part").map_groups(flow_contribs, batch_format="pandas"))
 
@@ -3048,7 +3051,7 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
                 "rank": base + d * c,
             })
 
-        ranks = (contrib.map_batches(_add_part("key"), batch_format="pyarrow")
+        ranks = (contrib.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
                  .union(contrib_sent)
                  .groupby("part").map_groups(update, batch_format="pandas")
                  .repartition(n_state_blocks)
@@ -3119,7 +3122,10 @@ def link_triangles(sf_dir: str):
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
 
+    from .common import session_parts
+
     corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
     pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
@@ -3142,7 +3148,7 @@ def link_triangles(sf_dir: str):
 
     edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
                                batch_size=4096)
-             .map_batches(_add_part("a"), batch_format="pyarrow")
+             .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
              .groupby("part").map_groups(dedup_edges, batch_format="pandas")
              .materialize())
 
@@ -3191,7 +3197,7 @@ def link_triangles(sf_dir: str):
 
         tagged = (degrees.map_batches(tag_deg, batch_format="pyarrow")
                   .union(edge_ds.map_batches(tag_edge, batch_format="pyarrow"))
-                  .map_batches(_add_part("k"), batch_format="pyarrow"))
+                  .map_batches(_add_part("k", n_parts), batch_format="pyarrow"))
         return tagged.groupby("part").map_groups(merge, batch_format="pandas")
 
     e_a = _attach(edges, "a", "b", [])
@@ -3226,7 +3232,7 @@ def link_triangles(sf_dir: str):
         return pd.DataFrame({"a": wa.view(np.int64), "b": wb.view(np.int64),
                              "apex": src[i_idx]})
 
-    wedges = (oriented.map_batches(_add_part("src"), batch_format="pyarrow")
+    wedges = (oriented.map_batches(_add_part("src", n_parts), batch_format="pyarrow")
               .groupby("part").map_groups(wedge_rows, batch_format="pandas"))
 
     # side-tagged wedge ↔ edge match keyed on the wedge's low endpoint
@@ -3254,7 +3260,7 @@ def link_triangles(sf_dir: str):
 
     tagged = (edges.map_batches(tag_e, batch_format="pyarrow")
               .union(wedges.map_batches(tag_w, batch_format="pyarrow"))
-              .map_batches(_add_part("a"), batch_format="pyarrow"))
+              .map_batches(_add_part("a", n_parts), batch_format="pyarrow"))
     tris = tagged.groupby("part").map_groups(match, batch_format="pandas")
 
     def count_partial(t: pa.Table) -> pa.Table:
@@ -3303,7 +3309,7 @@ def link_triangles(sf_dir: str):
 
     out = (url_map.map_batches(tag_u, batch_format="pyarrow")
            .union(counts.map_batches(tag_c, batch_format="pyarrow"))
-           .map_batches(_add_part("node"), batch_format="pyarrow")
+           .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
            .groupby("part").map_groups(merge_url, batch_format="pandas")
            .to_pandas())
     return (out.sort_values(["n_triangles", "url"], ascending=[False, True])
@@ -3338,9 +3344,10 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
 
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
-    from .common import static_parts
+    from .common import session_parts, static_parts
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
     pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
@@ -3360,7 +3367,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
 
     edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
                                batch_size=4096)
-             .map_batches(_add_part("src"), batch_format="pyarrow")
+             .map_batches(_add_part("src", n_parts), batch_format="pyarrow")
              .groupby("part").map_groups(dedup_edges, batch_format="pandas")
              .materialize())
 
@@ -3378,11 +3385,10 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
 
     nodes = (pages.map_batches(node_rows, batch_format="pyarrow",
                                batch_size=4096)
-             .map_batches(_add_part("node"), batch_format="pyarrow")
+             .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
              .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
              .materialize())
 
-    n_parts = 32
     epoch = uuid.uuid4().hex
 
     e_by_src = static_parts(edges, "src", n_parts, sort_by=["src"])
@@ -3435,7 +3441,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
                 "key": et[emit_col].to_numpy(zero_copy_only=False),
                 "c": vals_sorted[pos]})
 
-        contrib = (state.map_batches(_add_part("node"), batch_format="pyarrow")
+        contrib = (state.map_batches(_add_part("node", n_parts), batch_format="pyarrow")
                    .union(score_sent)
                    .groupby("part").map_groups(flow, batch_format="pandas"))
 
@@ -3456,7 +3462,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
                 np.add.at(acc, pos, cs["c"].to_numpy())
             return pd.DataFrame({"node": node_arr, "v": acc})
 
-        raw = (contrib.map_batches(_add_part("key"), batch_format="pyarrow")
+        raw = (contrib.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
                .union(contrib_sent)
                .groupby("part").map_groups(scatter, batch_format="pandas")
                .repartition(n_state_blocks)
@@ -3517,7 +3523,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     out = (url_map.map_batches(tag(0, True), batch_format="pyarrow")
            .union(h.map_batches(tag(1, False), batch_format="pyarrow"))
            .union(a.map_batches(tag(2, False), batch_format="pyarrow"))
-           .map_batches(_add_part("node"), batch_format="pyarrow")
+           .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
            .groupby("part").map_groups(merge, batch_format="pandas")
            .to_pandas())
     if round_to is not None:
