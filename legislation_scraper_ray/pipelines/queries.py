@@ -138,34 +138,41 @@ def supplier_revenue(sf_dir: str):
 
     The dim table is ray.put once; each batch does a vectorized searchsorted
     lookup — no shuffle join for a 10-row dimension."""
+    import uuid
+
     supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
     order = pc.sort_indices(supp["s_suppkey"])
     keys = supp["s_suppkey"].take(order).to_numpy()
     names = np.asarray(supp["s_name"].take(order).to_pylist(), dtype=object)
     ref = ray.put((keys, names))
+    epoch = uuid.uuid4().hex
 
-    class JoinPartial:
-        def __init__(self):
-            self.keys, self.names = ray.get(ref)
+    # fused TASK stage + per-worker broadcast cache, not an actor pool: the
+    # handle carries no cross-batch state (a zero-copy plasma view), so a
+    # task pool is semantics-identical but skips the pool ramp-up and fuses
+    # with the read (CLAUDE.md r4: stateless-across-batches handles belong
+    # in task stages with part_cache_get, not min-reservation actor pools).
+    def join_partial(t: pa.Table, ref=ref, epoch=epoch) -> pa.Table:
+        from .common import part_cache_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.keys, sk)
-            pos = np.minimum(pos, len(self.keys) - 1)
-            # inner-join semantics: drop rows whose suppkey has no dim match
-            # (searchsorted alone would silently attribute them to a neighbor)
-            found = self.keys[pos] == sk
-            if not found.all():
-                t = t.filter(pa.array(found))
-                pos = pos[found]
-            sname = self.names[pos]
-            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            tt = pa.table({"s_name": pa.array(sname.tolist()), "rev": rev})
-            g = tt.group_by("s_name").aggregate([("rev", "sum"), ("rev", "count")])
-            return g.rename_columns(["s_name", "p_rev", "p_n"])
+        keys, names = part_cache_get(epoch, ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, sk)
+        pos = np.minimum(pos, len(keys) - 1)
+        # inner-join semantics: drop rows whose suppkey has no dim match
+        # (searchsorted alone would silently attribute them to a neighbor)
+        found = keys[pos] == sk
+        if not found.all():
+            t = t.filter(pa.array(found))
+            pos = pos[found]
+        sname = names[pos]
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        tt = pa.table({"s_name": pa.array(sname.tolist()), "rev": rev})
+        g = tt.group_by("s_name").aggregate([("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["s_name", "p_rev", "p_n"])
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-    parts = ds.map_batches(JoinPartial, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4), num_cpus=0.5)
+    parts = ds.map_batches(join_partial, batch_format="pyarrow", batch_size=65536)
     agg = parts.groupby("s_name").aggregate(
         Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n")
     )
@@ -1283,13 +1290,15 @@ def ann_topk(sf_dir: str, k: int = 10):
     ref = ray.put((np.array([0], dtype=np.int64), q))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(ref, k),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4), num_cpus=0.5,
-    )
+
+    # fused TASK stage: the handle is a broadcast (ids, matrix) tuple whose
+    # ray.get is zero-copy for the numpy sides — no cross-batch state, so a
+    # task pool fuses with the read and skips the actor-pool ramp
+    def bf_partials(t: pa.Table, ref=ref, k=k) -> pa.Table:
+        return BruteForceTopK(ray.get(ref), k)(t)
+
+    partials = ds.map_batches(bf_partials, batch_format="pyarrow",
+                              batch_size=4096)
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
     )
