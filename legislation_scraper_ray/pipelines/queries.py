@@ -38,7 +38,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 
-from .common import _add_part, _mul64_sql, _read, _round  # noqa: F401 (shared with analytics.py)
+from .common import _add_part, _mul64_sql, _read, _round, task_stage  # noqa: F401 (shared with analytics.py)
 
 
 # --------------------------------------------------------------------------
@@ -311,10 +311,8 @@ def quality_model_score_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     w_ref = ray.put(np.array([-2.0, 0.5, 3.0, 0.1], dtype=np.float64))
-    scored = ds.map_batches(
-        LogisticScore, fn_constructor_args=(w_ref,), batch_format="pyarrow",
-        batch_size=8192, concurrency=(1, 4), num_cpus=0.5,
-    )
+    scored = ds.map_batches(task_stage(LogisticScore, w_ref),
+                            batch_format="pyarrow", batch_size=8192)
 
     def finish(t: pa.Table) -> pa.Table:
         s = t["score"].to_numpy(zero_copy_only=False)
@@ -1735,8 +1733,8 @@ def revenue_by_nation(sf_dir: str):
                              "p_rev": pa.array(p_rev[nz], pa.float64()),
                              "p_n": pa.array(p_n[nz], pa.int64())})
 
-    agg = (lo.map_batches(DimJoinPartial, batch_format="pyarrow",
-                          batch_size=65536, concurrency=(1, 8))
+    agg = (lo.map_batches(task_stage(DimJoinPartial), batch_format="pyarrow",
+                          batch_size=65536)
            .groupby("nation")
            .aggregate(Sum("p_rev", alias_name="revenue"), Sum("p_n", alias_name="n")))
     df = agg.to_pandas()
@@ -2039,10 +2037,8 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cand = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
-    partials = cand.map_batches(
-        BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
-    )
+    partials = cand.map_batches(task_stage(BruteForceTopK, ref, k),
+                                batch_format="pyarrow", batch_size=4096)
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
     )
@@ -2079,10 +2075,8 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     probe = np.argsort(-(qn[0] @ centroids.T))[:n_probe]
     ref = ray.put((np.array([0], dtype=np.int64), qn, centroids, probe))
 
-    partials = ds.map_batches(
-        IVFTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
-    )
+    partials = ds.map_batches(task_stage(IVFTopK, ref, k),
+                              batch_format="pyarrow", batch_size=4096)
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
     )
@@ -2134,8 +2128,8 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
                 cell = (vecs @ self.cent.T).argmax(axis=1).astype(np.int32)
                 return t.append_column("cell", pa.array(cell, pa.int32()))
 
-        (ds.map_batches(AssignCell, batch_format="pyarrow", batch_size=4096,
-                        concurrency=(1, 4), num_cpus=0.5)
+        (ds.map_batches(task_stage(AssignCell), batch_format="pyarrow",
+                        batch_size=4096)
          .write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"]))
         np.save(os.path.join(tmp, "_centroids.npy"), centroids)
         publish(tmp)
@@ -2173,10 +2167,8 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
                                  "cos_sim": pd.Series([], dtype="float64"),
                                  "rank": pd.Series([], dtype="int64")})
     probed = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
-    partials = probed.map_batches(
-        BruteForceTopK, fn_constructor_args=(ref, k), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
-    )
+    partials = probed.map_batches(task_stage(BruteForceTopK, ref, k),
+                                  batch_format="pyarrow", batch_size=4096)
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
     )
@@ -2227,15 +2219,11 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
     probe_mask[probe] = True
 
     enc_ref = ray.put((centroids, books))
-    index = ds.map_batches(
-        PQEncode, fn_constructor_args=(enc_ref,), batch_format="pyarrow",
-        batch_size=4096, concurrency=(1, 4), num_cpus=0.5,
-    )
+    index = ds.map_batches(task_stage(PQEncode, enc_ref),
+                           batch_format="pyarrow", batch_size=4096)
     scan_ref = ray.put((np.array([0], dtype=np.int64), pq_lut(qn, books), probe_mask))
-    partials = index.map_batches(
-        PQScan, fn_constructor_args=(scan_ref, k), batch_format="pyarrow",
-        batch_size=65536, concurrency=(1, 4), num_cpus=0.5,
-    )
+    partials = index.map_batches(task_stage(PQScan, scan_ref, k),
+                                 batch_format="pyarrow", batch_size=65536)
     merged = partials.groupby("query_id").map_groups(
         lambda g: merge_topk(g, k), batch_format="pandas"
     )
@@ -2848,10 +2836,8 @@ def audio_features(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"])
     clips = ds.map_batches(synth, batch_format="pyarrow", batch_size=2048)
-    feats = clips.map_batches(
-        AudioFeatureActor, batch_format="pyarrow", batch_size=512,
-        concurrency=(1, 4), num_cpus=0.5,
-    )
+    feats = clips.map_batches(task_stage(AudioFeatureActor),
+                              batch_format="pyarrow", batch_size=512)
     def round_cols(t: pa.Table) -> pa.Table:
         for c in ("duration_ms", "rms", "zcr", "peak"):
             i = t.schema.get_field_index(c)
