@@ -302,7 +302,8 @@ def stopword_ratio_docs(sf_dir: str):
 def quality_model_score_docs(sf_dir: str):
     """Batched model inference: a logistic quality classifier scored
     vectorized per batch against a BROADCAST weight vector (``ray.put`` once,
-    ``ray.get`` once per actor in ``__init__`` — never per batch).  Emits
+    fetched once per WORKER via the task_stage instance cache — never
+    re-shipped per batch).  Emits
     (doc_id, score, keep); at 100 TB this is the stage where a real model
     handle replaces the 4-weight vector with zero pipeline changes.  Exact
     SQL oracle: the same feature formulas (whitespace tokens, stopword hits,
@@ -2812,8 +2813,8 @@ def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
 def audio_features(sf_dir: str):
     """Multimodal audio branch (rows-only — a sine's RMS is not SQL): one
     deterministic WAV clip per document row (sine wave parameterized by
-    splitmix64(doc_id)), decoded and featurized by the actor-pool
-    ``AudioFeatureActor``.  The synth stage stands in for a binary audio
+    splitmix64(doc_id)), decoded and featurized by ``AudioFeatureActor``
+    as a fused task stage (stateless handle — task_stage).  The synth stage stands in for a binary audio
     column arriving from a source; the decode/feature plumbing — real RIFF
     PCM16 payloads in an Arrow binary column, per-actor config, fixed
     per-clip feature schema — is the production shape.  Ground truth is
