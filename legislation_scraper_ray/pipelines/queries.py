@@ -3565,6 +3565,58 @@ def crawl_seen_set(sf_dir: str):
     return tbl.sort_by("url_hash")
 
 
+def crawl_reachability(sf_dir: str):
+    """Crawl-protocol ground truth in SQL: run the full crawl in BFS order
+    with a 1-generation window and return the SQL-expressible lineage
+    projection (url_hash, host, kind, status, attempts, generation).
+
+    With ``pipeline_generations=1`` (the legacy per-generation barrier) a
+    URL's ``generation`` is exactly its BFS distance from the seed set where
+    expansion crosses only non-hard-error pages (an error page's links are
+    never parsed), and ``status``/``attempts`` are pure functions of
+    (fail_mode, url_hash) — so a recursive-CTE DuckDB oracle over
+    ``web_graph.parquet`` + ``seeds.parquet`` recomputes the ENTIRE crawl
+    protocol: seen-set dedup, retry budget, soft/hard error semantics, and
+    frontier expansion.  (The default 4-generation pipelined window is NOT
+    used here: its seen check races across overlapped generations, so a URL
+    discovered in two adjacent generations may carry the later label — sets
+    identical, attribution not.  ``crawl_seen_set`` keeps the full pipelined
+    lineage incl. politeness ``scheduled_ts``/``priority``, which are
+    scheduler state, not SQL.)
+
+    Reference analog: the resume scan of previously-saved docs
+    (/root/reference/src/scraper/base/scraper.py:373-420) trusts exactly this
+    invariant — that a crawl's reached set is a deterministic function of the
+    site graph and the error outcomes."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from ..sources.corpus import corpus_dir_for_sf
+    from .crawl import CrawlConfig, run_crawl
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    out = f"/tmp/graft_crawl_reach/{os.path.basename(corpus_dir)}"
+    n_cpu = int(ray.cluster_resources().get("CPU", 8))
+    fc = max(4, n_cpu - 2)
+    n_pages = pq.ParquetFile(f"{corpus_dir}/web_graph.parquet").metadata.num_rows
+    run_crawl(
+        corpus_dir, out,
+        CrawlConfig(n_seen_shards=4, fetch_concurrency=fc, compute="tasks",
+                    order="bfs", pipeline_generations=1,
+                    batch_size=int(np.clip(-(-n_pages // (3 * fc)), 4096, 16384)),
+                    checkpoint=False),
+    )
+    tbl = pads.dataset(f"{out}/lineage", partitioning="hive").to_table(
+        columns=["url_hash", "host", "kind", "status", "attempts", "generation"])
+    # int64 on both sides (the driver's value hash is width-sensitive)
+    tbl = tbl.set_column(tbl.schema.get_field_index("attempts"), "attempts",
+                         tbl["attempts"].cast(pa.int64()))
+    tbl = tbl.set_column(tbl.schema.get_field_index("generation"), "generation",
+                         tbl["generation"].cast(pa.int64()))
+    return tbl.sort_by("url_hash")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3636,6 +3688,7 @@ QUERIES = {
     "value_stats_by_type": value_stats_by_type,
     "distinct_flag_status": distinct_flag_status,
     "crawl_seen_set": crawl_seen_set,
+    "crawl_reachability": crawl_reachability,
 }
 
 _STOP_SQL = "('the','a','of','and','to','in')"
@@ -4183,6 +4236,7 @@ ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
+    "crawl_reachability",
 }
 
 # the graph oracles read web_graph.parquet (written by generate() itself, so
@@ -4250,6 +4304,47 @@ def _pagerank_sql(prep_path: str, n_iter: int = 8, d: float = 0.85,
     {",".join(iters)}
     SELECT h.url AS url, r.node AS node, ROUND(r.rank, {round_to}) AS rank
     FROM r{n_iter} r LEFT JOIN hashed h ON h.node = r.node
+    """
+
+
+def _reachability_sql(graph_path: str, seeds_path: str, max_gen: int = 64) -> str:
+    """The whole crawl protocol as one recursive CTE (see crawl_reachability):
+    BFS reach from the seed set expanding only non-hard-error pages, MIN(gen)
+    = the generation the engine's seen-set dedup fetches each URL at, and
+    status/attempts recomputed from (fail_mode, FNV-1a64(url)) exactly as
+    stages/fetch.py:177-185 does."""
+    fnv_url = f"({_fnv_sql('mg.url')})::UBIGINT"
+    return f"""
+    WITH RECURSIVE
+    g AS MATERIALIZED (
+        SELECT url, host, kind, out_links, fail_mode
+        FROM read_parquet('{graph_path}')
+    ),
+    reach(url, gen) AS (
+        SELECT url, 0 FROM read_parquet('{seeds_path}')
+        UNION
+        SELECT dst.dst, r.gen + 1
+        FROM reach r
+        JOIN g ON g.url = r.url
+        CROSS JOIN unnest(g.out_links) AS dst(dst)
+        WHERE (g.fail_mode IS NULL OR g.fail_mode <> 'hard_error')
+          AND r.gen < {max_gen}
+    ),
+    mg AS (SELECT url, MIN(gen) AS generation FROM reach GROUP BY url)
+    SELECT {fnv_url} AS url_hash,
+           g.host,
+           -- the engine only attaches graph columns to OK rows
+           -- (stages/fetch.py take with null indices on errors)
+           CASE WHEN g.fail_mode = 'hard_error' THEN NULL ELSE g.kind END
+               AS kind,
+           CASE WHEN g.fail_mode = 'hard_error' THEN 'error' ELSE 'ok' END
+               AS status,
+           CAST(CASE WHEN g.fail_mode IS NULL THEN 1
+                     WHEN g.fail_mode = 'hard_error' THEN 5
+                     ELSE 2 + CAST({fnv_url} % 3 AS INTEGER)
+                END AS BIGINT) AS attempts,
+           CAST(mg.generation AS BIGINT) AS generation
+    FROM mg JOIN g ON g.url = mg.url
     """
 
 
@@ -4448,6 +4543,8 @@ ORACLE_SQL.update({
         GROUP BY bucket, shard
     """,
     "pagerank_pages": _pagerank_sql(_GRAPH_T2),
+    "crawl_reachability": _reachability_sql(
+        _GRAPH_T2, _GRAPH_T2.replace("web_graph.parquet", "seeds.parquet")),
     # exact per-node triangle participation: 3-way self-join over the
     # distinct undirected edge list (orientation-free ground truth — the
     # engine's degree-orientation is an enumeration order, not a semantic)
