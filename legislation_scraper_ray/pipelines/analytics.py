@@ -460,6 +460,51 @@ def shuffle_docs_deterministic(sf_dir: str, n_buckets: int = 256):
             .groupby("bucket").map_groups(rank_bucket, batch_format="pandas"))
 
 
+def weighted_sample_docs(sf_dir: str, k: int = 50):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    doc key = ln(u) / w with u = ((splitmix64(doc_id) >> 11) + 1) · 2⁻⁵³ — an
+    exact dyadic rational in (0, 1] both engines hold as the identical
+    float64 (the +1 dodges ln(0): splitmix64(0) = 0 and doc_id 0 exists) — and
+    w = whitespace token count (the exact ``token_stats`` formula, an
+    integer).  The global top-k by key is distributed as a weighted sample
+    without replacement proportional to token mass — the training-data
+    mixture primitive (oversample long documents by their token share) that
+    stays deterministic and resumable on any cluster size, unlike RNG-state
+    reservoirs.  The only cross-engine float op is ln() on identical doubles
+    (≤1 ulp divergence; tests/test_weighted_sample.py measures the k-boundary
+    margin, ~1e-4 relative at t1, 12 orders above it).
+
+    Scale shape: one stateless column-pruned pass computes keys and keeps a
+    per-batch top-k partial (argpartition), so the final exchange carries k
+    rows per block — sort+limit runs on partial-sized data, never the
+    corpus."""
+
+    def keyed_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = pc.list_value_length(pc.split_pattern(t["text"], " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # +1 → u ∈ (0, 1]: splitmix64(0) = 0 would give ln(0) (doc_id 0 exists)
+        u = ((splitmix64(ids) >> np.uint64(11)) + np.uint64(1)) \
+            .astype(np.float64) * 2.0 ** -53
+        key = np.log(u) / w
+        if len(key) > k:
+            keep = np.argpartition(-key, k - 1)[:k]
+        else:
+            keep = np.arange(len(key))
+        return pa.table({
+            "doc_id": pa.array(ids[keep].view(np.int64), pa.int64()),
+            "w": pa.array(w[keep], pa.int64()),
+            "skey": pa.array(key[keep], pa.float64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (ds.map_batches(keyed_topk, batch_format="pyarrow", batch_size=65536)
+           .sort(["skey", "doc_id"], descending=[True, False]).limit(k)
+           .to_pandas())
+    out["skey"] = _round(out["skey"], 9)
+    return out
+
+
 def stratified_sample_docs(sf_dir: str, k: int = 20):
     """Stratified sample: k docs per lang, chosen by splitmix64 order (a
     deterministic uniform draw).  Grouped top-k combiner: each batch keeps at
@@ -2736,6 +2781,7 @@ ANALYTICS_QUERIES = {
     "top_tokens": top_tokens,
     "tfidf_top_term": tfidf_top_term,
     "sample_docs_hash": sample_docs_hash,
+    "weighted_sample_docs": weighted_sample_docs,
     "shuffle_docs_deterministic": shuffle_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
     "customers_without_orders": customers_without_orders,
@@ -3129,6 +3175,20 @@ ANALYTICS_ORACLE_SQL = {
     "sample_docs_hash": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang')}
         SELECT doc_id, lang FROM smx WHERE skey % 10 = 0
+    """,
+    # A-ES weighted sample: u is the same exact dyadic double, w the same
+    # integer token count, so the only float divergence is ln() (≤1 ulp)
+    "weighted_sample_docs": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, text')},
+        keyed AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   ln((((skey >> 11) + 1)::DOUBLE) / 9007199254740992.0)
+                       / len(string_split(text, ' ')) AS rawkey
+            FROM smx
+        )
+        SELECT doc_id, w, ROUND(rawkey, 9) AS skey
+        FROM keyed ORDER BY rawkey DESC, doc_id LIMIT 50
     """,
     "shuffle_docs_deterministic": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id')}
