@@ -3312,6 +3312,156 @@ def link_triangles(sf_dir: str):
             .reset_index(drop=True))
 
 
+def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
+                      round_to: int | None = 9):
+    """Adamic–Adar link prediction over the undirected crawl link graph: for
+    every non-adjacent pair (x, z) with common neighbors,
+    score = Σ_{y ∈ N(x)∩N(z)} 1 / ln(deg(y)); return the top-k predicted
+    links — the classic "which pages should link but don't" signal a crawl
+    scheduler uses to prioritize discovery.
+
+    Scale shape: the adjacency is hash-partitioned by APEX, so deg(y) is
+    just the group's run length (edges are distinct — no degree table, no
+    broadcast) and each apex's neighbor pairs are one vectorized
+    ``_run_pairs`` emission, canonicalized in hash order.  Apexes with
+    deg > max_deg are skipped (the standard hub cap: a 10^6-degree hub
+    contributes ~1/ln(10^6) ≈ 0.07 per pair across 10^12 pairs — negligible
+    signal, quadratic cost; the cap is mirrored in the SQL oracle).  Pair
+    scores reduce in ONE partitioned exchange keyed on the pair's low
+    endpoint, which also carries the edge set side-tagged for the
+    anti-join (a predicted link must not exist).  Only the k result rows
+    and their 2k urls ever reach the driver.
+
+    Float note: the only cross-engine float ops are ln() on identical
+    integer-valued doubles and the per-pair sum (pandas vs DuckDB
+    accumulation order) — divergence ≤ a few ulps; scores round to
+    ``round_to`` dp on both sides and tests/test_adamic_adar.py measures
+    the distance to the nearest rounding boundary and the k-th/k+1-th gap.
+
+    Reference analog: the scraper's year-heuristic work ordering
+    (/root/reference/src/scraper/base/scraper.py:469-485); neighborhood-
+    overlap prediction is the principled structural upgrade."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+    from .common import session_parts
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
+                            columns=["url", "out_links"])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        src = hash64(t["url"])[parents]
+        dst = hash64(pc.list_flatten(links))
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        return pa.table({"a": pa.array(a.view(np.int64), pa.int64()),
+                         "b": pa.array(b.view(np.int64), pa.int64())})
+
+    def dedup_edges(part_df: pd.DataFrame) -> pd.DataFrame:
+        return part_df.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
+                               batch_size=4096)
+             .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_edges, batch_format="pandas")
+             .materialize())
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"y": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "n": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    def wedge_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+        """Group = every (apex, neighbor) row whose apex hashes here.  Edges
+        are distinct, so an apex's run length IS its degree; the hub cap
+        drops whole runs before any pair is materialized."""
+        part_df = part_df.sort_values(["y", "n"])
+        y = part_df["y"].to_numpy()
+        n = part_df["n"].to_numpy()
+        _, counts = np.unique(y, return_counts=True)
+        if max_deg:
+            keep = np.repeat(counts <= max_deg, counts)
+            y, n = y[keep], n[keep]
+            counts = counts[counts <= max_deg]
+        i_idx, j_idx = _run_pairs(counts)
+        deg = np.repeat(counts, counts * (counts - 1) // 2).astype(np.float64)
+        c1 = n[i_idx]
+        c2 = n[j_idx]
+        # neighbors were sorted on the int64 VIEW; canonicalize unsigned
+        xa = np.minimum(c1.view(np.uint64), c2.view(np.uint64))
+        xb = np.maximum(c1.view(np.uint64), c2.view(np.uint64))
+        return pd.DataFrame({"a": xa.view(np.int64), "b": xb.view(np.int64),
+                             "w": 1.0 / np.log(deg)})
+
+    wedges = (edges.map_batches(adj_rows, batch_format="pyarrow")
+              .map_batches(_add_part("y", n_parts), batch_format="pyarrow")
+              .groupby("part").map_groups(wedge_pairs, batch_format="pandas"))
+
+    # pair-score reduce + existing-edge anti-join in ONE exchange on the
+    # pair's low endpoint (side-tagged; 0-sentinel ints, never nulls)
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "w": pa.array(np.zeros(t.num_rows, np.float64)),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_w(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"], "w": t["w"],
+                         "side": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def reduce_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
+        w = part_df[part_df["side"] == 1]
+        if not len(w):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "n_common": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        e = part_df[part_df["side"] == 0][["a", "b"]]
+        g = (w.groupby(["a", "b"], as_index=False)
+             .agg(n_common=("w", "size"), score=("w", "sum")))
+        m = g.merge(e.assign(_is_edge=1), on=["a", "b"], how="left")
+        m = m[m["_is_edge"].isna()]
+        return pd.DataFrame({"a": m["a"].astype("int64"),
+                             "b": m["b"].astype("int64"),
+                             "n_common": m["n_common"].astype("int64"),
+                             "score": m["score"].astype("float64")})
+
+    scores = (edges.map_batches(tag_e, batch_format="pyarrow")
+              .union(wedges.map_batches(tag_w, batch_format="pyarrow"))
+              .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
+              .groupby("part").map_groups(reduce_pairs, batch_format="pandas"))
+
+    top = (scores.sort(["score", "a", "b"], descending=[True, False, False])
+           .limit(k).to_pandas())
+
+    # url map-back for the ≤2k distinct node ids (tiny broadcast filter)
+    ids = set(top["a"]) | set(top["b"])
+    umap = (pages.map_batches(
+        lambda t, _ids=ids: (lambda h: pa.table(
+            {"node": pa.array(h.view(np.int64), pa.int64()), "url": t["url"]}
+        ).filter(pa.array(np.isin(h.view(np.int64), list(_ids)))))(
+            hash64(t["url"])),
+        batch_format="pyarrow").to_pandas())
+    id_url = dict(zip(umap["node"], umap["url"]))
+    ua = top["a"].map(id_url)
+    ub = top["b"].map(id_url)
+    out = pd.DataFrame({
+        "url_a": np.minimum(ua, ub),  # pair urls in lexicographic order
+        "url_b": np.maximum(ua, ub),  # (the SQL oracle's LEAST/GREATEST)
+        "n_common": top["n_common"],
+        "score": _round(top["score"], round_to) if round_to is not None
+        else top["score"],
+    })
+    return out.reset_index(drop=True)
+
+
 def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     """HITS hubs & authorities over the DIRECTED crawl link graph — the
     second iterated-fixpoint graph operator, proving the pagerank layout
@@ -3677,6 +3827,7 @@ QUERIES = {
     "pagerank_pages": pagerank_pages,
     "link_triangles": link_triangles,
     "hits_pages": hits_pages,
+    "adamic_adar_links": adamic_adar_links,
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
@@ -4236,7 +4387,7 @@ ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
-    "crawl_reachability",
+    "crawl_reachability", "adamic_adar_links",
 }
 
 # the graph oracles read web_graph.parquet (written by generate() itself, so
@@ -4571,6 +4722,47 @@ ORACLE_SQL.update({
         SELECT url, COUNT(*) AS n_triangles FROM n GROUP BY url
     """,
     "hits_pages": _hits_sql(_GRAPH_T2),
+    # Adamic–Adar: wedge self-join on the apex with the same deg<=512 hub
+    # cap; tie-break mirrors the engine's signed view of the unsigned-min
+    # pair orientation (ties require bit-equal raw scores, which both
+    # engines derive from identical term multisets)
+    "adamic_adar_links": f"""
+        WITH p AS (
+            SELECT url, unnest(out_links) AS dst
+            FROM read_parquet('{_GRAPH_T2}')
+        ),
+        u AS (
+            SELECT DISTINCT LEAST(url, dst) AS a, GREATEST(url, dst) AS b
+            FROM p WHERE url <> dst
+        ),
+        adj AS (
+            SELECT a AS y, b AS n FROM u UNION ALL SELECT b AS y, a AS n FROM u
+        ),
+        deg AS (SELECT y, COUNT(*) AS d FROM adj GROUP BY y),
+        w AS (
+            SELECT a1.n AS x, a2.n AS z, 1.0 / ln(d.d) AS w
+            FROM adj a1
+            JOIN adj a2 ON a2.y = a1.y AND a1.n < a2.n
+            JOIN deg d ON d.y = a1.y
+            WHERE d.d <= 512
+        ),
+        s AS (
+            SELECT x, z, COUNT(*) AS n_common, SUM(w) AS score
+            FROM w GROUP BY x, z
+        ),
+        cand AS (
+            SELECT s.x, s.z, s.n_common, s.score,
+                   ({_fnv_sql('s.x')})::UBIGINT AS ux,
+                   ({_fnv_sql('s.z')})::UBIGINT AS uz
+            FROM s LEFT JOIN u ON u.a = s.x AND u.b = s.z
+            WHERE u.a IS NULL
+        )
+        SELECT x AS url_a, z AS url_b, n_common, ROUND(score, 9) AS score
+        FROM cand
+        ORDER BY score DESC, {_ub_to_i64('LEAST(ux, uz)')},
+                 {_ub_to_i64('GREATEST(ux, uz)')}
+        LIMIT 50
+    """,
 })
 
 # analytics family (sketches, sampling, quantiles, pivot/rollup, anti-join,
