@@ -3462,6 +3462,219 @@ def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
     return out.reset_index(drop=True)
 
 
+def link_components(sf_dir: str, max_rounds: int = 32):
+    """Weakly connected components over the undirected crawl link graph —
+    the third iterated fixpoint on the pagerank layout, now with INTEGER
+    state (min-label propagation: label(n) ← min(label(n), min over
+    neighbors) until no label changes), so the result is exact and the
+    oracle is an unrolled integer CTE with no float margins at all.
+    Components over the whole corpus graph are how a 100-TB dedup pass
+    turns pair evidence into per-item canonical assignments when the pair
+    graph ISN'T small (``dup_clusters``'s driver-side kernel assumes an
+    output-sized pair list; this one never collects anything node-sized).
+
+    Scale shape: the adjacency (both directions, y-sorted) and the node
+    list are hash-partitioned ONCE into plasma (``static_parts``); each
+    Jacobi round shuffles only (node, label) rows — exchange 1 pushes each
+    part's labels across its static adjacency (searchsorted lookup, plus a
+    self row per node so exchange 2 can compare old vs new), exchange 2
+    takes the per-node min on the static node list and counts changes.
+    The loop exits on a converged round (changed == 0, a scalar
+    aggregate — rounds needed = graph diameter, 4–5 on every corpus
+    scale); per-round ``repartition`` holds the state block count flat
+    (CLAUDE.md r3 law).  Labels are int64 — no sentinel-NaN trick needed;
+    sentinel rows use label = INT64_MAX, absorbed by the min."""
+    import uuid
+
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+    from .common import session_parts, static_parts
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
+    epoch = uuid.uuid4().hex
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
+                            columns=["url", "out_links"])
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        src = hash64(t["url"])[parents].view(np.int64)
+        dst = hash64(pc.list_flatten(links)).view(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({
+            "y": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "n": pa.array(np.concatenate([dst, src]), pa.int64()),
+        })
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        own = hash64(t["url"]).view(np.int64)
+        tgt = np.unique(hash64(pc.list_flatten(links)).view(np.int64))
+        return pa.table({"node": pa.array(np.concatenate([own, tgt]), pa.int64())})
+
+    def dedup_nodes(part_df: pd.DataFrame) -> pd.DataFrame:
+        return part_df.drop_duplicates(["node"])[["node"]]
+
+    adj = pages.map_batches(adj_rows, batch_format="pyarrow",
+                            batch_size=4096)
+    nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
+             .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
+             .materialize())
+    adj_parts = static_parts(adj, "y", n_parts, sort_by=["y"])
+    node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+        batch_format="pyarrow").materialize()
+    n_state_blocks = max(labels.num_blocks(), 1)
+
+    imax = np.iinfo(np.int64).max
+    sent = rd.from_arrow(pa.table({
+        "node": pa.array(np.zeros(n_parts, np.int64)),
+        "label": pa.array(np.full(n_parts, imax, np.int64)),
+        "is_self": pa.array(np.zeros(n_parts, np.int8)),
+        "part": pa.array(np.arange(n_parts, dtype=np.int32), pa.int32()),
+    })).materialize()
+
+    def push(part_df: pd.DataFrame, adj_parts=adj_parts,
+             epoch=epoch) -> pd.DataFrame:
+        """Group = one part's label rows: emit (neighbor, my label) across
+        the part's static adjacency + one self row per node."""
+        from .common import part_cache_get
+
+        part_df = part_df[part_df["label"] != imax]
+        if not len(part_df):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64"),
+                                 "is_self": pd.Series([], dtype="int8")})
+        p = int(part_df["part"].iloc[0])
+        at = part_cache_get(epoch, adj_parts[p])
+        order = np.argsort(part_df["node"].to_numpy())
+        ns = part_df["node"].to_numpy()[order]
+        ls = part_df["label"].to_numpy()[order]
+        if at.num_rows:
+            y = at["y"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ns, y)  # every y IS a node of this part
+            out_node = np.concatenate([at["n"].to_numpy(zero_copy_only=False), ns])
+            out_label = np.concatenate([ls[pos], ls])
+            out_self = np.concatenate([np.zeros(at.num_rows, np.int8),
+                                       np.ones(len(ns), np.int8)])
+        else:
+            out_node, out_label = ns, ls
+            out_self = np.ones(len(ns), np.int8)
+        return pd.DataFrame({"node": out_node, "label": out_label,
+                             "is_self": out_self})
+
+    for _ in range(max_rounds):
+        def take_min(part_df: pd.DataFrame, node_parts=node_parts,
+                     epoch=epoch) -> pd.DataFrame:
+            from .common import part_cache_get
+
+            p = int(part_df["part"].iloc[0])
+            nt = part_cache_get(epoch, node_parts[p])
+            if nt.num_rows == 0:
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "label": pd.Series([], dtype="int64"),
+                                     "changed": pd.Series([], dtype="int64")})
+            node_arr = nt["node"].to_numpy(zero_copy_only=False)
+            new = np.full(len(node_arr), imax, np.int64)
+            old = np.full(len(node_arr), imax, np.int64)
+            cand = part_df[part_df["label"] != imax]
+            keys = cand["node"].to_numpy()
+            pos = np.searchsorted(node_arr, keys)
+            np.minimum.at(new, pos, cand["label"].to_numpy())
+            is_self = cand["is_self"].to_numpy() == 1
+            old[pos[is_self]] = cand["label"].to_numpy()[is_self]
+            return pd.DataFrame({"node": node_arr, "label": new,
+                                 "changed": (new < old).astype("int64")})
+
+        labels = (labels
+                  .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                  .groupby("part").map_groups(push, batch_format="pandas")
+                  .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                  .union(sent)
+                  .groupby("part").map_groups(take_min, batch_format="pandas")
+                  .repartition(n_state_blocks)
+                  .materialize())
+        if (labels.sum("changed") or 0) == 0:
+            break
+
+    # component sizes: node-sized groupby on the final labels; url map-back
+    # via partitioned merge (Dataset.join empty-partition crash — CLAUDE r3)
+    sizes = labels.groupby("label").aggregate(Count(alias_name="component_size"))
+
+    url_map = pages.map_batches(
+        lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64),
+                                             pa.int64()),
+                            "url": t["url"]}), batch_format="pyarrow")
+
+    def merge_out(part_df: pd.DataFrame) -> pd.DataFrame:
+        lab = part_df[part_df["side"] == 1][["node", "label"]]
+        if not len(lab):
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "component_id": pd.Series([], dtype="int64")})
+        um = part_df[part_df["side"] == 0][["node", "url"]]
+        m = lab.merge(um, on="node", how="left")
+        return pd.DataFrame({"url": m["url"], "node": m["node"].astype("int64"),
+                             "component_id": m["label"].astype("int64")})
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "node": t["node"], "url": t["url"],
+                         "label": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "node": t["node"],
+                         "url": pa.nulls(t.num_rows, pa.string()),
+                         "label": t["label"]})
+
+    with_urls = (url_map.map_batches(tag_u, batch_format="pyarrow")
+                 .union(labels.map_batches(tag_l, batch_format="pyarrow"))
+                 .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                 .groupby("part").map_groups(merge_out, batch_format="pandas"))
+
+    # attach sizes: component-count-sized side, partitioned merge on label
+    def tag_s(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "component_id": t["label"],
+                         "component_size": t["component_size"],
+                         "node": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "url": pa.nulls(t.num_rows, pa.string())})
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "component_id": t["component_id"],
+                         "component_size": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "node": t["node"], "url": t["url"]})
+
+    def merge_sizes(part_df: pd.DataFrame) -> pd.DataFrame:
+        r = part_df[part_df["side"] == 1][["component_id", "node", "url"]]
+        if not len(r):
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "component_id": pd.Series([], dtype="int64"),
+                                 "component_size": pd.Series([], dtype="int64")})
+        s = part_df[part_df["side"] == 0][["component_id", "component_size"]]
+        m = r.merge(s, on="component_id", how="left")
+        return pd.DataFrame({"url": m["url"], "node": m["node"].astype("int64"),
+                             "component_id": m["component_id"].astype("int64"),
+                             "component_size": m["component_size"].astype("int64")})
+
+    return (sizes.map_batches(tag_s, batch_format="pyarrow")
+            .union(with_urls.map_batches(tag_r, batch_format="pyarrow"))
+            .map_batches(_add_part("component_id", n_parts), batch_format="pyarrow")
+            .groupby("part").map_groups(merge_sizes, batch_format="pandas"))
+
+
 def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     """HITS hubs & authorities over the DIRECTED crawl link graph — the
     second iterated-fixpoint graph operator, proving the pagerank layout
@@ -3828,6 +4041,7 @@ QUERIES = {
     "link_triangles": link_triangles,
     "hits_pages": hits_pages,
     "adamic_adar_links": adamic_adar_links,
+    "link_components": link_components,
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
@@ -4387,7 +4601,7 @@ ORACLE_SF01_ONLY = {
     "phash_hamming_pairs", "image_dup_by_phash", "image_dup_clusters",
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
-    "crawl_reachability", "adamic_adar_links",
+    "crawl_reachability", "adamic_adar_links", "link_components",
 }
 
 # the graph oracles read web_graph.parquet (written by generate() itself, so
@@ -4496,6 +4710,56 @@ def _reachability_sql(graph_path: str, seeds_path: str, max_gen: int = 64) -> st
                 END AS BIGINT) AS attempts,
            CAST(mg.generation AS BIGINT) AS generation
     FROM mg JOIN g ON g.url = mg.url
+    """
+
+
+def _components_sql(prep_path: str, n_rounds: int = 8) -> str:
+    """Unrolled Jacobi min-label propagation (same MATERIALIZED-CTE rule as
+    ``_pagerank_sql``).  Integer fixpoint — no rounding, no float margins.
+    ``n_rounds`` must be ≥ the graph's min-label convergence round count
+    (measured 4 at t1/t2, 5 at bench; the engine side iterates to an exact
+    converged round, so equality holds for any n_rounds past convergence)."""
+    iters = []
+    for i in range(1, n_rounds + 1):
+        iters.append(f"""
+        l{i} AS MATERIALIZED (
+            SELECT n.node,
+                   LEAST(p.label, COALESCE(m.mn, p.label)) AS label
+            FROM nodes n
+            JOIN l{i-1} p ON p.node = n.node
+            LEFT JOIN (
+                SELECT a.y AS node, MIN(p2.label) AS mn
+                FROM adj a JOIN l{i-1} p2 ON p2.node = a.n
+                GROUP BY a.y
+            ) m ON m.node = n.node
+        )""")
+    return f"""
+    WITH hashed AS MATERIALIZED (
+        SELECT {_ub_to_i64(f"({_fnv_sql('url')})::UBIGINT")} AS node,
+               url, out_links
+        FROM read_parquet('{prep_path}')
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, {_ub_to_i64(f"({_fnv_sql('dst')})::UBIGINT")} AS dst
+        FROM (
+            SELECT node AS src, url, unnest(out_links) AS dst FROM hashed
+        ) WHERE url <> dst
+    ),
+    adj AS MATERIALIZED (
+        SELECT src AS y, dst AS n FROM edges
+        UNION ALL SELECT dst AS y, src AS n FROM edges
+    ),
+    nodes AS MATERIALIZED (
+        SELECT node FROM hashed UNION SELECT dst FROM edges
+    ),
+    l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+    {",".join(iters)},
+    sizes AS (SELECT label, COUNT(*) AS component_size
+              FROM l{n_rounds} GROUP BY label)
+    SELECT h.url, l.node, l.label AS component_id, s.component_size
+    FROM l{n_rounds} l
+    JOIN sizes s ON s.label = l.label
+    LEFT JOIN hashed h ON h.node = l.node
     """
 
 
@@ -4722,6 +4986,7 @@ ORACLE_SQL.update({
         SELECT url, COUNT(*) AS n_triangles FROM n GROUP BY url
     """,
     "hits_pages": _hits_sql(_GRAPH_T2),
+    "link_components": _components_sql(_GRAPH_T2),
     # Adamic–Adar: wedge self-join on the apex with the same deg<=512 hub
     # cap; tie-break mirrors the engine's signed view of the unsigned-min
     # pair orientation (ties require bit-equal raw scores, which both
