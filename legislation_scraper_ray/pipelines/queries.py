@@ -2086,6 +2086,16 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     return df[["vec_id", "cos_sim", "rank"]]
 
 
+def ann_topk_ivf_full(sf_dir: str, k: int = 10):
+    """The IVF code path at FULL probe (n_probe ≥ n_centroids): every cell is
+    scanned, so the result is exact and equals brute force — registered as
+    its own driver-checked query sharing ``ann_topk``'s SQL oracle, the same
+    way ``knn_join_cells`` pins the cell-partitioned kNN branch.  This puts
+    the IVF kernel (centroid train, cell assignment, probe filter, partial
+    top-k merge) under the DuckDB ground truth instead of pytest-only."""
+    return ann_topk_ivf(sf_dir, k=k, n_probe=1 << 30)
+
+
 def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
                            train_sample: int = 4096):
     """IVF with a PERSISTED index — the build-once / probe-many serving shape
@@ -4023,6 +4033,7 @@ QUERIES = {
     "knn_join_cells": _knn_join_cells,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_topk_ivf_full": ann_topk_ivf_full,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "dup_clusters": dup_clusters,
@@ -4592,6 +4603,8 @@ def _ub_to_i64(expr: str) -> str:
 
 # the forced cell branch is EXACT — the ground truth is identical
 ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
+# IVF at full probe is EXACT — shares the brute-force cosine oracle
+ORACLE_SQL["ann_topk_ivf_full"] = ORACLE_SQL["ann_topk"]
 
 # These oracles read the sf0.01 (t2) generated corpus by absolute path, so
 # they are only VALID when the engine side also runs at sf0.01 (the driver's
