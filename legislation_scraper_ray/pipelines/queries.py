@@ -2370,7 +2370,13 @@ def dup_clusters(sf_dir: str):
     components (min-label propagation) → (doc_id, cluster_id, cluster_size).
     Oracle: a DuckDB recursive CTE over the same exact-Jaccard pair set
     (reachable-set min per node); pytest additionally verifies against an
-    exact union-find."""
+    exact union-find.
+
+    Scale note: the label kernel here runs on the PAIR LIST (output-sized by
+    construction — near-dup pairs are a small fraction of the corpus).  When
+    the component graph is itself corpus-sized, use the fully distributed
+    iterated form: ``link_components`` runs the same min-label fixpoint over
+    plasma-partitioned adjacency with only (node, label) rows exchanged."""
     from ..functions.cluster import label_propagation
 
     pairs = minhash_dup_pairs(sf_dir)
@@ -3909,7 +3915,13 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
 
 def crawl_seen_set(sf_dir: str):
     """Run the full crawl at the scale matching sf_dir; return the final
-    URL-seen set with per-URL lineage (generation, host, status)."""
+    URL-seen set with per-URL lineage (generation, host, status).
+
+    Rows-only by design: this keeps the PIPELINED fast path and the full
+    lineage incl. politeness ``scheduled_ts``/``priority`` (scheduler state,
+    not SQL).  The SQL-checkable projection of the same protocol is
+    ``crawl_reachability`` (BFS order, 1-generation window, recursive-CTE
+    oracle)."""
     import os
 
     import pyarrow.dataset as pads

@@ -162,7 +162,13 @@ def main():
                  # (per-part ObjectRefs fetched via part_cache_get — here a
                  # genuine cross-object-store read), triangles exercise the
                  # side-tagged partitioned merges
-                 "pagerank_pages", "hits_pages", "link_triangles"):
+                 "pagerank_pages", "hits_pages", "link_triangles",
+                 # r4 session 3: components iterate integer state over the
+                 # same plasma layout; Adamic-Adar exercises the apex-
+                 # partitioned wedge exchange; reachability runs the FULL
+                 # strict-order crawl on the 2-node cluster vs the
+                 # recursive-CTE protocol oracle
+                 "link_components", "adamic_adar_links", "crawl_reachability"):
         mine = qs[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
