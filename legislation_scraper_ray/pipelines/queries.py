@@ -3454,7 +3454,21 @@ def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
               .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
               .groupby("part").map_groups(reduce_pairs, batch_format="pandas"))
 
-    top = (scores.sort(["score", "a", "b"], descending=[True, False, False])
+    # per-block partial top-k before the global sort: scores are FINAL per
+    # row after the pair reduce, so any global top-k row survives its
+    # block's top-k — the sort input shrinks from candidate-pair-sized to
+    # k × blocks
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        s = t["score"].to_numpy(zero_copy_only=False)
+        kth = np.partition(s, len(s) - k)[len(s) - k]
+        # >= keeps every row tied at the block's k-th score, so the global
+        # (score desc, a, b) tie-break never loses a candidate
+        return t.filter(pa.array(s >= kth))
+
+    top = (scores.map_batches(block_topk, batch_format="pyarrow")
+           .sort(["score", "a", "b"], descending=[True, False, False])
            .limit(k).to_pandas())
 
     # url map-back for the ≤2k distinct node ids (tiny broadcast filter)
