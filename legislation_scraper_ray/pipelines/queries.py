@@ -3505,15 +3505,13 @@ def link_components(sf_dir: str, max_rounds: int = 32):
 
     Scale shape: the adjacency (both directions, y-sorted) and the node
     list are hash-partitioned ONCE into plasma (``static_parts``); each
-    Jacobi round shuffles only (node, label) rows — exchange 1 pushes each
-    part's labels across its static adjacency (searchsorted lookup, plus a
-    self row per node so exchange 2 can compare old vs new), exchange 2
-    takes the per-node min on the static node list and counts changes.
-    The loop exits on a converged round (changed == 0, a scalar
-    aggregate — rounds needed = graph diameter, 4–5 on every corpus
-    scale); per-round ``repartition`` holds the state block count flat
-    (CLAUDE.md r3 law).  Labels are int64 — no sentinel-NaN trick needed;
-    sentinel rows use label = INT64_MAX, absorbed by the min."""
+    Jacobi round is ONE message exchange — the group fn min-updates its
+    part's labels from the incoming messages (state rides as self rows,
+    one per node per round, so no sentinel rows are needed) and emits the
+    next round's delta pushes in the same task.  The loop exits on a
+    converged round (changed == 0, a scalar aggregate — rounds needed =
+    graph diameter, 4–5 on every corpus scale); per-round ``repartition``
+    holds the state block count flat (CLAUDE.md r3 law)."""
     import uuid
 
     from ..functions.hashing import hash64
@@ -3560,81 +3558,80 @@ def link_components(sf_dir: str, max_rounds: int = 32):
     adj_parts = static_parts(adj, "y", n_parts, sort_by=["y"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+    # Message-fused iteration: ONE exchange per round.  The round's group fn
+    # BOTH takes the per-node min (state arrives as the previous round's
+    # self rows — every node emits one every round, so no sentinel rows are
+    # needed) AND immediately emits the next round's messages across the
+    # part's static adjacency (delta/frontier pushes: only labels that
+    # changed this round push — min-label is monotone, an unchanged label's
+    # pushes were absorbed the round it changed).  The naive form (separate
+    # push exchange + min exchange, the pagerank two-exchange shape) was
+    # measured 45-50 s at sf0.1/32cpu — exchange COUNT, not bytes, dominates
+    # an iterated integer fixpoint, so fusing the halves buys ~2×.
+    msgs = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"],
+                            "is_self": pa.array(np.ones(t.num_rows, np.int8)),
+                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
         batch_format="pyarrow").materialize()
-    n_state_blocks = max(labels.num_blocks(), 1)
-
+    n_state_blocks = max(msgs.num_blocks(), 1)
     imax = np.iinfo(np.int64).max
-    sent = rd.from_arrow(pa.table({
-        "node": pa.array(np.zeros(n_parts, np.int64)),
-        "label": pa.array(np.full(n_parts, imax, np.int64)),
-        "is_self": pa.array(np.zeros(n_parts, np.int8)),
-        "part": pa.array(np.arange(n_parts, dtype=np.int32), pa.int32()),
-    })).materialize()
 
-    def push(part_df: pd.DataFrame, adj_parts=adj_parts,
-             epoch=epoch) -> pd.DataFrame:
-        """Group = one part's label rows: emit (neighbor, my label) across
-        the part's static adjacency + one self row per node."""
-        from .common import part_cache_get
-
-        part_df = part_df[part_df["label"] != imax]
-        if not len(part_df):
-            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                 "label": pd.Series([], dtype="int64"),
-                                 "is_self": pd.Series([], dtype="int8")})
-        p = int(part_df["part"].iloc[0])
-        at = part_cache_get(epoch, adj_parts[p])
-        order = np.argsort(part_df["node"].to_numpy())
-        ns = part_df["node"].to_numpy()[order]
-        ls = part_df["label"].to_numpy()[order]
-        if at.num_rows:
-            y = at["y"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ns, y)  # every y IS a node of this part
-            out_node = np.concatenate([at["n"].to_numpy(zero_copy_only=False), ns])
-            out_label = np.concatenate([ls[pos], ls])
-            out_self = np.concatenate([np.zeros(at.num_rows, np.int8),
-                                       np.ones(len(ns), np.int8)])
-        else:
-            out_node, out_label = ns, ls
-            out_self = np.ones(len(ns), np.int8)
-        return pd.DataFrame({"node": out_node, "label": out_label,
-                             "is_self": out_self})
-
-    for _ in range(max_rounds):
-        def take_min(part_df: pd.DataFrame, node_parts=node_parts,
-                     epoch=epoch) -> pd.DataFrame:
+    for rnd in range(max_rounds):
+        def step(part_df: pd.DataFrame, node_parts=node_parts,
+                 adj_parts=adj_parts, epoch=epoch,
+                 first=(rnd == 0)) -> pd.DataFrame:
+            """Group = one part's messages (self rows = state, push rows =
+            neighbor labels): min-update the part's labels on its static
+            node list, then emit next-round pushes for changed nodes (all
+            nodes on the seed round) + the part's new self rows."""
             from .common import part_cache_get
 
             p = int(part_df["part"].iloc[0])
             nt = part_cache_get(epoch, node_parts[p])
-            if nt.num_rows == 0:
-                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                     "label": pd.Series([], dtype="int64"),
-                                     "changed": pd.Series([], dtype="int64")})
             node_arr = nt["node"].to_numpy(zero_copy_only=False)
             new = np.full(len(node_arr), imax, np.int64)
             old = np.full(len(node_arr), imax, np.int64)
-            cand = part_df[part_df["label"] != imax]
-            keys = cand["node"].to_numpy()
+            keys = part_df["node"].to_numpy()
+            vals = part_df["label"].to_numpy()
             pos = np.searchsorted(node_arr, keys)
-            np.minimum.at(new, pos, cand["label"].to_numpy())
-            is_self = cand["is_self"].to_numpy() == 1
-            old[pos[is_self]] = cand["label"].to_numpy()[is_self]
-            return pd.DataFrame({"node": node_arr, "label": new,
-                                 "changed": (new < old).astype("int64")})
+            np.minimum.at(new, pos, vals)
+            is_self = part_df["is_self"].to_numpy() == 1
+            old[pos[is_self]] = vals[is_self]
+            changed = new < old
+            push_mask = changed | first
+            at = part_cache_get(epoch, adj_parts[p])
+            if at.num_rows and push_mask.any():
+                y = at["y"].to_numpy(zero_copy_only=False)
+                posy = np.searchsorted(node_arr, y)  # every y IS a part node
+                act = push_mask[posy]
+                n_act = int(act.sum())
+                out_node = np.concatenate(
+                    [at["n"].to_numpy(zero_copy_only=False)[act], node_arr])
+                out_label = np.concatenate([new[posy[act]], new])
+                out_self = np.concatenate([np.zeros(n_act, np.int8),
+                                           np.ones(len(node_arr), np.int8)])
+                out_changed = np.concatenate([np.zeros(n_act, np.int64),
+                                              changed.astype(np.int64)])
+            else:
+                out_node, out_label = node_arr, new
+                out_self = np.ones(len(node_arr), np.int8)
+                out_changed = changed.astype(np.int64)
+            return pd.DataFrame({"node": out_node, "label": out_label,
+                                 "is_self": out_self, "changed": out_changed})
 
-        labels = (labels
-                  .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                  .groupby("part").map_groups(push, batch_format="pandas")
-                  .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                  .union(sent)
-                  .groupby("part").map_groups(take_min, batch_format="pandas")
-                  .repartition(n_state_blocks)
-                  .materialize())
-        if (labels.sum("changed") or 0) == 0:
+        msgs = (msgs
+                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                .groupby("part").map_groups(step, batch_format="pandas")
+                .repartition(n_state_blocks)
+                .materialize())
+        # the seed round force-pushes everything and reports changed == 0;
+        # real updates start at rnd 1
+        if rnd > 0 and (msgs.sum("changed") or 0) == 0:
             break
+
+    labels = msgs.map_batches(
+        lambda t: t.filter(pc.equal(t["is_self"], 1)).select(["node", "label"]),
+        batch_format="pyarrow")
 
     # component sizes: node-sized groupby on the final labels; url map-back
     # via partitioned merge (Dataset.join empty-partition crash — CLAUDE r3)
