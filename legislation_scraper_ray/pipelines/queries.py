@@ -2955,12 +2955,12 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
     # (tagged union → sort-groupby), so each of the 16 exchanges re-sorted
     # ~2× the necessary rows.  Now both static sides are hash-partitioned
     # ONCE into plasma (dict part → ObjectRef of the part's sorted table);
-    # each iteration shuffles only rank rows (exchange 1) and contribution
-    # rows (exchange 2), and the per-part worker fetches its static side
-    # zero-copy from the object store (cached per worker process).  This is
-    # the standard "build side is static" iterated-join layout; at cluster
-    # scale the part tables live distributed and only the tiny ref dict
-    # ships with the closure.
+    # each iteration shuffles only node-sized state and edge contributions,
+    # and the per-part worker fetches its static side zero-copy from the
+    # object store (cached per worker process).  This is the standard
+    # "build side is static" iterated-join layout; at cluster scale the
+    # part tables live distributed and only the tiny ref dict ships with
+    # the closure.
     import uuid
 
     from .common import static_parts
@@ -2970,104 +2970,100 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
     edge_parts = static_parts(edges, "src_h", n_parts, sort_by=["src_h"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    def init_rank(t: pa.Table) -> pa.Table:
+    # Message-fused iteration (r4: the link_components lesson applied back —
+    # exchange COUNT, not bytes, dominates an iterated fixpoint): ONE
+    # exchange per round.  Self rows carry the rank state (one per node per
+    # round, so no sentinel rows are needed — every part always receives its
+    # own state); push rows carry edge contributions keyed by dst.  The
+    # round's group fn scatter-adds its part's incoming contributions,
+    # applies base + d·c, and emits the NEXT round's contributions across
+    # the part's static src-sorted edges in the same task.  The dangling
+    # scalar still needs the PREVIOUS ranks before each update — one cheap
+    # aggregate pass over the materialized self rows per round, as before.
+    def init_msgs(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "has_out": t["has_out"],
-                         "rank": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64())})
+                         "val": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()),
+                         "is_self": pa.array(np.ones(t.num_rows, np.int8))})
 
-    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    msgs = nodes.map_batches(init_msgs, batch_format="pyarrow").materialize()
     # Block-count budget for the iterated state: sort-groupby output block
-    # count tracks its input, and ranks feed back into the next exchange —
+    # count tracks its input, and msgs feed back into the next exchange —
     # bound it per iteration (CLAUDE.md r3 law; measured 425 s → 59 s).
-    n_state_blocks = max(ranks.num_blocks(), 1)
+    n_state_blocks = max(msgs.num_blocks(), 1)
 
-    # 32 sentinel rows (one per part, NaN float payload) unioned into each
-    # exchange AFTER partition assignment: a part whose exchange side came
-    # up empty would otherwise never invoke its group fn and its nodes
-    # would silently drop out of the iterated state.  Int columns carry
-    # sentinel VALUES, never nulls — a null-bearing int64 column becomes
-    # float64 in the pandas map_groups conversion and corrupts 64-bit hash
-    # keys > 2^53 (CLAUDE.md gotcha); the NaN float column is the row's
-    # discriminator.
-    def _sentinels(int_cols: dict, float_col: str) -> rd.Dataset:
-        data = {}
-        for name, (typ, fill) in int_cols.items():
-            data[name] = pa.array(np.full(n_parts, fill), typ)
-        data[float_col] = pa.nulls(n_parts, pa.float64())
-        data["part"] = pa.array(np.arange(n_parts, dtype=np.int32), pa.int32())
-        return rd.from_arrow(pa.table(data))
-
-    rank_sent = _sentinels({"node": (pa.int64(), 0), "has_out": (pa.int8(), -1)},
-                           "rank").materialize()
-    contrib_sent = _sentinels({"key": (pa.int64(), 0)}, "p_c").materialize()
-
-    def flow_contribs(part_df: pd.DataFrame,
-                      edge_parts=edge_parts, epoch=epoch) -> pd.DataFrame:
-        """Group = one part's RANK rows; edges of the part come from the
-        static plasma table (src-sorted → searchsorted rank lookup)."""
-        from .common import part_cache_get
-
-        empty = pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                              "p_c": pd.Series([], dtype="float64")})
-        part_df = part_df[part_df["rank"].notna()]
-        if not len(part_df):
-            return empty
-        p = int(part_df["part"].iloc[0])
-        et = part_cache_get(epoch, edge_parts[p])
-        if et.num_rows == 0:
-            return empty
-        order = np.argsort(part_df["node"].to_numpy())
-        nodes_sorted = part_df["node"].to_numpy()[order]
-        ranks_sorted = part_df["rank"].to_numpy()[order]
-        sk = et["src_h"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(nodes_sorted, sk)  # every src IS a node
-        c = et["w"].to_numpy(zero_copy_only=False) * ranks_sorted[pos]
-        return pd.DataFrame({"key": et["dst_h"].to_numpy(zero_copy_only=False),
-                             "p_c": c})
-
-    for _ in range(n_iter):
-        dangling = ranks.map_batches(
+    def _dangling(ds: rd.Dataset) -> float:
+        return ds.map_batches(
             lambda t: pa.table({"s": pa.array(
-                [float(np.sum(t["rank"].to_numpy(zero_copy_only=False)
+                [float(np.sum(t["val"].to_numpy(zero_copy_only=False)
+                              * (t["is_self"].to_numpy(zero_copy_only=False) == 1)
                               * (t["has_out"].to_numpy(zero_copy_only=False) == 0)))],
                 pa.float64())}),
             batch_format="pyarrow").sum("s") or 0.0
-        base = (1.0 - d) / n + d * dangling / n
 
-        contrib = (ranks.map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                   .union(rank_sent)
-                   .groupby("part").map_groups(flow_contribs, batch_format="pandas"))
+    for rnd in range(n_iter + 1):
+        # round 0 seeds (no update, push initial ranks); rounds 1..n_iter
+        # update.  base is only consumed by update rounds.
+        base = 0.0
+        if rnd > 0:
+            base = (1.0 - d) / n + d * _dangling(msgs) / n
 
-        def update(part_df: pd.DataFrame, base=base,
-                   node_parts=node_parts, epoch=epoch) -> pd.DataFrame:
-            """Group = one part's CONTRIB rows; the node list (node-sorted)
-            comes from the static plasma table, so every node of the part is
-            re-emitted even when nothing flowed into it."""
+        def step(part_df: pd.DataFrame, base=base, node_parts=node_parts,
+                 edge_parts=edge_parts, epoch=epoch,
+                 first=(rnd == 0), last=(rnd == n_iter)) -> pd.DataFrame:
+            """Group = one part's messages: scatter-add contributions onto
+            the static node list, rank-update, emit next-round pushes."""
             from .common import part_cache_get
 
             p = int(part_df["part"].iloc[0])
             nt = part_cache_get(epoch, node_parts[p])
-            if nt.num_rows == 0:
-                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                     "has_out": pd.Series([], dtype="int8"),
-                                     "rank": pd.Series([], dtype="float64")})
             node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            c = np.zeros(len(node_arr), np.float64)
-            cs = part_df[part_df["p_c"].notna()]
-            if len(cs):
-                keys = cs["key"].to_numpy()
-                pos = np.searchsorted(node_arr, keys)  # every dst IS a node
-                np.add.at(c, pos, cs["p_c"].to_numpy())
-            return pd.DataFrame({
-                "node": node_arr,
-                "has_out": nt["has_out"].to_numpy(zero_copy_only=False),
-                "rank": base + d * c,
-            })
+            has_out = nt["has_out"].to_numpy(zero_copy_only=False)
+            keys = part_df["node"].to_numpy()
+            vals = part_df["val"].to_numpy()
+            is_self = part_df["is_self"].to_numpy() == 1
+            if first:
+                new = np.full(len(node_arr), np.nan)
+                pos = np.searchsorted(node_arr, keys[is_self])
+                new[pos] = vals[is_self]  # initial ranks pass through
+            else:
+                c = np.zeros(len(node_arr), np.float64)
+                if (~is_self).any():
+                    pos = np.searchsorted(node_arr, keys[~is_self])
+                    np.add.at(c, pos, vals[~is_self])
+                new = base + d * c
+            if last:
+                et = None  # final round: state only, no more pushes
+            else:
+                et = part_cache_get(epoch, edge_parts[p])
+            if et is not None and et.num_rows:
+                sk = et["src_h"].to_numpy(zero_copy_only=False)
+                posy = np.searchsorted(node_arr, sk)  # every src IS a node
+                pc_ = et["w"].to_numpy(zero_copy_only=False) * new[posy]
+                out_node = np.concatenate(
+                    [et["dst_h"].to_numpy(zero_copy_only=False), node_arr])
+                out_val = np.concatenate([pc_, new])
+                out_has = np.concatenate([np.full(et.num_rows, -1, np.int8),
+                                          has_out])
+                out_self = np.concatenate([np.zeros(et.num_rows, np.int8),
+                                           np.ones(len(node_arr), np.int8)])
+            else:
+                out_node, out_val = node_arr, new
+                out_has = has_out
+                out_self = np.ones(len(node_arr), np.int8)
+            return pd.DataFrame({"node": out_node, "has_out": out_has,
+                                 "val": out_val, "is_self": out_self})
 
-        ranks = (contrib.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
-                 .union(contrib_sent)
-                 .groupby("part").map_groups(update, batch_format="pandas")
-                 .repartition(n_state_blocks)
-                 .materialize())
+        msgs = (msgs
+                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                .groupby("part").map_groups(step, batch_format="pandas")
+                .repartition(n_state_blocks)
+                .materialize())
+
+    ranks = msgs.map_batches(
+        lambda t: (lambda f: pa.table({"node": f["node"],
+                                       "rank": f["val"]}))(
+            t.filter(pc.equal(t["is_self"], 1))),
+        batch_format="pyarrow")
 
     url_map = pages.map_batches(
         lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64), pa.int64()),
