@@ -3777,12 +3777,7 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     e_by_dst = static_parts(edges, "dst", n_parts, sort_by=["dst"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    def init_h(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"],
-                         "v": pa.array(np.ones(t.num_rows, np.float64))})
-
-    h = nodes.map_batches(init_h, batch_format="pyarrow").materialize()
-    n_state_blocks = max(h.num_blocks(), 1)
+    n_state_blocks = max(nodes.num_blocks(), 1)
 
     def _sentinels(int_cols: dict, float_col: str) -> rd.Dataset:
         data = {}
@@ -3792,82 +3787,108 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
         data["part"] = pa.array(np.arange(n_parts, dtype=np.int32), pa.int32())
         return rd.from_arrow(pa.table(data))
 
-    score_sent = _sentinels({"node": (pa.int64(), 0)}, "v").materialize()
-    contrib_sent = _sentinels({"key": (pa.int64(), 0)}, "c").materialize()
+    # sentinel rows make every part's group fn run even with zero inflow —
+    # HITS recomputes each side from inflow alone (no self state), so a
+    # part with no incoming pushes must still emit its nodes' zero scores
+    contrib_sent = _sentinels({"key": (pa.int64(), 0),
+                               "is_self": (pa.int8(), 0)}, "c").materialize()
 
-    def _half_step(state: rd.Dataset, edge_parts: dict, lookup_col: str,
-                   emit_col: str) -> rd.Dataset:
-        """One HITS half-step: look the state score up at ``lookup_col`` of
-        each part's static edges, emit contributions keyed on ``emit_col``,
-        scatter-add onto the static node list, L2-normalize."""
-
-        def flow(part_df: pd.DataFrame, edge_parts=edge_parts,
+    # Message-fused half-steps (r4: the link_components/pagerank fusion):
+    # each half-step is ONE exchange — the group fn scatter-adds its part's
+    # incoming contributions (divided by the PREVIOUS half's L2 norm, passed
+    # as a closure scalar: Σ(c)/n vs Σ(c/n) differ only at ulp level, far
+    # inside the oracle's measured 3e-12 rounding margin) onto the static
+    # node list, emits the part's new scores as self rows, and emits the
+    # NEXT half's contributions across the static edge side where the new
+    # scores live (authorities push via e_by_dst, hubs via e_by_src) — raw,
+    # normalized by the next fn.  Sentinels stay: unlike the state-carrying
+    # fixpoints, HITS recomputes each side from inflow alone, so a part with
+    # no inflow must still emit its nodes' zero scores.
+    def _fused_half(msgs: rd.Dataset, norm_prev: float,
+                    out_edges: dict | None, look_col: str, emit_col: str):
+        def step(part_df: pd.DataFrame, node_parts=node_parts,
+                 out_edges=out_edges, norm_prev=norm_prev,
                  epoch=epoch) -> pd.DataFrame:
-            from .common import part_cache_get
-
-            empty = pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                  "c": pd.Series([], dtype="float64")})
-            part_df = part_df[part_df["v"].notna()]
-            if not len(part_df):
-                return empty
-            p = int(part_df["part"].iloc[0])
-            et = part_cache_get(epoch, edge_parts[p])
-            if et.num_rows == 0:
-                return empty
-            order = np.argsort(part_df["node"].to_numpy())
-            nodes_sorted = part_df["node"].to_numpy()[order]
-            vals_sorted = part_df["v"].to_numpy()[order]
-            lk = et[lookup_col].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(nodes_sorted, lk)  # every endpoint IS a node
-            return pd.DataFrame({
-                "key": et[emit_col].to_numpy(zero_copy_only=False),
-                "c": vals_sorted[pos]})
-
-        contrib = (state.map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                   .union(score_sent)
-                   .groupby("part").map_groups(flow, batch_format="pandas"))
-
-        def scatter(part_df: pd.DataFrame, node_parts=node_parts,
-                    epoch=epoch) -> pd.DataFrame:
             from .common import part_cache_get
 
             p = int(part_df["part"].iloc[0])
             nt = part_cache_get(epoch, node_parts[p])
             if nt.num_rows == 0:
-                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
-                                     "v": pd.Series([], dtype="float64")})
+                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                     "c": pd.Series([], dtype="float64"),
+                                     "is_self": pd.Series([], dtype="int8")})
             node_arr = nt["node"].to_numpy(zero_copy_only=False)
             acc = np.zeros(len(node_arr), np.float64)
             cs = part_df[part_df["c"].notna()]
+            # contributions only (self rows of the previous half carry
+            # is_self=1 and are NOT inflow for this half)
+            cs = cs[cs["is_self"] == 0]
             if len(cs):
                 pos = np.searchsorted(node_arr, cs["key"].to_numpy())
                 np.add.at(acc, pos, cs["c"].to_numpy())
-            return pd.DataFrame({"node": node_arr, "v": acc})
+            v = acc / norm_prev if norm_prev > 0 else np.zeros_like(acc)
+            out_key, out_c = node_arr, v
+            out_self = np.ones(len(node_arr), np.int8)
+            if out_edges is not None:
+                et = part_cache_get(epoch, out_edges[p])
+                if et.num_rows:
+                    # the edge side partitioned by WHERE the new scores live
+                    look = et[look_col].to_numpy(zero_copy_only=False)
+                    emit = et[emit_col].to_numpy(zero_copy_only=False)
+                    posy = np.searchsorted(node_arr, look)
+                    out_key = np.concatenate([out_key, emit])
+                    out_c = np.concatenate([out_c, v[posy]])
+                    out_self = np.concatenate(
+                        [out_self, np.zeros(et.num_rows, np.int8)])
+            return pd.DataFrame({"key": out_key, "c": out_c,
+                                 "is_self": out_self})
 
-        raw = (contrib.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
+        out = (msgs.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
                .union(contrib_sent)
-               .groupby("part").map_groups(scatter, batch_format="pandas")
+               .groupby("part").map_groups(step, batch_format="pandas")
                .repartition(n_state_blocks)
                .materialize())
-
-        ss = raw.map_batches(
+        ss = out.map_batches(
             lambda t: pa.table({"s": pa.array(
                 [float(np.sum(np.square(
-                    t["v"].to_numpy(zero_copy_only=False))))], pa.float64())}),
+                    t["c"].to_numpy(zero_copy_only=False)
+                    * (t["is_self"].to_numpy(zero_copy_only=False) == 1))))],
+                pa.float64())}),
             batch_format="pyarrow").sum("s") or 0.0
-        norm = float(np.sqrt(ss))
+        return out, float(np.sqrt(ss))
 
-        def normalize(t: pa.Table, norm=norm) -> pa.Table:
-            v = t["v"].to_numpy(zero_copy_only=False)
+    def _selfs(msgs: rd.Dataset, norm: float) -> rd.Dataset:
+        def fin(t: pa.Table, norm=norm) -> pa.Table:
+            f = t.filter(pc.equal(t["is_self"], 1))
+            v = f["c"].to_numpy(zero_copy_only=False)
             out = v / norm if norm > 0 else np.zeros_like(v)
-            return pa.table({"node": t["node"], "v": pa.array(out)})
+            return pa.table({"node": f["key"], "v": pa.array(out)})
+        return msgs.map_batches(fin, batch_format="pyarrow")
 
-        return raw.map_batches(normalize, batch_format="pyarrow").materialize()
+    # seed inflow: h0 = 1.0 on every node pushed over the edges (the first
+    # authority half's contributions), with norm_prev = 1
+    def seed_push(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["dst"],
+                         "c": pa.array(np.ones(t.num_rows, np.float64)),
+                         "is_self": pa.array(np.zeros(t.num_rows, np.int8))})
 
-    a = None
-    for _ in range(n_iter):
-        a = _half_step(h, e_by_src, "src", "dst")   # authorities ← hubs
-        h = _half_step(a, e_by_dst, "dst", "src")   # hubs ← authorities
+    cur = edges.map_batches(seed_push, batch_format="pyarrow").materialize()
+    norm_prev = 1.0
+    a_msgs, norm_a, h_msgs, norm_h = cur, 1.0, cur, 1.0
+    for i in range(n_iter):
+        # authority half: inflow = hub pushes; the new authorities push hub
+        # contributions via e_by_dst (the side where they live: dst-sorted)
+        a_msgs, norm_a = _fused_half(cur, norm_prev, e_by_dst, "dst", "src")
+        # hub half: inflow = authority pushes; new hubs push the next
+        # iteration's authority contributions via e_by_src (skipped on the
+        # last iteration — no consumer)
+        h_msgs, norm_h = _fused_half(
+            a_msgs, norm_a, e_by_src if i < n_iter - 1 else None,
+            "src", "dst")
+        cur, norm_prev = h_msgs, norm_h
+
+    a = _selfs(a_msgs, norm_a).materialize()
+    h = _selfs(h_msgs, norm_h).materialize()
 
     # assemble (url, node, hub, authority): side-tagged partitioned merge on
     # the node key (0 = url map, 1 = hub scores, 2 = authority scores)
