@@ -2826,6 +2826,96 @@ def phash_hamming_pairs(sf_dir: str, max_dist: int = 3):
             .map_batches(cast_hamming, batch_format="pyarrow"))
 
 
+def image_caption_conflicts(sf_dir: str, max_dist: int = 3):
+    """Mislabeled-duplicate detector: near-duplicate IMAGES (phash Hamming ≤
+    ``max_dist``, the ``phash_hamming_pairs`` miner) whose CAPTIONS differ —
+    the LAION-style curation conflict where the same picture circulates under
+    different alt-text, so exactly one copy's label can be trusted.  The
+    complement of ``caption_reuse_stats`` (same caption, many images).
+
+    Scale shape: the pair list is output-sized; the caption-hash side is
+    corpus-sized, so caps attach to each pair endpoint through two
+    side-tagged partitioned merges (never broadcast, never a Dataset.join —
+    the sparse-side empty-hash-partition crash, CLAUDE.md r3).  Conflict
+    filter is a vectorized Arrow mask; everything stays a lazy Dataset.
+
+    Reference analog: build_dataset.py:204's duplicate drop keeps
+    first-by-order; this surfaces the pairs where that choice actually
+    discards information."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+    from .common import session_parts
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
+    pairs = phash_hamming_pairs(sf_dir, max_dist)
+
+    caps = rd.read_parquet(f"{corpus_dir}/corpus.parquet",
+                           columns=["image_id", "caption"]).map_batches(
+        lambda t: pa.table({
+            "image_id": t["image_id"].combine_chunks()
+            if isinstance(t["image_id"], pa.ChunkedArray) else t["image_id"],
+            "cap": pa.array(hash64(t["caption"]).view(np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+
+    def _attach(pair_ds, key_col: str, out_col: str, carry: list[str]):
+        def tag_cap(t: pa.Table) -> pa.Table:
+            zero = pa.array(np.zeros(t.num_rows, np.int64))
+            # partition on the id's hash (string keys can't feed _add_part);
+            # the per-part merge still joins on the exact string
+            kh = pa.array(hash64(t["image_id"]).view(np.int64), pa.int64())
+            return pa.table({
+                "k": t["image_id"], "kh": kh,
+                "side": pa.array(np.zeros(t.num_rows, np.int8)),
+                "cap_v": t["cap"],
+                "other": pa.nulls(t.num_rows, pa.string()),
+                **{c: zero for c in carry}})
+
+        other_col = "id_b" if key_col == "id_a" else "id_a"
+
+        def tag_pair(t: pa.Table) -> pa.Table:
+            kh = pa.array(hash64(t[key_col]).view(np.int64), pa.int64())
+            return pa.table({
+                "k": t[key_col], "kh": kh,
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+                "cap_v": pa.array(np.zeros(t.num_rows, np.int64)),
+                "other": t[other_col],
+                **{c: t[c] for c in carry}})
+
+        def merge(part_df: pd.DataFrame) -> pd.DataFrame:
+            pr = part_df[part_df["side"] == 1]
+            cols = {key_col: pd.Series([], dtype="object"),
+                    other_col: pd.Series([], dtype="object"),
+                    **{c: pd.Series([], dtype="int64") for c in carry},
+                    out_col: pd.Series([], dtype="int64")}
+            if not len(pr):
+                return pd.DataFrame(cols)
+            cp = part_df[part_df["side"] == 0][["k", "cap_v"]]
+            m = pr.drop(columns=["cap_v", "side", "part", "kh"]).merge(
+                cp, on="k", how="left")
+            out = pd.DataFrame({key_col: m["k"], other_col: m["other"],
+                                **{c: m[c].astype("int64") for c in carry},
+                                out_col: m["cap_v"].astype("int64")})
+            return out
+
+        tagged = (caps.map_batches(tag_cap, batch_format="pyarrow")
+                  .union(pair_ds.map_batches(tag_pair, batch_format="pyarrow"))
+                  .map_batches(_add_part("kh", n_parts), batch_format="pyarrow"))
+        return tagged.groupby("part").map_groups(merge, batch_format="pandas")
+
+    a_done = _attach(pairs, "id_a", "cap_a", ["hamming"])
+    both = _attach(a_done, "id_b", "cap_b", ["hamming", "cap_a"])
+
+    def conflicts(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["cap_a"], t["cap_b"])
+        f = t.filter(keep)
+        return pa.table({"id_a": f["id_a"], "id_b": f["id_b"],
+                         "hamming": f["hamming"].cast(pa.int64()),
+                         "cap_a": f["cap_a"], "cap_b": f["cap_b"]})
+
+    return both.map_batches(conflicts, batch_format="pyarrow")
+
+
 def audio_features(sf_dir: str):
     """Multimodal audio branch (rows-only — a sine's RMS is not SQL): one
     deterministic WAV clip per document row (sine wave parameterized by
@@ -4087,6 +4177,7 @@ QUERIES = {
     "aspect_bucket_stats": aspect_bucket_stats,
     "image_training_prep": image_training_prep,
     "phash_hamming_pairs": phash_hamming_pairs,
+    "image_caption_conflicts": image_caption_conflicts,
     "audio_features": audio_features,
     "pagerank_pages": pagerank_pages,
     "link_triangles": link_triangles,
@@ -4655,6 +4746,7 @@ ORACLE_SF01_ONLY = {
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
     "crawl_reachability", "adamic_adar_links", "link_components",
+    "image_caption_conflicts",
 }
 
 # the graph oracles read web_graph.parquet (written by generate() itself, so
@@ -4893,6 +4985,20 @@ ORACLE_SQL.update({
         SELECT phash, COUNT(*) AS n_copies, MIN(image_id) AS first_image_id
         FROM read_parquet('{_CORPUS_T2}')
         GROUP BY phash HAVING COUNT(*) >= 2
+    """,
+    # near-dup images whose captions DIFFER (mislabeled duplicates): the
+    # Hamming pair set joined to FNV caption hashes (signed int64 view)
+    "image_caption_conflicts": f"""
+        WITH c AS (
+            SELECT image_id, phash,
+                   {_ub_to_i64(f"({_fnv_sql('caption')})::UBIGINT")} AS cap
+            FROM read_parquet('{_CORPUS_T2}')
+        )
+        SELECT a.image_id AS id_a, b.image_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+               a.cap AS cap_a, b.cap AS cap_b
+        FROM c a JOIN c b ON a.image_id < b.image_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 3 AND a.cap <> b.cap
     """,
     # connected components over the Hamming-≤3 pair graph via the same
     # recursive-CTE reachable-set-min technique as dup_clusters
