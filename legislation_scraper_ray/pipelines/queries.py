@@ -2372,11 +2372,12 @@ def dup_clusters(sf_dir: str):
     (reachable-set min per node); pytest additionally verifies against an
     exact union-find.
 
-    Scale note: the label kernel here runs on the PAIR LIST (output-sized by
-    construction — near-dup pairs are a small fraction of the corpus).  When
-    the component graph is itself corpus-sized, use the fully distributed
-    iterated form: ``link_components`` runs the same min-label fixpoint over
-    plasma-partitioned adjacency with only (node, label) rows exchanged."""
+    Scale note: the label kernel here runs on the PAIR LIST (output-sized
+    by construction — near-dup pairs are a small fraction of the corpus).
+    Past ``CC_DRIVER_MAX`` pairs it cuts over to ``_clusters_distributed``
+    (the ``_cc_labels`` plasma-partitioned min-label fixpoint shared with
+    ``link_components``) — byte-identical output, nothing driver-collected;
+    tests/test_cluster.py forces that branch and diffs the two."""
     from ..functions.cluster import label_propagation
 
     pairs = minhash_dup_pairs(sf_dir)
@@ -2387,10 +2388,81 @@ def dup_clusters(sf_dir: str):
             {"doc_id": pd.Series(dtype="int64"), "cluster_id": pd.Series(dtype="int64"),
              "cluster_size": pd.Series(dtype="int64")}
         )
+    if len(pairs) > CC_DRIVER_MAX:
+        return _clusters_distributed(rd.from_pandas(pairs[["doc_a", "doc_b"]]))
     comp = label_propagation(pa.Table.from_pandas(pairs[["doc_a", "doc_b"]])).to_pandas()
     sizes = comp.groupby("cluster_id")["doc_id"].transform("size")
     comp["cluster_size"] = sizes.astype("int64")
     return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+#: past this many duplicate pairs the driver-side label kernel becomes the
+#: scale hole dup_clusters exists to avoid — cut over to the distributed
+#: fixpoint (the threshold is a worker-heap bound, not a correctness one)
+CC_DRIVER_MAX = 2_000_000
+
+
+def _clusters_distributed(pairs: "rd.Dataset", a: str = "doc_a",
+                          b: str = "doc_b", id_col: str = "doc_id"):
+    """dup_clusters' big-pair-graph branch: (a, b) int64 pair Dataset →
+    lazy (id_col, cluster_id, cluster_size) via the ``_cc_labels``
+    distributed min-label fixpoint + one partitioned size attach.  Output
+    is byte-identical to the driver kernel (cluster_id = min member id)."""
+    from .common import session_parts
+
+    n_parts = session_parts()
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        x = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = x != y
+        x, y = x[keep], y[keep]
+        return pa.table({"y": pa.array(np.concatenate([x, y]), pa.int64()),
+                         "n": pa.array(np.concatenate([y, x]), pa.int64())})
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["y"]})
+
+    def dedup_nodes(part_df: pd.DataFrame) -> pd.DataFrame:
+        return part_df.drop_duplicates(["node"])[["node"]]
+
+    adj = pairs.map_batches(adj_rows, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    nodes = (adj.map_batches(node_rows, batch_format="pyarrow")
+             .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_nodes, batch_format="pandas"))
+    labels = _cc_labels(adj, nodes)
+    sizes = labels.groupby("label").aggregate(Count(alias_name="cluster_size"))
+
+    # attach sizes: side-tagged partitioned merge on the label key
+    def tag_s(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "label": t["label"],
+                         "cluster_size": t["cluster_size"],
+                         "node": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "label": t["label"],
+                         "cluster_size": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "node": t["node"]})
+
+    def merge_sizes(part_df: pd.DataFrame) -> pd.DataFrame:
+        r = part_df[part_df["side"] == 1][["label", "node"]]
+        if not len(r):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64"),
+                                 "cluster_size": pd.Series([], dtype="int64")})
+        s = part_df[part_df["side"] == 0][["label", "cluster_size"]]
+        m = r.merge(s, on="label", how="left")
+        return pd.DataFrame({id_col: m["node"].astype("int64"),
+                             "cluster_id": m["label"].astype("int64"),
+                             "cluster_size": m["cluster_size"].astype("int64")})
+
+    return (sizes.map_batches(tag_s, batch_format="pyarrow")
+            .union(labels.map_batches(tag_l, batch_format="pyarrow"))
+            .map_batches(_add_part("label", n_parts), batch_format="pyarrow")
+            .groupby("part").map_groups(merge_sizes, batch_format="pandas"))
 
 
 def image_dup_clusters(sf_dir: str, max_dist: int = 3):
@@ -3578,6 +3650,123 @@ def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
     return out.reset_index(drop=True)
 
 
+def _cc_labels(adj: "rd.Dataset", nodes: "rd.Dataset",
+               max_rounds: int = 32) -> "rd.Dataset":
+    """Distributed min-label connected components: the message-fused
+    one-exchange-per-round fixpoint shared by ``link_components`` (web
+    graph) and the big-pair-graph branch of ``dup_clusters``.
+
+    ``adj`` is an (y, n) int64 adjacency Dataset (BOTH directions per
+    undirected edge, self-loops dropped); ``nodes`` a distinct (node,)
+    int64 Dataset covering every adjacency endpoint plus any isolated
+    nodes.  Returns a lazy (node, label) Dataset with label = the
+    component's minimum node id.
+
+    Rounds = O(log diameter), not diameter: besides neighbor pushes, every
+    node whose label L ≠ itself sends a POINTER-JUMP request to node L
+    (labels are always node ids, so part(L) owns it); L's part replies next
+    round with label(L) as an ordinary push — the label paths halve every
+    two rounds, so a 60-node chain converges in ~14 rounds instead of 60.
+    One all-zero-changes round is a true fixpoint even with replies in
+    flight (replies generated from unchanged labels re-deliver what already
+    produced no change); exhausting ``max_rounds`` without convergence
+    raises instead of silently returning truncated labels."""
+    import uuid
+
+    from .common import session_parts, static_parts
+
+    n_parts = session_parts()
+    epoch = uuid.uuid4().hex
+    nodes = nodes.materialize()
+    adj_parts = static_parts(adj, "y", n_parts, sort_by=["y"])
+    node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
+
+    # message kinds: 0 = label push, 1 = self/state row, 2 = pointer-jump
+    # request (label column = the REQUESTER's node id)
+    msgs = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["node"],
+                            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+    n_state_blocks = max(msgs.num_blocks(), 1)
+    imax = np.iinfo(np.int64).max
+    converged = False
+
+    for rnd in range(max_rounds):
+        def step(part_df: pd.DataFrame, node_parts=node_parts,
+                 adj_parts=adj_parts, epoch=epoch,
+                 first=(rnd == 0)) -> pd.DataFrame:
+            """Group = one part's messages: min-update the part's labels on
+            its static node list from pushes + self rows, answer incoming
+            pointer-jump requests, then emit next-round neighbor pushes for
+            changed nodes (all nodes on the seed round), jump requests, and
+            the part's new self rows."""
+            from .common import part_cache_get
+
+            p = int(part_df["part"].iloc[0])
+            nt = part_cache_get(epoch, node_parts[p])
+            node_arr = nt["node"].to_numpy(zero_copy_only=False)
+            new = np.full(len(node_arr), imax, np.int64)
+            old = np.full(len(node_arr), imax, np.int64)
+            kind = part_df["kind"].to_numpy()
+            keys = part_df["node"].to_numpy()
+            vals = part_df["label"].to_numpy()
+            upd = kind != 2
+            pos_u = np.searchsorted(node_arr, keys[upd])
+            np.minimum.at(new, pos_u, vals[upd])
+            is_self = kind == 1
+            old[np.searchsorted(node_arr, keys[is_self])] = vals[is_self]
+            changed = new < old
+            push_mask = changed | first
+            outs = []
+            at = part_cache_get(epoch, adj_parts[p])
+            if at.num_rows and push_mask.any():
+                y = at["y"].to_numpy(zero_copy_only=False)
+                posy = np.searchsorted(node_arr, y)  # every y IS a part node
+                act = push_mask[posy]
+                outs.append((at["n"].to_numpy(zero_copy_only=False)[act],
+                             new[posy[act]], 0))
+            # answer jump requests: requester q asked for label(m); reply is
+            # an ordinary push keyed to q
+            is_req = kind == 2
+            if is_req.any():
+                pos_r = np.searchsorted(node_arr, keys[is_req])
+                outs.append((vals[is_req], new[pos_r], 0))
+            # issue next round's requests: every node whose label isn't
+            # itself asks its label's owner part for label(label)
+            ask = new != node_arr
+            if ask.any():
+                outs.append((new[ask], node_arr[ask], 2))
+            outs.append((node_arr, new, 1))  # self rows last
+            out_node = np.concatenate([o[0] for o in outs])
+            out_label = np.concatenate([o[1] for o in outs])
+            out_kind = np.concatenate(
+                [np.full(len(o[0]), o[2], np.int8) for o in outs])
+            out_changed = np.zeros(len(out_node), np.int64)
+            out_changed[-len(node_arr):] = changed.astype(np.int64)
+            return pd.DataFrame({"node": out_node, "label": out_label,
+                                 "kind": out_kind, "changed": out_changed})
+
+        msgs = (msgs
+                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                .groupby("part").map_groups(step, batch_format="pandas")
+                .repartition(n_state_blocks)
+                .materialize())
+        # the seed round force-pushes everything and reports changed == 0;
+        # real updates start at rnd 1
+        if rnd > 0 and (msgs.sum("changed") or 0) == 0:
+            converged = True
+            break
+
+    if not converged:
+        raise RuntimeError(
+            f"_cc_labels did not converge within max_rounds={max_rounds}")
+
+    return msgs.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(["node", "label"]),
+        batch_format="pyarrow")
+
+
 def link_components(sf_dir: str, max_rounds: int = 32):
     """Weakly connected components over the undirected crawl link graph —
     the third iterated fixpoint on the pagerank layout, now with INTEGER
@@ -3587,7 +3776,8 @@ def link_components(sf_dir: str, max_rounds: int = 32):
     Components over the whole corpus graph are how a 100-TB dedup pass
     turns pair evidence into per-item canonical assignments when the pair
     graph ISN'T small (``dup_clusters``'s driver-side kernel assumes an
-    output-sized pair list; this one never collects anything node-sized).
+    output-sized pair list and cuts over to this same ``_cc_labels``
+    fixpoint past its threshold; this never collects anything node-sized).
 
     Scale shape: the adjacency (both directions, y-sorted) and the node
     list are hash-partitioned ONCE into plasma (``static_parts``); each
@@ -3598,15 +3788,12 @@ def link_components(sf_dir: str, max_rounds: int = 32):
     converged round (changed == 0, a scalar aggregate — rounds needed =
     graph diameter, 4–5 on every corpus scale); per-round ``repartition``
     holds the state block count flat (CLAUDE.md r3 law)."""
-    import uuid
-
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
-    from .common import session_parts, static_parts
+    from .common import session_parts
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
     n_parts = session_parts()
-    epoch = uuid.uuid4().hex
     pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
@@ -3641,83 +3828,7 @@ def link_components(sf_dir: str, max_rounds: int = 32):
              .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
              .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
              .materialize())
-    adj_parts = static_parts(adj, "y", n_parts, sort_by=["y"])
-    node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
-
-    # Message-fused iteration: ONE exchange per round.  The round's group fn
-    # BOTH takes the per-node min (state arrives as the previous round's
-    # self rows — every node emits one every round, so no sentinel rows are
-    # needed) AND immediately emits the next round's messages across the
-    # part's static adjacency (delta/frontier pushes: only labels that
-    # changed this round push — min-label is monotone, an unchanged label's
-    # pushes were absorbed the round it changed).  The naive form (separate
-    # push exchange + min exchange, the pagerank two-exchange shape) was
-    # measured 45-50 s at sf0.1/32cpu — exchange COUNT, not bytes, dominates
-    # an iterated integer fixpoint, so fusing the halves buys ~2×.
-    msgs = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"],
-                            "is_self": pa.array(np.ones(t.num_rows, np.int8)),
-                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
-        batch_format="pyarrow").materialize()
-    n_state_blocks = max(msgs.num_blocks(), 1)
-    imax = np.iinfo(np.int64).max
-
-    for rnd in range(max_rounds):
-        def step(part_df: pd.DataFrame, node_parts=node_parts,
-                 adj_parts=adj_parts, epoch=epoch,
-                 first=(rnd == 0)) -> pd.DataFrame:
-            """Group = one part's messages (self rows = state, push rows =
-            neighbor labels): min-update the part's labels on its static
-            node list, then emit next-round pushes for changed nodes (all
-            nodes on the seed round) + the part's new self rows."""
-            from .common import part_cache_get
-
-            p = int(part_df["part"].iloc[0])
-            nt = part_cache_get(epoch, node_parts[p])
-            node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            new = np.full(len(node_arr), imax, np.int64)
-            old = np.full(len(node_arr), imax, np.int64)
-            keys = part_df["node"].to_numpy()
-            vals = part_df["label"].to_numpy()
-            pos = np.searchsorted(node_arr, keys)
-            np.minimum.at(new, pos, vals)
-            is_self = part_df["is_self"].to_numpy() == 1
-            old[pos[is_self]] = vals[is_self]
-            changed = new < old
-            push_mask = changed | first
-            at = part_cache_get(epoch, adj_parts[p])
-            if at.num_rows and push_mask.any():
-                y = at["y"].to_numpy(zero_copy_only=False)
-                posy = np.searchsorted(node_arr, y)  # every y IS a part node
-                act = push_mask[posy]
-                n_act = int(act.sum())
-                out_node = np.concatenate(
-                    [at["n"].to_numpy(zero_copy_only=False)[act], node_arr])
-                out_label = np.concatenate([new[posy[act]], new])
-                out_self = np.concatenate([np.zeros(n_act, np.int8),
-                                           np.ones(len(node_arr), np.int8)])
-                out_changed = np.concatenate([np.zeros(n_act, np.int64),
-                                              changed.astype(np.int64)])
-            else:
-                out_node, out_label = node_arr, new
-                out_self = np.ones(len(node_arr), np.int8)
-                out_changed = changed.astype(np.int64)
-            return pd.DataFrame({"node": out_node, "label": out_label,
-                                 "is_self": out_self, "changed": out_changed})
-
-        msgs = (msgs
-                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                .groupby("part").map_groups(step, batch_format="pandas")
-                .repartition(n_state_blocks)
-                .materialize())
-        # the seed round force-pushes everything and reports changed == 0;
-        # real updates start at rnd 1
-        if rnd > 0 and (msgs.sum("changed") or 0) == 0:
-            break
-
-    labels = msgs.map_batches(
-        lambda t: t.filter(pc.equal(t["is_self"], 1)).select(["node", "label"]),
-        batch_format="pyarrow")
+    labels = _cc_labels(adj, nodes, max_rounds)
 
     # component sizes: node-sized groupby on the final labels; url map-back
     # via partitioned merge (Dataset.join empty-partition crash — CLAUDE r3)

@@ -36,3 +36,32 @@ def test_dup_clusters_query(ray_session):
     got = dict(zip(clusters["doc_id"].astype(int), clusters["cluster_id"].astype(int)))
     assert got == uf
     assert (clusters["cluster_size"] >= 2).all()  # every clustered doc has a partner
+
+
+def test_distributed_branch_matches_driver_kernel(ray_session):
+    """Force dup_clusters' big-pair-graph branch (_clusters_distributed /
+    _cc_labels) on the same pair set and require byte-identical output to
+    the driver-side label kernel — including a long chain (multi-round
+    propagation) and an isolated-pair component."""
+    import numpy as np
+    import ray.data as rd
+
+    from legislation_scraper_ray.pipelines.queries import _clusters_distributed
+
+    chain = pd.DataFrame({"doc_a": np.arange(0, 60, dtype=np.int64),
+                          "doc_b": np.arange(1, 61, dtype=np.int64)})
+    extra = pd.DataFrame({"doc_a": np.array([100, 200, 201], dtype=np.int64),
+                          "doc_b": np.array([101, 201, 202], dtype=np.int64)})
+    pairs = pd.concat([chain, extra], ignore_index=True)
+
+    got = (_clusters_distributed(rd.from_pandas(pairs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    lp = label_propagation(
+        pa.Table.from_pandas(pairs), max_rounds=128).to_pandas()
+    sizes = lp.groupby("cluster_id")["doc_id"].transform("size")
+    lp["cluster_size"] = sizes.astype("int64")
+    want = lp.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "cluster_id", "cluster_size"]],
+        want[["doc_id", "cluster_id", "cluster_size"]], check_dtype=False)
