@@ -2473,7 +2473,10 @@ def image_dup_clusters(sf_dir: str, max_dist: int = 3):
     The pair set is output-sized, so the factorize/relabel runs on pairs
     only — pixels and phashes never reach the driver.  Rows-only (the image
     corpus has no DuckDB view); pytest verifies against a union-find over
-    the same pairs and the generator's planted ``dup_of`` ground truth."""
+    the same pairs and the generator's planted ``dup_of`` ground truth.
+    (If an image pair graph ever outgrew the driver, the cutover is
+    ``_clusters_distributed`` over hash64(image_id) nodes + one partitioned
+    min-string relabel per component — same shape as dup_clusters'.)"""
     from ..functions.cluster import label_propagation
 
     pairs = phash_hamming_pairs(sf_dir, max_dist=max_dist)
