@@ -505,6 +505,53 @@ def weighted_sample_docs(sf_dir: str, k: int = 50):
     return out
 
 
+def weighted_sample_by_lang(sf_dir: str, k: int = 20):
+    """GROUPED weighted sampling without replacement: per language, the
+    top-k docs by the same A-ES key as ``weighted_sample_docs`` — the
+    per-source token-weighted subsampling step of mixture construction
+    (cap each language's contribution at k docs, preferring token-heavy
+    ones, deterministically on any cluster size).
+
+    Scale shape: one stateless pass computes keys and keeps a per-batch
+    per-group top-k partial (lexsort + grouped rank, no Python loop over
+    groups), so each group's exchange carries ≤ k rows per block; the
+    final per-group merge is the grouped-top-k combiner pattern
+    (top3_events_per_type)."""
+
+    def keyed_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        w = pc.list_value_length(pc.split_pattern(t["text"], " ")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ((splitmix64(ids) >> np.uint64(11)) + np.uint64(1)) \
+            .astype(np.float64) * 2.0 ** -53
+        key = np.log(u) / w
+        # per-(batch, lang) top-k without a group loop: sort rows by
+        # (lang, -key, id), then rank-within-run ≤ k
+        order = np.lexsort((ids.view(np.int64), -key, lang))
+        lang_s = lang[order]
+        starts = np.flatnonzero(np.r_[True, lang_s[1:] != lang_s[:-1]])
+        counts = np.diff(np.r_[starts, len(lang_s)])
+        rank = np.arange(len(lang_s)) - np.repeat(starts, counts)
+        keep = order[rank < k]
+        return pa.table({
+            "lang": pa.array(lang[keep]),
+            "doc_id": pa.array(ids[keep].view(np.int64), pa.int64()),
+            "w": pa.array(w[keep], pa.int64()),
+            "skey": pa.array(key[keep], pa.float64()),
+        })
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"], ascending=[False, True]).head(k)
+        out = g[["lang", "doc_id", "w"]].copy()
+        out["skey"] = _round(g["skey"], 9)
+        return out
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return (ds.map_batches(keyed_topk, batch_format="pyarrow", batch_size=65536)
+            .groupby("lang").map_groups(merge_topk, batch_format="pandas"))
+
+
 def stratified_sample_docs(sf_dir: str, k: int = 20):
     """Stratified sample: k docs per lang, chosen by splitmix64 order (a
     deterministic uniform draw).  Grouped top-k combiner: each batch keeps at
@@ -2782,6 +2829,7 @@ ANALYTICS_QUERIES = {
     "tfidf_top_term": tfidf_top_term,
     "sample_docs_hash": sample_docs_hash,
     "weighted_sample_docs": weighted_sample_docs,
+    "weighted_sample_by_lang": weighted_sample_by_lang,
     "shuffle_docs_deterministic": shuffle_docs_deterministic,
     "stratified_sample_docs": stratified_sample_docs,
     "customers_without_orders": customers_without_orders,
@@ -3189,6 +3237,22 @@ ANALYTICS_ORACLE_SQL = {
         )
         SELECT doc_id, w, ROUND(rawkey, 9) AS skey
         FROM keyed ORDER BY rawkey DESC, doc_id LIMIT 50
+    """,
+    "weighted_sample_by_lang": f"""
+        WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id, lang, text')},
+        keyed AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   ln((((skey >> 11) + 1)::DOUBLE) / 9007199254740992.0)
+                       / len(string_split(text, ' ')) AS rawkey
+            FROM smx
+        )
+        SELECT lang, doc_id, w, ROUND(rawkey, 9) AS skey FROM (
+            SELECT lang, doc_id, w, rawkey,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY rawkey DESC, doc_id) AS rn
+            FROM keyed
+        ) WHERE rn <= 20
     """,
     "shuffle_docs_deterministic": f"""
         WITH {_splitmix64_ctes('documents', 'doc_id', 'doc_id')}

@@ -50,3 +50,39 @@ def test_weights_matter():
     ids, w, key = _dense_keys()
     order = np.lexsort((ids, -key))[:K]
     assert w[order].mean() > w.mean()
+
+
+def test_grouped_matches_dense_replay(ray_session):
+    import pandas as pd
+
+    from legislation_scraper_ray.pipelines.analytics import weighted_sample_by_lang
+
+    got = (weighted_sample_by_lang(SF, k=20).to_pandas()
+           .sort_values(["lang", "skey", "doc_id"],
+                        ascending=[True, False, True], ignore_index=True))
+    ids, w, key = _dense_keys()
+    lang = pq.read_table(f"{SF}/documents.parquet", columns=["lang"]) \
+        ["lang"].to_pylist()
+    df = pd.DataFrame({"lang": lang, "doc_id": ids, "w": w, "key": key})
+    want = (df.sort_values(["lang", "key", "doc_id"],
+                           ascending=[True, False, True])
+            .groupby("lang").head(20).reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["w"].tolist() == want["w"].tolist()
+    np.testing.assert_allclose(got["skey"].to_numpy(),
+                               np.round(want["key"].to_numpy(), 9),
+                               rtol=0, atol=1e-12)
+
+
+def test_grouped_boundary_margins():
+    import pandas as pd
+
+    ids, w, key = _dense_keys()
+    lang = pq.read_table(f"{SF}/documents.parquet", columns=["lang"]) \
+        ["lang"].to_pylist()
+    df = pd.DataFrame({"lang": lang, "key": key})
+    for _, g in df.groupby("lang"):
+        s = np.sort(g["key"].to_numpy())[::-1]
+        if len(s) > 20:
+            gap = s[19] - s[20]
+            assert gap > 1e-9 * max(abs(s[19]), abs(s[20]))
