@@ -43,15 +43,22 @@ def from_local_tables(tables) -> "rd.MaterializedDataset":
     1,280-row seed table during the scaling bench), a serial seam that deflates
     the high-core legs.  Building the plan locally does no remote work at all,
     so it cannot queue.  Uses only the same internal constructors
-    ``from_arrow_refs`` itself calls (ray 2.49)."""
-    from ray.data._internal.logical.interfaces import LogicalPlan
-    from ray.data._internal.logical.operators.from_operators import FromArrow
-    from ray.data._internal.plan import ExecutionPlan
-    from ray.data._internal.stats import DatasetStats
-    from ray.data.block import BlockExecStats, BlockMetadataWithSchema
-    from ray.data.context import DataContext
-    from ray.data.dataset import MaterializedDataset
+    ``from_arrow_refs`` itself calls (ray 2.49); if a future Ray moves those
+    internals, fall back to the public (slower, remote-metadata) path rather
+    than breaking the crawl."""
     import ray
+    import ray.data as rd
+
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockExecStats, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+    except ImportError:  # internal layout moved: correctness over the seam
+        return rd.from_arrow_refs([ray.put(t) for t in tables])
 
     metadata_schema = []
     refs = []
