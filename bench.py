@@ -151,13 +151,15 @@ def run_bench() -> dict:
         # frontier probe an unbounded crawl pays (~1.4 s fixed)
         max_generations=3,
     )
-    # Best-of-2 on the crawl leg (the dominant, noisiest term): this box is
-    # multi-tenant and identical runs vary 2-3x minute-to-minute (CLAUDE.md);
-    # --scaling already keeps best-of-N per leg for the same reason.  Both
+    # Best-of-3 on the crawl leg (the dominant, noisiest term): this box is
+    # multi-tenant and identical runs vary 2-3x minute-to-minute (CLAUDE.md;
+    # an interleaved r3-vs-r4 A/B confirmed the deltas are box noise, and the
+    # first sample doubles as the cold-worker/page-cache warm-up);
+    # --scaling already keeps best-of-N per leg for the same reason.  All
     # samples are reported so the record shows the spread.
     crawl_samples = []
     res = None
-    for _ in range(2):
+    for _ in range(3):
         # clear the previous leg's ~450k-file output tree OUTSIDE the timer
         # (run_crawl's own rmtree was ~3 s of serial unlink in-measurement)
         shutil.rmtree("/tmp/graft_bench_crawl", ignore_errors=True)
