@@ -2096,6 +2096,16 @@ def ann_topk_ivf_full(sf_dir: str, k: int = 10):
     return ann_topk_ivf(sf_dir, k=k, n_probe=1 << 30)
 
 
+def ann_topk_ivf_persisted_full(sf_dir: str, k: int = 10):
+    """The PERSISTED-index path at FULL probe: every cell partition of the
+    on-disk IVF index is read, so the result is exact — shares ``ann_topk``'s
+    SQL oracle and puts the build-once/partition-pruned-read machinery
+    (hive cell layout, fingerprinted store, path-pruned ``read_parquet``)
+    under DuckDB ground truth, like ``ann_topk_ivf_full`` does for the
+    in-memory IVF kernel."""
+    return ann_topk_ivf_persisted(sf_dir, k=k, n_probe=1 << 30)
+
+
 def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
                            train_sample: int = 4096):
     """IVF with a PERSISTED index — the build-once / probe-many serving shape
@@ -4279,6 +4289,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "ann_topk_ivf_full": ann_topk_ivf_full,
     "ann_topk_ivf_persisted": ann_topk_ivf_persisted,
+    "ann_topk_ivf_persisted_full": ann_topk_ivf_persisted_full,
     "ann_topk_ivfpq": ann_topk_ivfpq,
     "dup_clusters": dup_clusters,
     "embedding_norms": embedding_norms,
@@ -4850,6 +4861,7 @@ def _ub_to_i64(expr: str) -> str:
 ORACLE_SQL["knn_join_cells"] = ORACLE_SQL["knn_join_embeddings"]
 # IVF at full probe is EXACT — shares the brute-force cosine oracle
 ORACLE_SQL["ann_topk_ivf_full"] = ORACLE_SQL["ann_topk"]
+ORACLE_SQL["ann_topk_ivf_persisted_full"] = ORACLE_SQL["ann_topk"]
 
 # These oracles read the sf0.01 (t2) generated corpus by absolute path, so
 # they are only VALID when the engine side also runs at sf0.01 (the driver's
