@@ -146,7 +146,7 @@ def session_parts(lo: int = 16, hi: int = 256) -> int:
 
 
 def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
-                 sort_by=None) -> dict:
+                 sort_by=None, dedup: bool = False) -> dict:
     """Hash-partition a STATIC relation ONCE into plasma: one ``num_returns``
     fan-out task per block (no worker ever holds a foreign part), then one
     concat task per part.  Returns ``{part: ObjectRef(pa.Table)}`` — the
@@ -154,7 +154,11 @@ def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
     Part formula matches ``_add_part`` (uint64 key % n_parts), so exchange
     rows tagged by ``_add_part(key_col, n_parts)`` land on the same part.
     ``sort_by``: optional column list each part table is sorted by (enables
-    searchsorted lookups in the per-part group fns)."""
+    searchsorted lookups in the per-part group fns).
+    ``dedup``: with ``sort_by``, drop rows whose ``sort_by`` tuple repeats —
+    a GLOBAL distinct, because every row with a given ``key_col`` value
+    lands in one part (k-core needs distinct undirected edges; duplicated
+    out_links would inflate degrees AND decrement pushes)."""
     import ray as _ray
 
     @_ray.remote(num_returns=n_parts)
@@ -178,6 +182,14 @@ def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
         if sort_by:
             t = t.sort_by([(c, "ascending") for c in sort_by]
                           if isinstance(sort_by, (list, tuple)) else sort_by)
+            if dedup and t.num_rows:
+                cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                keep = np.zeros(t.num_rows, bool)
+                keep[0] = True
+                for c in cols:
+                    v = t[c].to_numpy(zero_copy_only=False)
+                    keep[1:] |= v[1:] != v[:-1]
+                t = t.filter(pa.array(keep))
         return t.combine_chunks()
 
     block_splits = [split.remote(ref) for ref in ds.to_arrow_refs()]

@@ -3912,6 +3912,234 @@ def link_components(sf_dir: str, max_rounds: int = 32):
             .groupby("part").map_groups(merge_sizes, batch_format="pandas"))
 
 
+def _kcore_alive(adj: "rd.Dataset", nodes: "rd.Dataset", k: int,
+                 max_rounds: int = 64) -> "rd.Dataset":
+    """Distributed k-core peel (Jacobi schedule) on the ``static_parts``
+    layout — ONE message exchange per round, same shape as ``_cc_labels``.
+
+    ``adj`` is an (y, n) int64 adjacency Dataset (BOTH directions per
+    undirected edge, self-loops dropped; duplicates are fine — the
+    partition build dedups (y, n) globally, because all rows of a given y
+    land in one part).  ``nodes`` covers every adjacency endpoint plus
+    isolated nodes.  Returns a lazy (node, core_degree) Dataset: the nodes
+    of the k-core with their degree WITHIN the core.
+
+    Round r kills every still-alive node whose current degree (initial
+    distinct-neighbor count minus decrements from neighbors killed in
+    rounds < r) is < k, and pushes one decrement per adjacent edge;
+    decrements addressed to already-dead nodes are ignored.  That is
+    exactly the synchronous peel ``alive_{r+1} = {v ∈ alive_r :
+    deg_within(alive_r, v) ≥ k}`` — idempotent at the fixpoint, so the
+    unrolled SQL oracle may run MORE steps than the engine needed.  A
+    zero-death round is a true fixpoint (decrements only originate from
+    deaths, so none are in flight).  Unlike min-label CC there is no
+    pointer-jump shortcut: rounds = the graph's peel depth (a k=2 path
+    peels one node per round from each end), so exhausting ``max_rounds``
+    raises rather than silently returning an unfinished core.
+
+    State rides as survivor self rows (kind 1, val = degree); a dead part
+    stops receiving messages and stops executing.  Each part additionally
+    emits one kind-3 tombstone row carrying its death count, so a part
+    whose LAST nodes die still reports changes while its decrements are in
+    flight (putting the count on self rows would under-count exactly
+    there)."""
+    import uuid
+
+    from .common import session_parts, static_parts
+
+    n_parts = session_parts()
+    epoch = uuid.uuid4().hex
+    nodes = nodes.materialize()
+    adj_parts = static_parts(adj, "y", n_parts, sort_by=["y", "n"], dedup=True)
+    node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
+
+    # message kinds: 0 = decrement (val = count), 1 = self/state row
+    # (val = current in-core degree), 3 = tombstone (changed carrier only)
+    msgs = nodes.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "val": pa.array(np.full(t.num_rows, -1, np.int64)),
+                            "kind": pa.array(np.ones(t.num_rows, np.int8)),
+                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+    n_state_blocks = max(msgs.num_blocks(), 1)
+    converged = False
+
+    for rnd in range(max_rounds):
+        def step(part_df: pd.DataFrame, node_parts=node_parts,
+                 adj_parts=adj_parts, epoch=epoch, k=k,
+                 first=(rnd == 0)) -> pd.DataFrame:
+            from .common import part_cache_get
+
+            p = int(part_df["part"].iloc[0])
+            nt = part_cache_get(epoch, node_parts[p])
+            node_arr = nt["node"].to_numpy(zero_copy_only=False)
+            at = part_cache_get(epoch, adj_parts[p])
+            y = (at["y"].to_numpy(zero_copy_only=False)
+                 if at.num_rows else np.empty(0, np.int64))
+            deg = np.full(len(node_arr), -1, np.int64)  # -1 = dead
+            kind = part_df["kind"].to_numpy()
+            keys = part_df["node"].to_numpy()
+            vals = part_df["val"].to_numpy()
+            is_self = kind == 1
+            deg[np.searchsorted(node_arr, keys[is_self])] = vals[is_self]
+            if first and len(node_arr):
+                # initial degree = run length in the (y, n)-sorted deduped
+                # static adjacency; isolated nodes start (and may stay) at 0
+                deg[:] = 0
+                if len(y):
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], y[1:] != y[:-1])))
+                    cnt = np.diff(np.append(starts, len(y)))
+                    deg[np.searchsorted(node_arr, y[starts])] = cnt
+            alive = deg >= 0
+            is_dec = kind == 0
+            if is_dec.any():
+                dec = np.zeros(len(node_arr), np.int64)
+                np.add.at(dec, np.searchsorted(node_arr, keys[is_dec]),
+                          vals[is_dec])
+                deg[alive] -= dec[alive]
+            die = alive & (deg < k)
+            outs = []
+            if die.any() and len(y):
+                posy = np.searchsorted(node_arr, y)  # every y IS a part node
+                m = die[posy]
+                if m.any():
+                    outs.append((at["n"].to_numpy(zero_copy_only=False)[m],
+                                 np.ones(int(m.sum()), np.int64), 0))
+            surv = alive & ~die
+            outs.append((node_arr[surv], deg[surv], 1))
+            out_node = np.concatenate([o[0] for o in outs]
+                                      + [node_arr[:1] if len(node_arr)
+                                         else np.zeros(1, np.int64)])
+            out_val = np.concatenate([o[1] for o in outs]
+                                     + [np.zeros(1, np.int64)])
+            out_kind = np.concatenate(
+                [np.full(len(o[0]), o[2], np.int8) for o in outs]
+                + [np.full(1, 3, np.int8)])
+            out_changed = np.zeros(len(out_node), np.int64)
+            out_changed[-1] = int(die.sum())
+            return pd.DataFrame({"node": out_node, "val": out_val,
+                                 "kind": out_kind, "changed": out_changed})
+
+        msgs = (msgs
+                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                .groupby("part").map_groups(step, batch_format="pandas")
+                .repartition(n_state_blocks)
+                .materialize())
+        if (msgs.sum("changed") or 0) == 0:
+            converged = True
+            break
+
+    if not converged:
+        raise RuntimeError(
+            f"_kcore_alive did not converge within max_rounds={max_rounds} "
+            f"(rounds = peel depth for k-core; raise max_rounds)")
+
+    return msgs.map_batches(
+        lambda t: pa.table({"node": t.filter(pc.equal(t["kind"], 1))["node"],
+                            "core_degree":
+                                t.filter(pc.equal(t["kind"], 1))["val"]}),
+        batch_format="pyarrow")
+
+
+def k_core_pages(sf_dir: str, k: int = 2, max_rounds: int = 64):
+    """k-core decomposition (fixed k) of the undirected crawl link graph —
+    iterative peeling: delete every node with degree < k, recompute degrees,
+    repeat to the fixpoint.  The 2-core is the cycle-containing backbone of
+    a link graph (link farms / navigation cliques surface here; pendant
+    chains — the long tail of leaf documents — peel away), a standard crawl
+    -curation signal alongside PageRank/HITS.  Returns (url, node,
+    core_degree): the surviving nodes with their degree INSIDE the core
+    (url NULL for link targets never crawled as pages).
+
+    Fourth iterated fixpoint on the pagerank/static-parts layout (see
+    ``_kcore_alive`` for the round protocol and why rounds = peel depth
+    with a LOUD failure past ``max_rounds``).  Degrees count DISTINCT
+    undirected neighbors (duplicated out_links and reciprocal edge pairs
+    collapse — ``static_parts(dedup=True)`` dedups (y, n) globally since
+    every y lives in one part), matching the oracle's DISTINCT-edge SQL.
+
+    DuckDB oracle: ``_kcore_sql`` — the peel unrolled as materialized CTE
+    steps ``a_{i+1} = {v ∈ a_i : |{n ∈ a_i : (v,n) ∈ adj}| ≥ k}``; the
+    peel is idempotent at the fixpoint, so unrolling MORE steps than the
+    engine needed is harmless (measured peel depth 2 at t2; the oracle
+    unrolls 12)."""
+    from ..functions.hashing import hash64
+    from ..sources.corpus import corpus_dir_for_sf
+    from .common import session_parts
+
+    corpus_dir = corpus_dir_for_sf(sf_dir)
+    n_parts = session_parts()
+    pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
+                            columns=["url", "out_links"])
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        parents = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+        src = hash64(t["url"])[parents].view(np.int64)
+        dst = hash64(pc.list_flatten(links)).view(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        return pa.table({
+            "y": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "n": pa.array(np.concatenate([dst, src]), pa.int64()),
+        })
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        links = t["out_links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        own = hash64(t["url"]).view(np.int64)
+        tgt = np.unique(hash64(pc.list_flatten(links)).view(np.int64))
+        return pa.table({"node": pa.array(np.concatenate([own, tgt]), pa.int64())})
+
+    def dedup_nodes(part_df: pd.DataFrame) -> pd.DataFrame:
+        return part_df.drop_duplicates(["node"])[["node"]]
+
+    adj = pages.map_batches(adj_rows, batch_format="pyarrow", batch_size=4096)
+    nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
+             .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+             .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
+             .materialize())
+    core = _kcore_alive(adj, nodes, k, max_rounds)
+
+    # url map-back: corpus-sized url side vs core-sized rows → partitioned
+    # merge on node (Dataset.join empty-partition crash — CLAUDE r3)
+    url_map = pages.map_batches(
+        lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64),
+                                             pa.int64()),
+                            "url": t["url"]}), batch_format="pyarrow")
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "node": t["node"], "url": t["url"],
+                         "core_degree": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_c(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "node": t["node"],
+                         "url": pa.nulls(t.num_rows, pa.string()),
+                         "core_degree": t["core_degree"]})
+
+    def merge_out(part_df: pd.DataFrame) -> pd.DataFrame:
+        c = part_df[part_df["side"] == 1][["node", "core_degree"]]
+        if not len(c):
+            return pd.DataFrame({"url": pd.Series([], dtype="object"),
+                                 "node": pd.Series([], dtype="int64"),
+                                 "core_degree": pd.Series([], dtype="int64")})
+        um = part_df[part_df["side"] == 0][["node", "url"]]
+        m = c.merge(um, on="node", how="left")
+        return pd.DataFrame({"url": m["url"], "node": m["node"].astype("int64"),
+                             "core_degree": m["core_degree"].astype("int64")})
+
+    return (url_map.map_batches(tag_u, batch_format="pyarrow")
+            .union(core.map_batches(tag_c, batch_format="pyarrow"))
+            .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+            .groupby("part").map_groups(merge_out, batch_format="pandas"))
+
+
 def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     """HITS hubs & authorities over the DIRECTED crawl link graph — the
     second iterated-fixpoint graph operator, proving the pagerank layout
@@ -4309,6 +4537,7 @@ QUERIES = {
     "hits_pages": hits_pages,
     "adamic_adar_links": adamic_adar_links,
     "link_components": link_components,
+    "k_core_pages": k_core_pages,
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
@@ -4872,7 +5101,7 @@ ORACLE_SF01_ONLY = {
     "aspect_bucket_stats", "caption_reuse_stats", "caption_consistency_docs",
     "image_training_prep", "pagerank_pages", "link_triangles", "hits_pages",
     "crawl_reachability", "adamic_adar_links", "link_components",
-    "image_caption_conflicts",
+    "image_caption_conflicts", "k_core_pages",
 }
 
 # the graph oracles read web_graph.parquet (written by generate() itself, so
@@ -5031,6 +5260,51 @@ def _components_sql(prep_path: str, n_rounds: int = 8) -> str:
     FROM l{n_rounds} l
     JOIN sizes s ON s.label = l.label
     LEFT JOIN hashed h ON h.node = l.node
+    """
+
+
+def _kcore_sql(prep_path: str, k: int = 2, n_rounds: int = 12) -> str:
+    """Unrolled k-core peel in plain SQL (same MATERIALIZED-CTE rule as
+    ``_pagerank_sql``): ``a_{i+1} = {v ∈ a_i : |{n ∈ a_i : (v,n) ∈ adj}| ≥
+    k}`` with adj the DISTINCT undirected edge set.  The peel is idempotent
+    at the fixpoint, so ``n_rounds`` only needs to be ≥ the graph's peel
+    depth (measured 2 at t1/t2; extra steps are cheap no-op joins)."""
+    iters = []
+    for i in range(1, n_rounds + 1):
+        iters.append(f"""
+        a{i} AS MATERIALIZED (
+            SELECT a.y AS node, COUNT(*) AS deg
+            FROM adj a
+            JOIN a{i-1} p1 ON p1.node = a.y
+            JOIN a{i-1} p2 ON p2.node = a.n
+            GROUP BY a.y
+            HAVING COUNT(*) >= {k}
+        )""")
+    return f"""
+    WITH hashed AS MATERIALIZED (
+        SELECT {_ub_to_i64(f"({_fnv_sql('url')})::UBIGINT")} AS node,
+               url, out_links
+        FROM read_parquet('{prep_path}')
+    ),
+    dedges AS MATERIALIZED (
+        SELECT DISTINCT src, {_ub_to_i64(f"({_fnv_sql('dst')})::UBIGINT")} AS dst
+        FROM (
+            SELECT node AS src, url, unnest(out_links) AS dst FROM hashed
+        ) WHERE url <> dst
+    ),
+    adj AS MATERIALIZED (
+        SELECT DISTINCT y, n FROM (
+            SELECT src AS y, dst AS n FROM dedges
+            UNION ALL SELECT dst AS y, src AS n FROM dedges
+        )
+    ),
+    a0 AS MATERIALIZED (
+        SELECT node, 0 AS deg FROM hashed UNION SELECT dst, 0 FROM dedges
+    ),
+    {",".join(iters)}
+    SELECT h.url, f.node, CAST(f.deg AS BIGINT) AS core_degree
+    FROM a{n_rounds} f
+    LEFT JOIN hashed h ON h.node = f.node
     """
 
 
@@ -5272,6 +5546,7 @@ ORACLE_SQL.update({
     """,
     "hits_pages": _hits_sql(_GRAPH_T2),
     "link_components": _components_sql(_GRAPH_T2),
+    "k_core_pages": _kcore_sql(_GRAPH_T2),
     # Adamic–Adar: wedge self-join on the apex with the same deg<=512 hub
     # cap; tie-break mirrors the engine's signed view of the unsigned-min
     # pair orientation (ties require bit-equal raw scores, which both
