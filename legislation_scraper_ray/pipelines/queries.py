@@ -2475,23 +2475,138 @@ def _clusters_distributed(pairs: "rd.Dataset", a: str = "doc_a",
             .groupby("part").map_groups(merge_sizes, batch_format="pandas"))
 
 
-def image_dup_clusters(sf_dir: str, max_dist: int = 3):
+def _img_clusters_distributed(pairs: "rd.Dataset"):
+    """image_dup_clusters' big-pair-graph branch: (id_a, id_b) STRING pair
+    Dataset → lazy (image_id, cluster_id, cluster_size) with cluster_id =
+    the lexicographically smallest member image_id.
+
+    Shape: components run on hash64(image_id) int64 nodes through the
+    shared ``_cc_labels`` fixpoint (labels must be node ids for the
+    pointer-jump protocol, so the string can't be the label); the strings
+    then come back via two partitioned merges — (1) node-keyed attach of
+    image_id to each label row, (2) label-keyed relabel where one group fn
+    computes the component's min image_id and size and emits the member
+    rows.  A hash64 collision between two DISTINCT image_ids would silently
+    merge their clusters, so the map build detects one-hash→many-ids and
+    raises (at 10^10 images 64-bit birthday collisions stop being
+    negligible — the loud failure is the correct behavior, mirroring
+    ``_kcore_alive``'s non-convergence rule)."""
+    from ..functions.hashing import hash64
+    from .common import session_parts
+
+    n_parts = session_parts()
+
+    def adj_rows(t: pa.Table) -> pa.Table:
+        ha = hash64(t["id_a"]).view(np.int64)
+        hb = hash64(t["id_b"]).view(np.int64)
+        keep = ha != hb
+        ha, hb = ha[keep], hb[keep]
+        return pa.table({"y": pa.array(np.concatenate([ha, hb]), pa.int64()),
+                         "n": pa.array(np.concatenate([hb, ha]), pa.int64())})
+
+    def map_rows(t: pa.Table) -> pa.Table:
+        ha = hash64(t["id_a"]).view(np.int64)
+        hb = hash64(t["id_b"]).view(np.int64)
+        ids_a, ids_b = t["id_a"], t["id_b"]
+        if isinstance(ids_a, pa.ChunkedArray):
+            ids_a = ids_a.combine_chunks()
+        if isinstance(ids_b, pa.ChunkedArray):
+            ids_b = ids_b.combine_chunks()
+        ids = pa.concat_arrays([ids_a, ids_b])
+        return pa.table({"node": pa.array(np.concatenate([ha, hb]), pa.int64()),
+                         "image_id": ids})
+
+    def dedup_map(part_df: pd.DataFrame) -> pd.DataFrame:
+        d = part_df.drop_duplicates(["node", "image_id"])
+        if d["node"].duplicated().any():
+            raise RuntimeError(
+                "hash64(image_id) collision: two distinct image_ids share a "
+                "64-bit node id — clusters would silently merge")
+        return d[["node", "image_id"]]
+
+    adj = pairs.map_batches(adj_rows, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    id_map = (pairs.map_batches(map_rows, batch_format="pyarrow")
+              .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+              .groupby("part").map_groups(dedup_map, batch_format="pandas")
+              .materialize())
+    nodes = id_map.map_batches(lambda t: t.select(["node"]),
+                               batch_format="pyarrow")
+    labels = _cc_labels(adj, nodes)
+
+    # (1) node-keyed partitioned merge: label rows gain their image_id
+    def tag_m(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.zeros(t.num_rows, np.int8)),
+                         "node": t["node"], "image_id": t["image_id"],
+                         "label": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        return pa.table({"side": pa.array(np.ones(t.num_rows, np.int8)),
+                         "node": t["node"],
+                         "image_id": pa.nulls(t.num_rows, pa.string()),
+                         "label": t["label"]})
+
+    def merge_ids(part_df: pd.DataFrame) -> pd.DataFrame:
+        lab = part_df[part_df["side"] == 1][["node", "label"]]
+        if not len(lab):
+            return pd.DataFrame({"image_id": pd.Series([], dtype="object"),
+                                 "label": pd.Series([], dtype="int64")})
+        m = lab.merge(part_df[part_df["side"] == 0][["node", "image_id"]],
+                      on="node", how="left")
+        return pd.DataFrame({"image_id": m["image_id"],
+                             "label": m["label"].astype("int64")})
+
+    with_ids = (id_map.map_batches(tag_m, batch_format="pyarrow")
+                .union(labels.map_batches(tag_l, batch_format="pyarrow"))
+                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
+                .groupby("part").map_groups(merge_ids, batch_format="pandas"))
+
+    # (2) label-keyed relabel: every member of a label lands in one part —
+    # min image_id + size computed inside the group, members re-emitted
+    def relabel(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("label")["image_id"]
+        return pd.DataFrame(
+            {"image_id": part_df["image_id"],
+             "cluster_id": g.transform("min"),
+             "cluster_size": g.transform("size").astype("int64")})
+
+    return (with_ids
+            .map_batches(_add_part("label", n_parts), batch_format="pyarrow")
+            .groupby("part").map_groups(relabel, batch_format="pandas")
+            .map_batches(lambda t: t.select(["image_id", "cluster_id",
+                                             "cluster_size"]),
+                         batch_format="pyarrow"))
+
+
+def image_dup_clusters(sf_dir: str, max_dist: int = 3,
+                       driver_max: int | None = None):
     """Image near-dup CLUSTERS: phash-Hamming pairs (banded pigeonhole
     candidate mining, never all-pairs) → connected components via the same
     min-label propagation as dup_clusters → (image_id, cluster_id,
     cluster_size) with cluster_id = the lexicographically smallest member.
     The pair set is output-sized, so the factorize/relabel runs on pairs
-    only — pixels and phashes never reach the driver.  Rows-only (the image
-    corpus has no DuckDB view); pytest verifies against a union-find over
-    the same pairs and the generator's planted ``dup_of`` ground truth.
-    (If an image pair graph ever outgrew the driver, the cutover is
-    ``_clusters_distributed`` over hash64(image_id) nodes + one partitioned
-    min-string relabel per component — same shape as dup_clusters'.)"""
+    only — pixels and phashes never reach the driver.  DuckDB recursive-CTE
+    oracle over the corpus path (sf0.01-gated); pytest verifies against a
+    union-find over the same pairs and the generator's planted ``dup_of``
+    ground truth.
+
+    Past ``driver_max`` (default ``CC_DRIVER_MAX``) pairs it cuts over to
+    ``_img_clusters_distributed`` — the ``_cc_labels`` fixpoint over
+    hash64(image_id) nodes plus a partitioned min-string relabel — so an
+    image pair graph that outgrows the driver never reaches it;
+    tests/test_image_dedup.py forces the branch and diffs the two."""
     from ..functions.cluster import label_propagation
 
+    if driver_max is None:
+        driver_max = CC_DRIVER_MAX
     pairs = phash_hamming_pairs(sf_dir, max_dist=max_dist)
-    if hasattr(pairs, "to_pandas"):
+    if hasattr(pairs, "materialize"):
+        pairs = pairs.materialize()
+        if pairs.count() > driver_max:
+            return _img_clusters_distributed(pairs)
         pairs = pairs.to_pandas()
+    elif len(pairs) > driver_max:
+        return _img_clusters_distributed(rd.from_pandas(pairs))
     if pairs.empty:
         return pd.DataFrame(
             {"image_id": pd.Series(dtype="object"),

@@ -156,3 +156,18 @@ def test_image_training_prep_pandas_replay(ray_session):
     assert np.allclose(got_i["mean_w"], want_i["mean_w"], atol=0.01)
     assert np.allclose(got_i["mean_h"], want_i["mean_h"], atol=0.01)
     assert int(got["n"].sum()) == len(df)
+
+
+def test_image_dup_clusters_distributed_branch(ray_session):
+    """driver_max=0 forces the _img_clusters_distributed cutover (hash64
+    nodes through _cc_labels + partitioned min-string relabel); output must
+    be row-identical to the driver-side label-propagation branch."""
+    import pandas as pd
+    from legislation_scraper_ray.pipelines.queries import image_dup_clusters
+
+    drv = (image_dup_clusters("/root/testdata/sf0.01", max_dist=3)
+           .sort_values("image_id", ignore_index=True))
+    dist = image_dup_clusters("/root/testdata/sf0.01", max_dist=3, driver_max=0)
+    assert hasattr(dist, "to_pandas")  # lazy Dataset, nothing driver-collected
+    dist = dist.to_pandas().sort_values("image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(drv, dist)
