@@ -128,6 +128,53 @@ def events_minute_window(sf_dir: str):
     return df[["event_type", "minute", "n", "sum_value"]]
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization — the classic stateful streaming window the
+    reference's queue-drain saver approximates (saver.py batches by arrival
+    time): a user's events sorted by time split into sessions wherever the
+    gap to the previous event exceeds ``gap_minutes`` (STRICT >).  Returns
+    one row per (user_id, session_idx) with start/end/n_events/sum_value.
+
+    Scale shape: ONE exchange — partition by hash(user_id) (every session
+    is wholly owned by one part, because a session never spans users), then
+    a per-part vectorized kernel: stable sort by (user_id, ts, event_id),
+    session boundaries from a diff over the int64-µs timestamps, per-user
+    session index by cumsum-minus-cumsum-at-user-start (no Python loop),
+    tiny pandas groupby for the per-session aggregates.  The session index
+    is deterministic (ties broken by event_id) and the SQL oracle is the
+    textbook LAG + running-SUM window — checked at every scale (events is
+    a registered view, no corpus path)."""
+    gap_us = int(gap_minutes) * 60_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    parts = ds.map_batches(_add_part("user_id"), batch_format="pyarrow")
+
+    def sessions(part_df: pd.DataFrame) -> pd.DataFrame:
+        df = part_df.sort_values(["user_id", "ts", "event_id"],
+                                 kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]")
+        us = ts.view(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[np.int64(0)], us[1:] - us[:-1]])
+        new_s = new_user | (gap > gap_us)
+        cs = np.cumsum(new_s)
+        # cumsum at each user's first row, propagated forward (cs is
+        # nondecreasing, so a running max of the user-start snapshots works)
+        cs_first = np.maximum.accumulate(np.where(new_user, cs, 0))
+        g = pd.DataFrame({"user_id": uid,
+                          "session_idx": (cs - cs_first + 1).astype("int64"),
+                          "ts": ts, "value": df["value"].to_numpy()})
+        out = g.groupby(["user_id", "session_idx"], sort=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"),
+            n_events=("ts", "size"), sum_value=("value", "sum")).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = _round(out["sum_value"], 2)
+        return out
+
+    return parts.groupby("part").map_groups(sessions, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------
