@@ -142,8 +142,8 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     session index by cumsum-minus-cumsum-at-user-start (no Python loop),
     tiny pandas groupby for the per-session aggregates.  The session index
     is deterministic (ties broken by event_id) and the SQL oracle is the
-    textbook LAG + running-SUM window — checked at every scale (events is
-    a registered view, no corpus path)."""
+    textbook LAG + running-SUM window (events is a registered view, no
+    corpus path)."""
     gap_us = int(gap_minutes) * 60_000_000
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
@@ -1436,7 +1436,7 @@ def _knn_cell_ub(sims: np.ndarray, min_cos: np.ndarray) -> np.ndarray:
 
 
 def _knn_join_cells(sf_dir: str, k: int = 5, n_probe: int = 8,
-                    n_parts: int = 32, train_sample: int = 4096):
+                    n_parts: int | None = None, train_sample: int = 4096):
     """EXACT kNN self-join with BOTH sides co-partitioned by IVF cell — the
     100-TB branch of ``knn_join_embeddings`` (nothing corpus-sized is ever
     broadcast or driver-collected).
@@ -1474,8 +1474,13 @@ def _knn_join_cells(sf_dir: str, k: int = 5, n_probe: int = 8,
     from ..functions.ann import (
         _as_matrix, kmeans_centroids, normalize, pack_matrix_f64, unpack_matrix_f64,
     )
-    from .common import static_parts
+    from .common import session_parts, static_parts
 
+    if n_parts is None:
+        # size exchanges to the session (CLAUDE r3/r4 law) — a fixed 32
+        # would cap big-cluster exchange parallelism and pay 32 tiny-task
+        # overheads in a 4-CPU pytest session
+        n_parts = session_parts()
     epoch = uuid.uuid4().hex
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     n = ds.count()
@@ -4099,12 +4104,32 @@ def _kcore_alive(adj: "rd.Dataset", nodes: "rd.Dataset", k: int,
     peels one node per round from each end), so exhausting ``max_rounds``
     raises rather than silently returning an unfinished core.
 
-    State rides as survivor self rows (kind 1, val = degree); a dead part
-    stops receiving messages and stops executing.  Each part additionally
-    emits one kind-3 tombstone row carrying its death count, so a part
-    whose LAST nodes die still reports changes while its decrements are in
-    flight (putting the count on self rows would under-count exactly
-    there)."""
+    WHY no acceleration exists (vs ``_cc_labels``' O(log d) jumps): CC
+    labels are forwardable facts — a node can learn a far-away minimum
+    through intermediaries, so doubling works.  A peel death is a
+    CONDITIONAL fact: node i+1 of a pendant chain only becomes peelable
+    after node i's death is applied, and that dependency chain IS the
+    communication chain — in any edge/owner-routed synchronous exchange the
+    information "the chain end peeled" propagates at one dependency hop per
+    round, making peel depth a round lower bound for the exact fixed-k core
+    (k=2 tree parts could in principle be raked/compressed in O(log n) via
+    tree contraction, but that is k=2-specific and does not generalize).
+    For crawl/web corpora peel depth is small in practice — measured k=2
+    depth 2 on t1/t2/sf0.01 and 1 at sf0.1 (long pendant chains require a
+    deliberately chain-shaped link structure that listing→doc webs don't
+    produce) — so max_rounds=64 is ~30× headroom, and the planted-chain
+    pytest (test_kcore.py::test_max_rounds_raises) pins the loud failure
+    past it.
+
+    State rides as survivor self rows (kind 1, val = degree).  A part that
+    had deaths this round additionally emits one kind-3 tombstone row
+    carrying its death count, so a part whose LAST nodes die still reports
+    changes while its decrements are in flight (putting the count on self
+    rows would under-count exactly there).  A part with NO deaths emits no
+    tombstone — so a fully-dead part emits nothing at all, stops receiving
+    messages, and genuinely stops executing (it can still be woken once by
+    a stray decrement to a dead node, which it ignores and re-emits
+    nothing)."""
     import uuid
 
     from .common import session_parts, static_parts
@@ -4170,16 +4195,20 @@ def _kcore_alive(adj: "rd.Dataset", nodes: "rd.Dataset", k: int,
                                  np.ones(int(m.sum()), np.int64), 0))
             surv = alive & ~die
             outs.append((node_arr[surv], deg[surv], 1))
-            out_node = np.concatenate([o[0] for o in outs]
-                                      + [node_arr[:1] if len(node_arr)
-                                         else np.zeros(1, np.int64)])
-            out_val = np.concatenate([o[1] for o in outs]
-                                     + [np.zeros(1, np.int64)])
+            n_die = int(die.sum())
+            if n_die:
+                # tombstone only on rounds WITH deaths: a no-death part's
+                # tombstone would carry changed=0 (pure overhead) and —
+                # routed to the part's own first node — would keep a fully
+                # dead part executing no-op groups until global convergence
+                outs.append((node_arr[:1], np.zeros(1, np.int64), 3))
+            out_node = np.concatenate([o[0] for o in outs])
+            out_val = np.concatenate([o[1] for o in outs])
             out_kind = np.concatenate(
-                [np.full(len(o[0]), o[2], np.int8) for o in outs]
-                + [np.full(1, 3, np.int8)])
+                [np.full(len(o[0]), o[2], np.int8) for o in outs])
             out_changed = np.zeros(len(out_node), np.int64)
-            out_changed[-1] = int(die.sum())
+            if n_die:
+                out_changed[-1] = n_die
             return pd.DataFrame({"node": out_node, "val": out_val,
                                  "kind": out_kind, "changed": out_changed})
 
@@ -4225,8 +4254,10 @@ def k_core_pages(sf_dir: str, k: int = 2, max_rounds: int = 64):
     steps ``a_{i+1} = {v ∈ a_i : |{n ∈ a_i : (v,n) ∈ adj}| ≥ k}``; the
     peel is idempotent at the fixpoint, so unrolling MORE steps than the
     engine needed is harmless (measured peel depth 2 at t2; the oracle
-    unrolls 12)."""
-    from ..functions.hashing import hash64
+    unrolls 12 and FAILS LOUDLY if that was not enough — ``error()`` fires
+    unless |a_{12}| = |a_{11}|, which for the monotone-shrinking peel is
+    exactly set equality)."""
+    from ..functions.hashing import hash64, hash64_pair
     from ..sources.corpus import corpus_dir_for_sf
     from .common import session_parts
 
@@ -4250,15 +4281,29 @@ def k_core_pages(sf_dir: str, k: int = 2, max_rounds: int = 64):
         })
 
     def node_rows(t: pa.Table) -> pa.Table:
+        # carry a SECOND independent 64-bit hash as a compact collision
+        # witness (the _img_clusters_distributed dedup_map loud-failure
+        # pattern, with an 8-byte check hash instead of the full url
+        # string): a primary hash64 collision between distinct urls must
+        # also hold under the second FNV basis to slip through (~2^-128)
         links = t["out_links"]
         if isinstance(links, pa.ChunkedArray):
             links = links.combine_chunks()
-        own = hash64(t["url"]).view(np.int64)
-        tgt = np.unique(hash64(pc.list_flatten(links)).view(np.int64))
-        return pa.table({"node": pa.array(np.concatenate([own, tgt]), pa.int64())})
+        o1, o2 = hash64_pair(t["url"])
+        t1, t2 = hash64_pair(pc.list_flatten(links))
+        _, idx = np.unique(t1, return_index=True)
+        node = np.concatenate([o1.view(np.int64), t1[idx].view(np.int64)])
+        chk = np.concatenate([o2.view(np.int64), t2[idx].view(np.int64)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "chk": pa.array(chk, pa.int64())})
 
     def dedup_nodes(part_df: pd.DataFrame) -> pd.DataFrame:
-        return part_df.drop_duplicates(["node"])[["node"]]
+        d = part_df.drop_duplicates(["node", "chk"])
+        if d["node"].duplicated().any():
+            raise RuntimeError(
+                "hash64(url) collision: two distinct urls share a 64-bit "
+                "node id — their adjacency would silently merge")
+        return d[["node"]]
 
     adj = pages.map_batches(adj_rows, batch_format="pyarrow", batch_size=4096)
     nodes = (pages.map_batches(node_rows, batch_format="pyarrow", batch_size=4096)
@@ -4703,6 +4748,7 @@ QUERIES = {
     "join_lineitem_orders": join_lineitem_orders,
     "revenue_by_nation": revenue_by_nation,
     "events_sessionize": events_sessionize,
+    "user_sessions": user_sessions,
     "events_dedup_burst": events_dedup_burst,
     "events_asof_orders": events_asof_orders,
     "events_followup_pairs": events_followup_pairs,
@@ -5158,6 +5204,36 @@ ORACLE_SQL = {
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM sess GROUP BY user_id, sess_id
     """,
+    # the richer sessionization sibling: 1-based per-user session index,
+    # session end + value sum; ties broken by event_id on both sides, gap
+    # STRICT > 30 min on int64-µs timestamps exactly as the engine kernel
+    "user_sessions": """
+        WITH lagged AS (
+            SELECT user_id, ts, event_id, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM lagged
+        ),
+        idx AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_idx
+            FROM marked
+        )
+        SELECT user_id, session_idx, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM idx GROUP BY user_id, session_idx
+    """,
     "value_stats_by_type": """
         SELECT event_type, ROUND(AVG(value), 4) AS avg_value,
                ROUND(STDDEV_SAMP(value), 4) AS std_value,
@@ -5430,7 +5506,12 @@ def _kcore_sql(prep_path: str, k: int = 2, n_rounds: int = 12) -> str:
     ``_pagerank_sql``): ``a_{i+1} = {v ∈ a_i : |{n ∈ a_i : (v,n) ∈ adj}| ≥
     k}`` with adj the DISTINCT undirected edge set.  The peel is idempotent
     at the fixpoint, so ``n_rounds`` only needs to be ≥ the graph's peel
-    depth (measured 2 at t1/t2; extra steps are cheap no-op joins)."""
+    depth (measured 2 at t1/t2; extra steps are cheap no-op joins) — and a
+    fixpoint GUARD makes a too-shallow unroll fail loudly instead of
+    silently blaming the (correct) engine output: the final SELECT cross-
+    joins a one-row CTE that calls DuckDB ``error()`` unless
+    |a_{n}| = |a_{n-1}|; the peel only ever removes nodes, so count
+    equality of consecutive steps IS set equality / the fixpoint."""
     iters = []
     for i in range(1, n_rounds + 1):
         iters.append(f"""
@@ -5463,10 +5544,20 @@ def _kcore_sql(prep_path: str, k: int = 2, n_rounds: int = 12) -> str:
     a0 AS MATERIALIZED (
         SELECT node, 0 AS deg FROM hashed UNION SELECT dst, 0 FROM dedges
     ),
-    {",".join(iters)}
+    {",".join(iters)},
+    fixpoint_guard AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT COUNT(*) FROM a{n_rounds})
+                       = (SELECT COUNT(*) FROM a{n_rounds - 1})
+                    THEN 1
+                    ELSE error('_kcore_sql: peel not at fixpoint after '
+                               || '{n_rounds} rounds - raise n_rounds')
+               END AS ok
+    )
     SELECT h.url, f.node, CAST(f.deg AS BIGINT) AS core_degree
     FROM a{n_rounds} f
     LEFT JOIN hashed h ON h.node = f.node
+    CROSS JOIN fixpoint_guard g
+    WHERE g.ok = 1
     """
 
 
