@@ -197,6 +197,41 @@ def static_parts(ds: "rd.Dataset", key_col: str, n_parts: int = 32,
             for p in range(n_parts)}
 
 
+def repartition_parts(parts: dict, key_col: str, n_parts: int,
+                      sort_by=None) -> dict:
+    """Re-key an existing ``static_parts`` dict by a DIFFERENT column — e.g.
+    turn a (a, b) edge layout partitioned by ``a`` into the same edges
+    partitioned by ``b`` (link_triangles needs the adjacency pinned by both
+    endpoints so per-part degree is fully local).  Same split/combine task
+    shape as ``static_parts``, but sourced from the part refs (no Dataset
+    round-trip, and the input is already deduped)."""
+    import ray as _ray
+
+    @_ray.remote(num_returns=n_parts)
+    def split(tbl: pa.Table):
+        if key_col not in tbl.schema.names or tbl.num_rows == 0:
+            empty = tbl.slice(0, 0)
+            return tuple(empty for _ in range(n_parts))
+        v = tbl[key_col].to_numpy(zero_copy_only=False)
+        part = v.astype(np.uint64) % np.uint64(n_parts)
+        return tuple(tbl.filter(pa.array(part == p)) for p in range(n_parts))
+
+    @_ray.remote
+    def combine(*tbls):
+        nonempty = [x for x in tbls if x.num_rows]
+        if not nonempty:
+            return tbls[0].slice(0, 0)
+        t = pa.concat_tables(nonempty, promote_options="default")
+        if sort_by:
+            t = t.sort_by([(c, "ascending") for c in sort_by]
+                          if isinstance(sort_by, (list, tuple)) else sort_by)
+        return t.combine_chunks()
+
+    block_splits = [split.remote(ref) for ref in parts.values()]
+    return {p: combine.remote(*[bs[p] for bs in block_splits])
+            for p in range(n_parts)}
+
+
 # Per-worker-process cache of static part tables, keyed by (epoch, ref).
 # ray.get of a plasma table is zero-copy; the cache only avoids repeated
 # deserialization across a call's many group tasks.  EPOCH-scoped: each

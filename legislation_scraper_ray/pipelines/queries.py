@@ -3445,37 +3445,55 @@ def link_triangles(sf_dir: str):
     sits in) — the classic graph-locality signal a crawl scheduler or
     spam-detector computes over a web graph.
 
-    Scale shape (the MapReduce node-iterator++ / "compact-forward" layout):
+    Scale shape (compact-forward on the pagerank static-parts layout —
+    r5 fused-exchange rewrite; the pre-fusion 8-exchange version is in git
+    history at a9a97fa^):
     1. canonical distinct edges (a<b on the 64-bit url hash; ids-only,
-       payloads never move) via one hash-partitioned dedup;
-    2. degree table from one partial-count pass; degrees attach to both
-       endpoints through two partitioned merges (no broadcast — the degree
-       table is node-sized);
-    3. edges orient low-degree → high-degree (ties by id), bounding every
-       out-neighborhood by O(√m), so wedge generation is Σ d_out(d_out-1)/2
-       — the provably output-efficient enumeration order;
-    4. wedges (apex's neighbor pairs, vectorized run-pair emission) meet the
-       edge set in a side-tagged union keyed on the wedge's (a) endpoint —
-       a pandas hash-merge per partition confirms closing edges;
-    5. each matched wedge is exactly ONE triangle (in a degree-acyclic
-       orientation each triangle has a unique out-degree-2 apex), so
-       per-node counts are one explode + partial-count + tiny groupby.
+       payloads never move) pinned ONCE into plasma by BOTH endpoints
+       (``static_parts`` by a + ``repartition_parts`` by b — two raw-task
+       fan-outs, the dedup fused into the by-a combine);
+    2. with the adjacency pinned by both endpoints, every node's degree is
+       fully LOCAL to its part (run lengths in the two sorted static
+       tables) — the degree table costs NO exchange at all;
+    3. ONE edge-sized exchange: each part emits its static edges to the
+       OTHER endpoint's part with its own endpoint's degree attached, so
+       every part receives each of its nodes' complete neighborhoods with
+       all foreign degrees known.  The group fn orients low-degree →
+       high-degree (ties by id; out-neighborhoods O(√m)) and emits wedges
+       (apex's out-neighbor pairs) in the SAME group call — the old
+       degree-attach merges (×2) and the separate wedge exchange fuse away;
+    4. wedge exchange keyed on the wedge's low endpoint: the group fn
+       confirms closing edges against the part's STATIC by-a edge table
+       (pandas hash-merge; the edge set never re-shuffles) and — each
+       matched wedge being exactly ONE triangle (unique out-degree-2 apex)
+       — immediately pre-aggregates per-node count partials;
+    5. one final count-sized exchange sums partials per node and attaches
+       urls from a static url layout (corpus-sized urls move once, in a
+       raw fan-out, not through a sort-groupby).
 
-    Exchanges carry only int64 ids; the url map joins back on the
-    output-sized triangle-node set.  DuckDB oracle: 3-way self-join over
-    the distinct undirected edge list (sf0.01-gated corpus path).
+    Net: 3 Dataset exchanges + 3 raw-task fan-outs, vs 8 sort-groupby
+    exchanges pre-fusion (NOTES_r4 fused-exchange law: exchange COUNT
+    dominates, not bytes).  Exchanges carry only int64 ids.  DuckDB
+    oracle: 3-way self-join over the distinct undirected edge list
+    (sf0.01-gated corpus path).
 
     Reference analog: link-graph post-processing over the scraper's
     discovered listing→doc edges (/root/reference/src/scraper/base/
     scraper.py:469-485 orders crawl work heuristically; triangle density is
     the standard structural upgrade)."""
+    import uuid
+
+    import ray
+
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
-
-    from .common import session_parts
+    from .common import (
+        part_cache_get, repartition_parts, session_parts, static_parts,
+    )
 
     corpus_dir = corpus_dir_for_sf(sf_dir)
     n_parts = session_parts()
+    epoch = uuid.uuid4().hex
     pages = rd.read_parquet(f"{corpus_dir}/web_graph.parquet",
                             columns=["url", "out_links"])
 
@@ -3493,174 +3511,142 @@ def link_triangles(sf_dir: str):
         return pa.table({"a": pa.array(a.view(np.int64), pa.int64()),
                          "b": pa.array(b.view(np.int64), pa.int64())})
 
-    def dedup_edges(part_df: pd.DataFrame) -> pd.DataFrame:
-        return part_df.drop_duplicates(["a", "b"])[["a", "b"]]
+    raw = pages.map_batches(edge_rows, batch_format="pyarrow",
+                            batch_size=4096)
+    # global distinct (a, b): all copies of an edge share part(a), and the
+    # by-a combine sorts (a, b) and drops adjacent repeats
+    edges_a = static_parts(raw, "a", n_parts, sort_by=["a", "b"], dedup=True)
+    edges_b = repartition_parts(edges_a, "b", n_parts, sort_by=["b", "a"])
 
-    edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
-                               batch_size=4096)
-             .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
-             .groupby("part").map_groups(dedup_edges, batch_format="pandas")
-             .materialize())
+    @ray.remote
+    def deg_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        """Per-part degree table — no exchange: deg(v) = (#edges with a==v)
+        + (#edges with b==v), and both counts are run lengths in this
+        part's two sorted static tables."""
+        va = (ta["a"].to_numpy(zero_copy_only=False)
+              if ta.num_rows else np.empty(0, np.int64))
+        vb = (tb["b"].to_numpy(zero_copy_only=False)
+              if tb.num_rows else np.empty(0, np.int64))
+        node = np.unique(np.concatenate([va, vb]))
+        deg = np.zeros(len(node), np.int64)
+        for v in (va, vb):
+            if len(v):
+                u, c = np.unique(v, return_counts=True)
+                deg[np.searchsorted(node, u)] += c
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "deg": pa.array(deg, pa.int64())})
 
-    def degree_partial(t: pa.Table) -> pa.Table:
-        node = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
-                               t["b"].to_numpy(zero_copy_only=False)])
-        g = (pa.table({"node": pa.array(node, pa.int64()),
-                       "one": pa.array(np.ones(len(node), np.int64))})
-             .group_by("node").aggregate([("one", "sum")]))
-        return g.rename_columns(["node", "p_deg"])
+    deg_parts = {p: deg_task.remote(edges_a[p], edges_b[p])
+                 for p in range(n_parts)}
 
-    degrees = (edges.map_batches(degree_partial, batch_format="pyarrow",
-                                 batch_size=65536)
-               .groupby("node").aggregate(Sum("p_deg", alias_name="deg")))
+    @ray.remote
+    def emit(tbl: pa.Table, deg_tbl: pa.Table, own: str, other: str) -> pa.Table:
+        """Send each static edge to the OTHER endpoint's part, carrying the
+        local (own) endpoint's degree; across both layouts every edge
+        reaches both endpoints' parts with the foreign degree attached."""
+        if tbl.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64()),
+                             "deg_o": pa.array([], pa.int64())})
+        ov = tbl[own].to_numpy(zero_copy_only=False)
+        node = deg_tbl["node"].to_numpy(zero_copy_only=False)
+        deg = deg_tbl["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": tbl[other],
+                         "o": tbl[own],
+                         "deg_o": pa.array(deg[np.searchsorted(node, ov)],
+                                           pa.int64())})
 
-    # attach deg to both endpoints: two side-tagged partitioned merges (the
-    # degree table is node-sized — never broadcast).  Side 0 = degree rows
-    # (key, deg); side 1 = edge rows (key, other, deg_other_so_far).  Int
-    # columns carry 0-SENTINELS on the side that lacks them, never nulls —
-    # a null-bearing int64 column becomes float64 in the pandas map_groups
-    # conversion and corrupts 64-bit hash keys > 2^53 (CLAUDE.md gotcha);
-    # the int8 ``side`` column is the discriminator.
-    def _attach(edge_ds, key_col: str, other_col: str, carry: list[str]):
-        def tag_deg(t: pa.Table) -> pa.Table:
-            zero = pa.array(np.zeros(t.num_rows, np.int64))
-            return pa.table({"k": t["node"], "side": pa.array(
-                np.zeros(t.num_rows, np.int8)), "deg_v": t["deg"],
-                **{c: zero for c in [other_col, *carry]}})
+    half_edges = rd.from_arrow_refs(
+        [emit.remote(edges_a[p], deg_parts[p], "a", "b")
+         for p in range(n_parts)]
+        + [emit.remote(edges_b[p], deg_parts[p], "b", "a")
+           for p in range(n_parts)])
 
-        def tag_edge(t: pa.Table) -> pa.Table:
-            return pa.table({"k": t[key_col], "side": pa.array(
-                np.ones(t.num_rows, np.int8)),
-                "deg_v": pa.array(np.zeros(t.num_rows, np.int64)),
-                other_col: t[other_col],
-                **{c: t[c] for c in carry}})
-
-        def merge(part_df: pd.DataFrame) -> pd.DataFrame:
-            d = part_df[part_df["side"] == 0][["k", "deg_v"]]
-            e = part_df[part_df["side"] == 1].drop(columns=["deg_v", "side",
-                                                            "part"])
-            m = e.merge(d, on="k", how="left")
-            out = m.rename(columns={"k": key_col,
-                                    "deg_v": f"deg_{key_col}"})
-            cols = [key_col, other_col, *carry, f"deg_{key_col}"]
-            return out[cols].astype({f"deg_{key_col}": "int64"})
-
-        tagged = (degrees.map_batches(tag_deg, batch_format="pyarrow")
-                  .union(edge_ds.map_batches(tag_edge, batch_format="pyarrow"))
-                  .map_batches(_add_part("k", n_parts), batch_format="pyarrow"))
-        return tagged.groupby("part").map_groups(merge, batch_format="pandas")
-
-    e_a = _attach(edges, "a", "b", [])
-    e_ab = _attach(e_a, "b", "a", ["deg_a"])
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        da = t["deg_a"].to_numpy(zero_copy_only=False)
-        db = t["deg_b"].to_numpy(zero_copy_only=False)
-        # low-degree endpoint first; ties keep the canonical (a<b) order
-        a_first = da <= db
-        src = np.where(a_first, a, b)
-        dst = np.where(a_first, b, a)
-        return pa.table({"src": pa.array(src, pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
-
-    oriented = e_ab.map_batches(orient, batch_format="pyarrow")
-
-    def wedge_rows(part_df: pd.DataFrame) -> pd.DataFrame:
-        """Group = all oriented edges whose src hashes to this part: emit
-        each apex's out-neighbor pairs as candidate closing edges."""
-        part_df = part_df.sort_values(["src", "dst"])
-        src = part_df["src"].to_numpy()
-        dst = part_df["dst"].to_numpy()
-        _, counts = np.unique(src, return_counts=True)
+    def wedge_gen(part_df: pd.DataFrame, deg_parts=deg_parts,
+                  epoch=epoch) -> pd.DataFrame:
+        """Group = the complete neighborhood of every node in this part,
+        with foreign degrees attached: orient (low deg first, ties by
+        uint64 id — identical to the pre-fusion rule) and emit each apex's
+        out-neighbor pairs as candidate closing edges, all in one call."""
+        p = int(part_df["part"].iloc[0])
+        dt = part_cache_get(epoch, deg_parts[p])
+        node = dt["node"].to_numpy(zero_copy_only=False)
+        deg = dt["deg"].to_numpy(zero_copy_only=False)
+        k = part_df["k"].to_numpy()
+        o = part_df["o"].to_numpy()
+        deg_o = part_df["deg_o"].to_numpy()
+        deg_k = deg[np.searchsorted(node, k)]
+        out = (deg_k < deg_o) | ((deg_k == deg_o)
+                                 & (k.view(np.uint64) < o.view(np.uint64)))
+        apex, nbr = k[out], o[out]
+        order = np.lexsort((nbr, apex))
+        apex, nbr = apex[order], nbr[order]
+        _, counts = np.unique(apex, return_counts=True)
         i_idx, j_idx = _run_pairs(counts)
-        c1 = dst[i_idx]
-        c2 = dst[j_idx]
+        c1 = nbr[i_idx]
+        c2 = nbr[j_idx]
         wa = np.minimum(c1.view(np.uint64), c2.view(np.uint64))
         wb = np.maximum(c1.view(np.uint64), c2.view(np.uint64))
         return pd.DataFrame({"a": wa.view(np.int64), "b": wb.view(np.int64),
-                             "apex": src[i_idx]})
+                             "apex": apex[i_idx]})
 
-    wedges = (oriented.map_batches(_add_part("src", n_parts), batch_format="pyarrow")
-              .groupby("part").map_groups(wedge_rows, batch_format="pandas"))
+    wedges = (half_edges
+              .map_batches(_add_part("k", n_parts), batch_format="pyarrow")
+              .groupby("part").map_groups(wedge_gen, batch_format="pandas"))
 
-    # side-tagged wedge ↔ edge match keyed on the wedge's low endpoint
-    # (apex carries a 0-sentinel on the edge side — same null-int64 rule)
-    def tag_e(t: pa.Table) -> pa.Table:
-        return pa.table({"a": t["a"], "b": t["b"],
-                         "apex": pa.array(np.zeros(t.num_rows, np.int64)),
-                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+    def match_count(part_df: pd.DataFrame, edges_a=edges_a,
+                    epoch=epoch) -> pd.DataFrame:
+        """Confirm closing edges against the part's STATIC by-a edge table
+        and pre-aggregate per-node triangle-count partials in place (3
+        node rows per triangle collapse to distinct-node partials before
+        the final exchange)."""
+        p = int(part_df["part"].iloc[0])
+        et = part_cache_get(epoch, edges_a[p])
+        e = pd.DataFrame({"a": et["a"].to_numpy(zero_copy_only=False),
+                          "b": et["b"].to_numpy(zero_copy_only=False)})
+        m = part_df[["a", "b", "apex"]].merge(e, on=["a", "b"], how="inner")
+        if not len(m):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "p_n": pd.Series([], dtype="int64")})
+        nodes = np.concatenate([m["apex"].to_numpy(), m["a"].to_numpy(),
+                                m["b"].to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "p_n": c.astype("int64")})
 
-    def tag_w(t: pa.Table) -> pa.Table:
-        return pa.table({"a": t["a"], "b": t["b"], "apex": t["apex"],
-                         "side": pa.array(np.ones(t.num_rows, np.int8))})
+    count_partials = (wedges
+                      .map_batches(_add_part("a", n_parts),
+                                   batch_format="pyarrow")
+                      .groupby("part").map_groups(match_count,
+                                                  batch_format="pandas"))
 
-    def match(part_df: pd.DataFrame) -> pd.DataFrame:
-        e = part_df[part_df["side"] == 0][["a", "b"]]
-        w = part_df[part_df["side"] == 1][["a", "b", "apex"]]
-        if not len(e) or not len(w):
-            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
-                                 "y": pd.Series([], dtype="int64"),
-                                 "z": pd.Series([], dtype="int64")})
-        m = w.merge(e, on=["a", "b"], how="inner")
-        return pd.DataFrame({"x": m["apex"].astype("int64"),
-                             "y": m["a"].astype("int64"),
-                             "z": m["b"].astype("int64")})
-
-    tagged = (edges.map_batches(tag_e, batch_format="pyarrow")
-              .union(wedges.map_batches(tag_w, batch_format="pyarrow"))
-              .map_batches(_add_part("a", n_parts), batch_format="pyarrow"))
-    tris = tagged.groupby("part").map_groups(match, batch_format="pandas")
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        node = np.concatenate([t["x"].to_numpy(zero_copy_only=False),
-                               t["y"].to_numpy(zero_copy_only=False),
-                               t["z"].to_numpy(zero_copy_only=False)])
-        g = (pa.table({"node": pa.array(node, pa.int64()),
-                       "one": pa.array(np.ones(len(node), np.int64))})
-             .group_by("node").aggregate([("one", "sum")]))
-        return g.rename_columns(["node", "p_n"])
-
-    counts = (tris.map_batches(count_partial, batch_format="pyarrow",
-                               batch_size=65536)
-              .groupby("node").aggregate(Sum("p_n", alias_name="n_triangles")))
-
-    # url map-back on the output-sized triangle-node set: side-tagged
-    # partitioned merge (Dataset.join's empty-hash-partition crash bites
-    # exactly this sparse-side shape — CLAUDE.md r3)
+    # urls move ONCE, through a raw fan-out into a static by-node layout;
+    # the final exchange then carries only the (small) count partials
     url_map = pages.map_batches(
         lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64),
                                              pa.int64()),
                             "url": t["url"]}), batch_format="pyarrow")
+    url_parts = static_parts(url_map, "node", n_parts, sort_by=["node"])
 
-    def tag_u(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "url": t["url"],
-                         "n_v": pa.array(np.zeros(t.num_rows, np.int64)),
-                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+    def sum_url(part_df: pd.DataFrame, url_parts=url_parts,
+                epoch=epoch) -> pd.DataFrame:
+        p = int(part_df["part"].iloc[0])
+        g = part_df.groupby("node", sort=False)["p_n"].sum().reset_index()
+        ut = part_cache_get(epoch, url_parts[p])
+        un = ut["node"].to_numpy(zero_copy_only=False)
+        node = g["node"].to_numpy()
+        pos = np.searchsorted(un, node)
+        pos_c = np.minimum(pos, max(len(un) - 1, 0))
+        found = (un[pos_c] == node) if len(un) else np.zeros(len(node), bool)
+        urls = np.full(len(node), None, dtype=object)
+        if found.any():
+            ustr = ut["url"].take(pa.array(pos_c[found])).to_pylist()
+            urls[found] = ustr
+        return pd.DataFrame({"url": pd.Series(urls, dtype="object"),
+                             "n_triangles": g["p_n"].astype("int64")})
 
-    def tag_c(t: pa.Table) -> pa.Table:
-        # n_v is a small count (float64 roundtrip-safe), but keep the
-        # 0-sentinel convention anyway; url stays a nullable string.
-        return pa.table({"node": t["node"],
-                         "url": pa.nulls(t.num_rows, pa.string()),
-                         "n_v": t["n_triangles"],
-                         "side": pa.array(np.ones(t.num_rows, np.int8))})
-
-    def merge_url(part_df: pd.DataFrame) -> pd.DataFrame:
-        c = part_df[part_df["side"] == 1][["node", "n_v"]]
-        if not len(c):
-            return pd.DataFrame({"url": pd.Series([], dtype="object"),
-                                 "n_triangles": pd.Series([], dtype="int64")})
-        u = part_df[part_df["side"] == 0][["node", "url"]]
-        m = c.merge(u, on="node", how="left")
-        return pd.DataFrame({"url": m["url"],
-                             "n_triangles": m["n_v"].astype("int64")})
-
-    out = (url_map.map_batches(tag_u, batch_format="pyarrow")
-           .union(counts.map_batches(tag_c, batch_format="pyarrow"))
+    out = (count_partials
            .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-           .groupby("part").map_groups(merge_url, batch_format="pandas")
+           .groupby("part").map_groups(sum_url, batch_format="pandas")
            .to_pandas())
     return (out.sort_values(["n_triangles", "url"], ascending=[False, True])
             .reset_index(drop=True))
