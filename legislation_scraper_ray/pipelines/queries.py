@@ -2061,11 +2061,28 @@ def distinct_flag_status(sf_dir: str):
 
 
 
+def _with_recall(df: pd.DataFrame, sf_dir: str, k: int) -> pd.DataFrame:
+    """Self-certification for the probe-limited (approximate) ANN variants:
+    append an engine-computed ``recall_at_k`` column — |approx ∩ exact| / k
+    against the brute-force ``ann_topk`` result on the same corpus/query —
+    so a driver rows-only check (no SQL oracle exists for approximate
+    search) still sees the quality number in the output itself instead of
+    trusting a pytest it can't observe.  The exact pass is one extra
+    corpus matmul scan (~0.25 s at sf0.1); the column is constant across
+    rows by construction and quantized like every float output."""
+    exact_ids = set(ann_topk(sf_dir, k)["vec_id"])
+    rec = len(set(df["vec_id"]) & exact_ids) / k if k else 0.0
+    df = df.copy()
+    df["recall_at_k"] = _round(np.full(len(df), rec), 4)
+    return df
+
+
 def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
     """LSH-bucketed ANN (the scale path): corpus bucketed once by random
     hyperplanes; the query scans only its multi-probe buckets.  Approximate —
     verified in pytest against the brute-force baseline (recall@10), exposed
-    rows-only to the driver."""
+    rows-only to the driver WITH a self-certifying ``recall_at_k`` column
+    (``_with_recall``)."""
     from ..functions.ann import (
         BruteForceTopK,
         _as_matrix,
@@ -2097,13 +2114,11 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, n_bits: int = 6, n_probe: int = 16):
     )
     df = merged.to_pandas()
     df["cos_sim"] = _round(df["cos_sim"], 4)
-    return df[["vec_id", "cos_sim", "rank"]]
-
-
+    return _with_recall(df[["vec_id", "cos_sim", "rank"]], sf_dir, k)
 
 
 def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
-                 train_sample: int = 4096):
+                 train_sample: int = 4096, with_recall: bool = True):
     """IVF (inverted-file) ANN — the second scale path next to LSH multi-probe.
 
     Train: spherical k-means on a BOUNDED sample (``limit(train_sample)``,
@@ -2112,8 +2127,9 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     ``ray.put``; each batch assigns vectors to cells with one matmul and
     scores only vectors in the query's ``n_probe`` nearest cells — scanning
     ~n_probe/√n of the corpus.  Per-batch partial top-k + tiny merge, same
-    aggregation shape as the exact ``ann_topk``.  Rows-only (approximate);
-    pytest asserts recall@10 ≥ 0.8 vs brute force."""
+    aggregation shape as the exact ``ann_topk``.  Rows-only (approximate)
+    with a self-certifying ``recall_at_k`` column (``_with_recall``); pytest
+    asserts recall@10 ≥ 0.8 vs brute force."""
     from ..functions.ann import IVFTopK, _as_matrix, kmeans_centroids, merge_topk, normalize
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2135,7 +2151,10 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_probe: int = 4,
     )
     df = merged.to_pandas()
     df["cos_sim"] = _round(df["cos_sim"], 4)
-    return df[["vec_id", "cos_sim", "rank"]]
+    df = df[["vec_id", "cos_sim", "rank"]]
+    # full-probe callers (exact, oracle-shared schema) opt out of the
+    # self-certification column
+    return _with_recall(df, sf_dir, k) if with_recall else df
 
 
 def ann_topk_ivf_full(sf_dir: str, k: int = 10):
@@ -2145,7 +2164,7 @@ def ann_topk_ivf_full(sf_dir: str, k: int = 10):
     way ``knn_join_cells`` pins the cell-partitioned kNN branch.  This puts
     the IVF kernel (centroid train, cell assignment, probe filter, partial
     top-k merge) under the DuckDB ground truth instead of pytest-only."""
-    return ann_topk_ivf(sf_dir, k=k, n_probe=1 << 30)
+    return ann_topk_ivf(sf_dir, k=k, n_probe=1 << 30, with_recall=False)
 
 
 def ann_topk_ivf_persisted_full(sf_dir: str, k: int = 10):
@@ -2155,11 +2174,13 @@ def ann_topk_ivf_persisted_full(sf_dir: str, k: int = 10):
     (hive cell layout, fingerprinted store, path-pruned ``read_parquet``)
     under DuckDB ground truth, like ``ann_topk_ivf_full`` does for the
     in-memory IVF kernel."""
-    return ann_topk_ivf_persisted(sf_dir, k=k, n_probe=1 << 30)
+    return ann_topk_ivf_persisted(sf_dir, k=k, n_probe=1 << 30,
+                                  with_recall=False)
 
 
 def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
-                           train_sample: int = 4096):
+                           train_sample: int = 4096,
+                           with_recall: bool = True):
     """IVF with a PERSISTED index — the build-once / probe-many serving shape
     (``ann_topk_ivf`` re-trains and re-scans every call; a production index
     is built once and each query reads only its probed cells).
@@ -2171,8 +2192,9 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
     cells, and ``read_parquet`` with a ``cell in probes`` filter — partition
     pruning means only ~n_probe/√n of the INDEX BYTES are read at all (the
     at-scale win over ann_topk_ivf's full-corpus scan-and-discard).
-    Rows-only (approximate); pytest pins full-probe == exact brute force,
-    store reuse, and self-retrieval."""
+    Rows-only (approximate) with a self-certifying ``recall_at_k`` column
+    (``_with_recall``); pytest pins full-probe == exact brute force, store
+    reuse, and self-retrieval."""
     import os
 
     from ..functions.ann import BruteForceTopK, kmeans_centroids, merge_topk, normalize
@@ -2236,9 +2258,10 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
             if probe_files:
                 break
         if not probe_files:
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                                 "cos_sim": pd.Series([], dtype="float64"),
-                                 "rank": pd.Series([], dtype="int64")})
+            df = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                               "cos_sim": pd.Series([], dtype="float64"),
+                               "rank": pd.Series([], dtype="int64")})
+            return _with_recall(df, sf_dir, k) if with_recall else df
     probed = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
     partials = probed.map_batches(task_stage(BruteForceTopK, ref, k),
                                   batch_format="pyarrow", batch_size=4096)
@@ -2247,7 +2270,8 @@ def ann_topk_ivf_persisted(sf_dir: str, k: int = 10, n_probe: int = 4,
     )
     df = merged.to_pandas()
     df["cos_sim"] = _round(df["cos_sim"], 4)
-    return df[["vec_id", "cos_sim", "rank"]]
+    df = df[["vec_id", "cos_sim", "rank"]]
+    return _with_recall(df, sf_dir, k) if with_recall else df
 
 
 def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
@@ -2265,8 +2289,9 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
     lookup tables for the query are broadcast once; each batch drops unprobed
     cells and gather-sums the LUT over the uint8 code matrix (pure numpy, no
     float embeddings read).  Per-batch partial top-k + tiny merge, same
-    aggregation shape as ann_topk.  Rows-only (approximate by construction);
-    pytest asserts planted-neighbor recall and self-retrieval."""
+    aggregation shape as ann_topk.  Rows-only (approximate by construction)
+    with a self-certifying ``recall_at_k`` column (``_with_recall``); pytest
+    asserts planted-neighbor recall and self-retrieval."""
     from ..functions.ann import (
         PQEncode,
         PQScan,
@@ -2302,7 +2327,7 @@ def ann_topk_ivfpq(sf_dir: str, k: int = 10, n_probe: int = 4, m_sub: int = 8,
     )
     df = merged.to_pandas()
     df["cos_sim"] = _round(df["cos_sim"], 4)
-    return df[["vec_id", "cos_sim", "rank"]]
+    return _with_recall(df[["vec_id", "cos_sim", "rank"]], sf_dir, k)
 
 
 def embedding_pca(sf_dir: str, k: int = 4):

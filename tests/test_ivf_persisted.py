@@ -26,11 +26,13 @@ def test_full_probe_matches_brute_force_and_store_reuse(ray_session, tmp_path):
     from legislation_scraper_ray.pipelines.queries import ann_topk, ann_topk_ivf_persisted
 
     exact = ann_topk(str(tmp_path)).reset_index(drop=True)
-    # probing EVERY cell must reproduce the exact result
+    # probing EVERY cell must reproduce the exact result; the
+    # self-certifying recall column must then read exactly 1.0
     full = ann_topk_ivf_persisted(str(tmp_path), n_probe=10**6).reset_index(drop=True)
+    assert (full["recall_at_k"] == 1.0).all()
     pd.testing.assert_frame_equal(
         exact.sort_values("rank").reset_index(drop=True),
-        full.sort_values("rank").reset_index(drop=True),
+        full.drop(columns=["recall_at_k"]).sort_values("rank").reset_index(drop=True),
     )
     from legislation_scraper_ray.pipelines.queries import (
         _fingerprinted_store, _ivf_store_params,
