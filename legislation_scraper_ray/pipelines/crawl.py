@@ -51,9 +51,12 @@ needs is the FETCH of its listings (BFS data dependency: out_links feed the
 next frontier); doc decode + partitioned write — the bulk of per-generation
 work — runs asynchronously in a writer thread and is joined only before the
 next checkpoint (so "checkpoint at g+1" still implies "docs ≤ g durable") and
-at crawl end.  Driver-side per-generation state is O(hosts): a per-batch
-(host, status, kind) partial aggregate feeds counters, metrics records and the
-politeness host clocks.
+at crawl end.  Driver-side per-generation state is O(hosts-touched): a
+per-batch (host, status, kind) partial aggregate feeds counters and metrics
+records.  Host clocks and robots delays live ONLY in the sharded politeness
+actors (each holds its owned 1/n_shards slice — r5 scale audit: a full
+host→value dict is ~15-20 GB at the 10^8 hosts a 10^10-URL frontier implies);
+checkpoints stream the clocks out shard-at-a-time to parquet.
 """
 
 from __future__ import annotations
@@ -249,12 +252,25 @@ def _seed_frontier(corpus_dir: str) -> pa.Table:
 
 def _make_slot_shards(delays_ms: dict[str, int], clocks: dict[str, float], n_shards: int):
     """Spawn the sharded politeness slot actors (state/politeness.py), seeding
-    each shard with the clocks of the hosts it owns (checkpoint resume)."""
+    each shard with ONLY the delays and clocks of the hosts it owns.
+
+    r5 scale audit (10^10 URLs ≈ 10^8 hosts): a python host→value dict costs
+    ~150-200 B/entry (dict slot + key string + float) → ~15-20 GB for the
+    full universe.  Replicating the delay dict into every shard (the pre-r5
+    shape) multiplies that by n_shards; slicing caps each shard at
+    (hosts/n_shards) entries — ~60-80 MB at 256 shards — and the driver's
+    own copy is a transient it releases after seeding (at true 10^8-host
+    scale the robots-delay source would itself be a Dataset streamed
+    per-shard through this same slicing, row-group at a time, exactly like
+    ``_save_checkpoint``'s clock dump reads it back)."""
     Shard = ray.remote(num_cpus=0)(PolitenessSlotShard)
     shards = []
     for i in range(n_shards):
-        owned = {h: c for h, c in clocks.items() if host_shard_of(h, n_shards) == i}
-        shards.append(Shard.remote(delays_ms, owned))
+        owned_d = {h: d for h, d in delays_ms.items()
+                   if host_shard_of(h, n_shards) == i}
+        owned_c = {h: c for h, c in clocks.items()
+                   if host_shard_of(h, n_shards) == i}
+        shards.append(Shard.remote(owned_d, owned_c))
     return shards
 
 
@@ -422,7 +438,7 @@ def _run_crawl_inner(
         else:
             _check_seen_mode(state, cfg)
             start_gen = state["next_generation"]
-            clocks = state["clocks"]
+            clocks = _load_clocks(state)
             seen.restore([_read_blob(p) for p in state["shard_files"]])
             fpath = state["frontier_file"]
             frontier_tbl = (
@@ -462,7 +478,7 @@ def _run_crawl_inner(
             )
         _check_seen_mode(state, cfg)
         start_gen = state["next_generation"]
-        clocks = state["clocks"]
+        clocks = _load_clocks(state)
         seen.restore([_read_blob(p) for p in state["shard_files"]])
     if not (resume or recrawl) and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
@@ -516,7 +532,7 @@ def _run_crawl_inner(
                 )
             )
             _bfs(
-                unit_frontier, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
+                unit_frontier, cfg, seen, graph_ref, corpus_ref, out_dir,
                 ckpt_dir, res, start_gen=res.generations, checkpoint=False,
                 crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
                 parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
@@ -527,7 +543,7 @@ def _run_crawl_inner(
             )
     else:
         _bfs(
-            frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks, out_dir,
+            frontier_tbl, cfg, seen, graph_ref, corpus_ref, out_dir,
             ckpt_dir, res, start_gen=start_gen, checkpoint=cfg.checkpoint,
             crawl_epoch=crawl_epoch, parse_listing_fn=parse_listing_fn,
             parse_doc_fn=parse_doc_fn, slot_shards=slot_shards,
@@ -725,11 +741,6 @@ def _write_gen_metrics(stats, err_rows, n_err: int, out_dir: str, gen: int) -> N
     )
 
 
-def _update_clocks(stats, clocks: dict, delays_ms: dict) -> None:
-    for h, ts in zip(stats["host"], stats["max_ts"]):
-        clocks[h] = max(clocks.get(h, 0.0), float(ts) + delays_ms.get(h, 0) / 1000.0)
-
-
 def _build_doc_sink(fetched: rd.Dataset, cfg: "CrawlConfig", parse_doc_fn, out_dir: str,
                     gen: int) -> tuple[rd.Dataset, str]:
     """The doc sink dataset (decode already fused into fetch) + its hive dir.
@@ -842,8 +853,6 @@ def _bfs(
     seen: ShardedSeenSet,
     graph_ref,
     corpus_ref,
-    delays_ms: dict[str, int],
-    clocks: dict[str, float],
     out_dir: str,
     ckpt_dir: str,
     res: CrawlResult,
@@ -867,7 +876,7 @@ def _bfs(
         and cfg.pipeline_generations > 1
     ):
         return _bfs_pipelined(
-            frontier_tbl, cfg, seen, graph_ref, corpus_ref, delays_ms, clocks,
+            frontier_tbl, cfg, seen, graph_ref, corpus_ref,
             out_dir, res, start_gen, crawl_epoch, parse_listing_fn, parse_doc_fn,
             slot_shards,
         )
@@ -897,7 +906,8 @@ def _bfs(
                 # docs of gen-1 must be durable before the checkpoint that
                 # promises "resume at gen" skips them
                 writer.join()
-                _save_checkpoint(ckpt_dir, gen, frontier_ds, seen, clocks, res.per_generation)
+                _save_checkpoint(ckpt_dir, gen, frontier_ds, seen,
+                                 slot_shards, res.per_generation)
             t_iter0 = time.perf_counter()
             carryover: rd.Dataset | None = None
             n_carry = 0
@@ -933,7 +943,7 @@ def _bfs(
             # sharded slot actors — a map stage (tiny RPC per batch), NOT the
             # r1 groupby(host) all-to-all whose fixed cost capped scaling
             frontier = frontier.map_batches(
-                SlotAssigner(slot_shards, len(slot_shards), delays_ms),
+                SlotAssigner(slot_shards, len(slot_shards)),
                 batch_format="pyarrow",
                 batch_size=bs_eff,
             )
@@ -1026,8 +1036,6 @@ def _bfs(
                         _write_gen_errors(fetched, out_dir, gen, lin_dir)
                     if cfg.write_lineage and n_after_seen:
                         _write_gen_metrics(stats, err_rows, n_err, out_dir, gen)
-                    if n_after_seen:
-                        _update_clocks(stats, clocks, delays_ms)
                     d["errors"] = n_err
                     d["fetched_ok"] = n_after_seen - n_err
                     d["t_meta"] = round(time.perf_counter() - t0, 2)
@@ -1068,8 +1076,6 @@ def _bfs(
                 _write_gen_errors(fetched, out_dir, gen, lin_dir)
             if cfg.write_lineage and n_after_seen:
                 _write_gen_metrics(stats, err_rows, n_err, out_dir, gen)
-            if n_after_seen:
-                _update_clocks(stats, clocks, delays_ms)
 
             t_meta = time.perf_counter() - t_g0 - t_fetch
             t_g1 = time.perf_counter()
@@ -1140,8 +1146,8 @@ def _bfs(
     if checkpoint:
         exhausted = frontier_ds is None or n_frontier == 0
         _save_checkpoint(
-            ckpt_dir, gen, frontier_ds if n_frontier else None, seen, clocks,
-            res.per_generation, final=exhausted,
+            ckpt_dir, gen, frontier_ds if n_frontier else None, seen,
+            slot_shards, res.per_generation, final=exhausted,
         )
 
 
@@ -1223,7 +1229,7 @@ def _make_gen_sink(gen: int, out_dir: str, cfg: CrawlConfig, parse_listing_fn, p
 
 def _gen_segment(
     chain: rd.Dataset, gen: int, bs_eff: int, cfg: CrawlConfig, seen: ShardedSeenSet,
-    slot_shards: list, delays_ms: dict, graph_ref, corpus_ref, crawl_epoch: float,
+    slot_shards: list, graph_ref, corpus_ref, crawl_epoch: float,
     parse_listing_fn, parse_doc_fn, out_dir: str,
 ) -> rd.Dataset:
     """One lazy generation segment: canonicalize → seen → politeness slots →
@@ -1238,7 +1244,7 @@ def _gen_segment(
         SeenFilter(seen.shards, seen.n_shards), batch_format="pyarrow", batch_size=bs_eff
     )
     chain = chain.map_batches(
-        SlotAssigner(slot_shards, len(slot_shards), delays_ms),
+        SlotAssigner(slot_shards, len(slot_shards)),
         batch_format="pyarrow",
         batch_size=bs_eff,
     )
@@ -1274,8 +1280,6 @@ def _bfs_pipelined(
     seen: ShardedSeenSet,
     graph_ref,
     corpus_ref,
-    delays_ms: dict[str, int],
-    clocks: dict[str, float],
     out_dir: str,
     res: CrawlResult,
     start_gen: int,
@@ -1306,7 +1310,7 @@ def _bfs_pipelined(
         for g in window:
             bs_eff = _small_frontier_batch(n_frontier, cfg) if g == window[0] else cfg.batch_size
             chain = _gen_segment(
-                chain, g, bs_eff, cfg, seen, slot_shards, delays_ms, graph_ref,
+                chain, g, bs_eff, cfg, seen, slot_shards, graph_ref,
                 corpus_ref, crawl_epoch, parse_listing_fn, parse_doc_fn, out_dir,
             )
             if g != window[-1]:
@@ -1341,7 +1345,6 @@ def _bfs_pipelined(
             if n_err:
                 _write_gen_errors(None, out_dir, g, lin_dir)
             _write_gen_metrics(stats, err_rows, n_err, out_dir, g)
-            _update_clocks(stats, clocks, delays_ms)
             survivors_window += n_after_seen
             res.fetched_ok += n_after_seen - n_err
             res.errors += n_err
@@ -1603,12 +1606,27 @@ def _check_seen_mode(state: dict, cfg: CrawlConfig) -> None:
         )
 
 
-def _save_checkpoint(ckpt_dir, gen, frontier, seen, clocks, per_generation, final=False):
+def _save_checkpoint(ckpt_dir, gen, frontier, seen, slot_shards, per_generation, final=False):
     """``frontier`` is a (materialized) Dataset or None — persisted as a
     parquet DIRECTORY (distributed write; cleared first since write_parquet
     appends).  The manifest is only flipped to point at it afterwards, so an
-    interrupted checkpoint write leaves the previous manifest intact."""
+    interrupted checkpoint write leaves the previous manifest intact.
+
+    Host clocks are pulled from the politeness shard actors ONE SHARD AT A
+    TIME and streamed to a parquet file (r5 scale audit: a manifest-embedded
+    host→clock dict is ~15-20 GB at 10^8 hosts; per-shard row groups bound
+    both the driver transient and the resume-side read)."""
     os.makedirs(ckpt_dir, exist_ok=True)
+    cpath = os.path.join(ckpt_dir, f"clocks_gen{gen}.parquet")
+    cschema = pa.schema([("host", pa.string()), ("clock", pa.float64())])
+    cwriter = pq.ParquetWriter(cpath, cschema)
+    for sh in slot_shards or []:
+        d = ray.get(sh.clocks.remote())
+        cwriter.write_table(pa.table(
+            {"host": pa.array(list(d.keys()), pa.string()),
+             "clock": pa.array([float(v) for v in d.values()], pa.float64())},
+            schema=cschema))
+    cwriter.close()
     shard_files = []
     for i, blob in enumerate(seen.snapshot()):
         p = os.path.join(ckpt_dir, f"seen_gen{gen}_shard{i}.bin")
@@ -1625,7 +1643,7 @@ def _save_checkpoint(ckpt_dir, gen, frontier, seen, clocks, per_generation, fina
         "frontier_file": fpath,
         "shard_files": shard_files,
         "seen_mode": seen.mode,
-        "clocks": clocks,
+        "clocks_file": cpath,
         "per_generation": per_generation,
         "final": final,
     }
@@ -1644,6 +1662,18 @@ def _load_checkpoint(ckpt_dir):
     if state.get("final"):
         return state | {"frontier_file": "/nonexistent"}
     return state
+
+
+def _load_clocks(state: dict) -> dict:
+    """Clocks from a checkpoint manifest: the r5 per-shard parquet dump, or
+    the legacy manifest-embedded dict.  Returned as one dict (sandbox scale);
+    at 10^8 hosts the caller would stream row groups straight into the
+    per-shard seeding slices instead of materializing the union."""
+    cpath = state.get("clocks_file")
+    if cpath and os.path.exists(cpath):
+        t = pq.read_table(cpath)
+        return dict(zip(t["host"].to_pylist(), t["clock"].to_pylist()))
+    return dict(state.get("clocks") or {})
 
 
 def _read_blob(path: str) -> bytes:

@@ -94,23 +94,33 @@ class PolitenessSlotShard:
     politeness parity tests assert from lineage."""
 
     def __init__(self, delays_ms: dict[str, int], clocks: dict[str, float] | None = None):
+        # r5 scale audit: each shard receives ONLY its owned hosts' delays
+        # and clocks (1/n_shards of the host universe) — at 10^8 hosts the
+        # full dict is ~15-20 GB and must never be replicated per shard or
+        # mirrored on the driver (see crawl.py _make_slot_shards /
+        # _save_checkpoint).
         self.delays = {h: max(d, 0) / 1000.0 for h, d in delays_ms.items()}
         self.next_free = dict(clocks or {})
 
-    def reserve(self, hosts: list[str], counts: list[int]) -> list[float]:
-        """For each (host, n) request, return the FIRST slot time; the caller
-        expands slots ``start + delay*arange(n)`` — we advance the clock past
-        all n."""
+    def reserve(self, hosts: list[str], counts: list[int]) -> list[tuple[float, float]]:
+        """For each (host, n) request, return (first slot time, delay); the
+        caller expands slots ``start + delay*arange(n)`` — we advance the
+        clock past all n.  Returning the delay keeps the global host→delay
+        dict OUT of every SlotAssigner task (the shards are its only
+        holders)."""
         out = []
         for h, n in zip(hosts, counts):
             d = self.delays.get(h, 0.0)
             t0 = self.next_free.get(h, 0.0)
             start = t0 + d
-            out.append(start)
+            out.append((start, d))
             self.next_free[h] = t0 + d * n
         return out
 
     def clocks(self) -> dict[str, float]:
+        """Checkpoint dump of this shard's host clocks (the authoritative
+        copy — ``next_free`` advances exactly like the lineage-derived
+        last-slot value, so no driver mirror is needed)."""
         return dict(self.next_free)
 
 
@@ -126,10 +136,9 @@ class SlotAssigner:
     vectorized expansion: per-host in-batch ranks via unique/argsort, one
     reserve RPC per (shard) per batch."""
 
-    def __init__(self, shards, n_shards: int, delays_ms: dict[str, int]):
+    def __init__(self, shards, n_shards: int):
         self.shards = shards
         self.n_shards = n_shards
-        self.delays = {h: max(d, 0) / 1000.0 for h, d in delays_ms.items()}
 
     def __call__(self, batch):
         import numpy as np
@@ -151,6 +160,7 @@ class SlotAssigner:
             (host_shard_of(h, self.n_shards) for h in uniq), np.int64, count=len(uniq)
         )
         starts = np.empty(len(uniq), dtype=np.float64)
+        delays = np.empty(len(uniq), dtype=np.float64)
         futs, idxs = [], []
         for s in np.unique(shard_of):
             sel = np.nonzero(shard_of == s)[0]
@@ -161,9 +171,7 @@ class SlotAssigner:
             )
             idxs.append(sel)
         for sel, res in zip(idxs, ray.get(futs)):
-            starts[sel] = res
-        delays = np.fromiter(
-            (self.delays.get(h, 0.0) for h in uniq), np.float64, count=len(uniq)
-        )
+            starts[sel] = [r[0] for r in res]
+            delays[sel] = [r[1] for r in res]
         ts = starts[inv] + delays[inv] * rank
         return batch.append_column("scheduled_ts", pa.array(ts, pa.float64()))

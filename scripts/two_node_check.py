@@ -168,7 +168,10 @@ def main():
                  # partitioned wedge exchange; reachability runs the FULL
                  # strict-order crawl on the 2-node cluster vs the
                  # recursive-CTE protocol oracle
-                 "link_components", "adamic_adar_links", "crawl_reachability"):
+                 "link_components", "adamic_adar_links", "crawl_reachability",
+                 # r5: the k-core peel fixpoint (static_parts adjacency +
+                 # tombstone-carried change counts) across object stores
+                 "k_core_pages"):
         mine = qs[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
@@ -190,6 +193,29 @@ def main():
         q_ok["knn_join_embeddings_cells"] = True
     except AssertionError:
         q_ok["knn_join_embeddings_cells"] = False
+    # r5: n_probe=1 starves round 1 so the verify-expand SECOND round must
+    # fire (and must still be exact) across the two object stores
+    cells1 = _knn_join_cells(sf, k=5, n_probe=1).to_pandas()
+    try:
+        pd.testing.assert_frame_equal(canon(cells1), canon(oracle),
+                                      check_dtype=False, atol=1e-6)
+        q_ok["knn_join_cells_probe1_expand"] = True
+    except AssertionError:
+        q_ok["knn_join_cells_probe1_expand"] = False
+    # r5: image near-dup clustering FORCED onto the distributed _cc_labels
+    # branch (driver_max=0 — the past-CC_DRIVER_MAX cutover) vs its oracle
+    from legislation_scraper_ray.pipelines.queries import image_dup_clusters
+
+    imgc = image_dup_clusters(sf, driver_max=0)
+    if hasattr(imgc, "to_pandas"):
+        imgc = imgc.to_pandas()
+    img_oracle = con.execute(sqls["image_dup_clusters"]).df()
+    try:
+        pd.testing.assert_frame_equal(canon(imgc), canon(img_oracle),
+                                      check_dtype=False, atol=1e-6)
+        q_ok["image_dup_clusters_distributed"] = True
+    except AssertionError:
+        q_ok["image_dup_clusters_distributed"] = False
     out["queries"] = q_ok
 
     ok = (out["broadcast_cross_node"] and all(out["crawl_parity"].values())
