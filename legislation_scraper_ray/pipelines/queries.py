@@ -3328,109 +3328,80 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
     # "build side is static" iterated-join layout; at cluster scale the
     # part tables live distributed and only the tiny ref dict ships with
     # the closure.
-    import uuid
-
     from .common import static_parts
-
-    epoch = uuid.uuid4().hex  # scopes the worker-side part cache to this call
 
     edge_parts = static_parts(edges, "src_h", n_parts, sort_by=["src_h"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    # Message-fused iteration (r4: the link_components lesson applied back —
-    # exchange COUNT, not bytes, dominates an iterated fixpoint): ONE
-    # exchange per round.  Self rows carry the rank state (one per node per
-    # round, so no sentinel rows are needed — every part always receives its
-    # own state); push rows carry edge contributions keyed by dst.  The
-    # round's group fn scatter-adds its part's incoming contributions,
-    # applies base + d·c, and emits the NEXT round's contributions across
-    # the part's static src-sorted edges in the same task.  The dangling
-    # scalar still needs the PREVIOUS ranks before each update — one cheap
-    # aggregate pass over the materialized self rows per round, as before.
-    def init_msgs(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "has_out": t["has_out"],
-                         "val": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()),
-                         "is_self": pa.array(np.ones(t.num_rows, np.int8))})
+    # BSP raw-task iteration (r5 — past the r4 fused-Dataset exchange): a
+    # Dataset sort-groupby round costs ~1.4 s of executor/sort machinery at
+    # sf0.1 while the actual numpy work is tens of ms, so the rounds are now
+    # plain Ray tasks — one ``pr_step`` task per part per round with
+    # ``num_returns = n_parts + 2``: the task scatter-adds its incoming
+    # contribution tables, rank-updates, and emits the NEXT round's
+    # contributions ALREADY SPLIT by destination part (uint64 % n_parts,
+    # identical to ``_add_part``), plus its node-sized rank state and its
+    # dangling-mass partial.  Rank state never travels: it stays in plasma
+    # and only contributions (and n_parts scalars for the dangling barrier)
+    # cross parts.  The per-round ``ray.get`` of the dangling partials IS
+    # the BSP barrier PageRank semantically requires.  Skew/backpressure
+    # notes: one part = one task (same as the map_groups it replaces), and
+    # all shuffled payloads are node-/edge-sized Arrow tables in plasma.
+    empty_contrib = pa.table({"node": pa.array([], pa.int64()),
+                              "val": pa.array([], pa.float64())})
 
-    msgs = nodes.map_batches(init_msgs, batch_format="pyarrow").materialize()
-    # Block-count budget for the iterated state: sort-groupby output block
-    # count tracks its input, and msgs feed back into the next exchange —
-    # bound it per iteration (CLAUDE.md r3 law; measured 425 s → 59 s).
-    n_state_blocks = max(msgs.num_blocks(), 1)
+    @ray.remote(num_returns=n_parts + 2)
+    def pr_step(base: float, first: bool, last: bool, node_t: pa.Table,
+                edge_t: pa.Table, *in_tables: pa.Table):
+        node_arr = (node_t["node"].to_numpy(zero_copy_only=False)
+                    if node_t.num_rows else np.empty(0, np.int64))
+        has_out = (node_t["has_out"].to_numpy(zero_copy_only=False)
+                   if node_t.num_rows else np.empty(0, np.int8))
+        if first:
+            new = np.full(len(node_arr), 1.0 / n)
+        else:
+            c = np.zeros(len(node_arr), np.float64)
+            for t in in_tables:
+                if t.num_rows and len(node_arr):
+                    pos = np.searchsorted(
+                        node_arr, t["node"].to_numpy(zero_copy_only=False))
+                    np.add.at(c, pos, t["val"].to_numpy(zero_copy_only=False))
+            new = base + d * c
+        dang = float(np.sum(new[has_out == 0])) if len(node_arr) else 0.0
+        state = pa.table({"node": pa.array(node_arr, pa.int64()),
+                          "rank": pa.array(new, pa.float64())})
+        if last or not edge_t.num_rows or not len(node_arr):
+            return (*([empty_contrib] * n_parts), state, dang)
+        sk = edge_t["src_h"].to_numpy(zero_copy_only=False)
+        posy = np.searchsorted(node_arr, sk)  # every src IS a part node
+        cv = edge_t["w"].to_numpy(zero_copy_only=False) * new[posy]
+        dst = edge_t["dst_h"].to_numpy(zero_copy_only=False)
+        dpart = dst.astype(np.uint64) % np.uint64(n_parts)
+        outs = []
+        for q in range(n_parts):
+            m = dpart == q
+            outs.append(pa.table({"node": pa.array(dst[m], pa.int64()),
+                                  "val": pa.array(cv[m], pa.float64())})
+                        if m.any() else empty_contrib)
+        return (*outs, state, dang)
 
-    def _dangling(ds: rd.Dataset) -> float:
-        return ds.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [float(np.sum(t["val"].to_numpy(zero_copy_only=False)
-                              * (t["is_self"].to_numpy(zero_copy_only=False) == 1)
-                              * (t["has_out"].to_numpy(zero_copy_only=False) == 0)))],
-                pa.float64())}),
-            batch_format="pyarrow").sum("s") or 0.0
-
+    in_msgs: dict[int, list] = {p: [] for p in range(n_parts)}
+    state_refs: dict[int, object] = {}
+    dang_refs: list = []
     for rnd in range(n_iter + 1):
-        # round 0 seeds (no update, push initial ranks); rounds 1..n_iter
-        # update.  base is only consumed by update rounds.
+        # round 0 seeds (initial ranks, push); rounds 1..n_iter update.
         base = 0.0
         if rnd > 0:
-            base = (1.0 - d) / n + d * _dangling(msgs) / n
+            base = (1.0 - d) / n + d * sum(ray.get(dang_refs)) / n
+        rets = {p: pr_step.remote(base, rnd == 0, rnd == n_iter,
+                                  node_parts[p], edge_parts[p], *in_msgs[p])
+                for p in range(n_parts)}
+        in_msgs = {q: [rets[p][q] for p in range(n_parts)]
+                   for q in range(n_parts)}
+        state_refs = {p: rets[p][n_parts] for p in range(n_parts)}
+        dang_refs = [rets[p][n_parts + 1] for p in range(n_parts)]
 
-        def step(part_df: pd.DataFrame, base=base, node_parts=node_parts,
-                 edge_parts=edge_parts, epoch=epoch,
-                 first=(rnd == 0), last=(rnd == n_iter)) -> pd.DataFrame:
-            """Group = one part's messages: scatter-add contributions onto
-            the static node list, rank-update, emit next-round pushes."""
-            from .common import part_cache_get
-
-            p = int(part_df["part"].iloc[0])
-            nt = part_cache_get(epoch, node_parts[p])
-            node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            has_out = nt["has_out"].to_numpy(zero_copy_only=False)
-            keys = part_df["node"].to_numpy()
-            vals = part_df["val"].to_numpy()
-            is_self = part_df["is_self"].to_numpy() == 1
-            if first:
-                new = np.full(len(node_arr), np.nan)
-                pos = np.searchsorted(node_arr, keys[is_self])
-                new[pos] = vals[is_self]  # initial ranks pass through
-            else:
-                c = np.zeros(len(node_arr), np.float64)
-                if (~is_self).any():
-                    pos = np.searchsorted(node_arr, keys[~is_self])
-                    np.add.at(c, pos, vals[~is_self])
-                new = base + d * c
-            if last:
-                et = None  # final round: state only, no more pushes
-            else:
-                et = part_cache_get(epoch, edge_parts[p])
-            if et is not None and et.num_rows:
-                sk = et["src_h"].to_numpy(zero_copy_only=False)
-                posy = np.searchsorted(node_arr, sk)  # every src IS a node
-                pc_ = et["w"].to_numpy(zero_copy_only=False) * new[posy]
-                out_node = np.concatenate(
-                    [et["dst_h"].to_numpy(zero_copy_only=False), node_arr])
-                out_val = np.concatenate([pc_, new])
-                out_has = np.concatenate([np.full(et.num_rows, -1, np.int8),
-                                          has_out])
-                out_self = np.concatenate([np.zeros(et.num_rows, np.int8),
-                                           np.ones(len(node_arr), np.int8)])
-            else:
-                out_node, out_val = node_arr, new
-                out_has = has_out
-                out_self = np.ones(len(node_arr), np.int8)
-            return pd.DataFrame({"node": out_node, "has_out": out_has,
-                                 "val": out_val, "is_self": out_self})
-
-        msgs = (msgs
-                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                .groupby("part").map_groups(step, batch_format="pandas")
-                .repartition(n_state_blocks)
-                .materialize())
-
-    ranks = msgs.map_batches(
-        lambda t: (lambda f: pa.table({"node": f["node"],
-                                       "rank": f["val"]}))(
-            t.filter(pc.equal(t["is_self"], 1))),
-        batch_format="pyarrow")
+    ranks = rd.from_arrow_refs(list(state_refs.values()))
 
     url_map = pages.map_batches(
         lambda t: pa.table({"node": pa.array(hash64(t["url"]).view(np.int64), pa.int64()),
@@ -3861,91 +3832,103 @@ def _cc_labels(adj: "rd.Dataset", nodes: "rd.Dataset",
     One all-zero-changes round is a true fixpoint even with replies in
     flight (replies generated from unchanged labels re-deliver what already
     produced no change); exhausting ``max_rounds`` without convergence
-    raises instead of silently returning truncated labels."""
-    import uuid
+    raises instead of silently returning truncated labels.
 
+    r5: rounds are BSP raw tasks (the pagerank_pages lesson — a Dataset
+    sort-groupby exchange pays ~1.4 s of machinery per round for tens of ms
+    of numpy): one task per part per round, label state stays in plasma per
+    part (never travels), messages are emitted ALREADY SPLIT by destination
+    part, and the driver's per-round ``ray.get`` of the changed counters IS
+    the fixpoint-detection barrier the algorithm requires anyway."""
     from .common import session_parts, static_parts
 
     n_parts = session_parts()
-    epoch = uuid.uuid4().hex
     nodes = nodes.materialize()
     adj_parts = static_parts(adj, "y", n_parts, sort_by=["y"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    # message kinds: 0 = label push, 1 = self/state row, 2 = pointer-jump
-    # request (label column = the REQUESTER's node id)
-    msgs = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"], "label": t["node"],
-                            "kind": pa.array(np.ones(t.num_rows, np.int8)),
-                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
-        batch_format="pyarrow").materialize()
-    n_state_blocks = max(msgs.num_blocks(), 1)
-    imax = np.iinfo(np.int64).max
-    converged = False
+    # message kinds: 0 = label push, 2 = pointer-jump request (label column
+    # = the REQUESTER's node id); state no longer rides the exchange
+    empty_msg = pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64()),
+                          "kind": pa.array([], pa.int8())})
 
-    for rnd in range(max_rounds):
-        def step(part_df: pd.DataFrame, node_parts=node_parts,
-                 adj_parts=adj_parts, epoch=epoch,
-                 first=(rnd == 0)) -> pd.DataFrame:
-            """Group = one part's messages: min-update the part's labels on
-            its static node list from pushes + self rows, answer incoming
-            pointer-jump requests, then emit next-round neighbor pushes for
-            changed nodes (all nodes on the seed round), jump requests, and
-            the part's new self rows."""
-            from .common import part_cache_get
-
-            p = int(part_df["part"].iloc[0])
-            nt = part_cache_get(epoch, node_parts[p])
-            node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            new = np.full(len(node_arr), imax, np.int64)
-            old = np.full(len(node_arr), imax, np.int64)
-            kind = part_df["kind"].to_numpy()
-            keys = part_df["node"].to_numpy()
-            vals = part_df["label"].to_numpy()
+    @ray.remote(num_returns=n_parts + 2)
+    def cc_step(first: bool, node_t: pa.Table, adj_t: pa.Table,
+                state_t, *in_tables: pa.Table):
+        node_arr = (node_t["node"].to_numpy(zero_copy_only=False)
+                    if node_t.num_rows else np.empty(0, np.int64))
+        old = (node_arr.copy() if first or state_t is None
+               else state_t["label"].to_numpy(zero_copy_only=False).copy())
+        new = old.copy()
+        req_keys, req_vals = [], []
+        for t in in_tables:
+            if not t.num_rows or not len(node_arr):
+                continue
+            kind = t["kind"].to_numpy(zero_copy_only=False)
+            keys = t["node"].to_numpy(zero_copy_only=False)
+            vals = t["label"].to_numpy(zero_copy_only=False)
             upd = kind != 2
-            pos_u = np.searchsorted(node_arr, keys[upd])
-            np.minimum.at(new, pos_u, vals[upd])
-            is_self = kind == 1
-            old[np.searchsorted(node_arr, keys[is_self])] = vals[is_self]
-            changed = new < old
-            push_mask = changed | first
-            outs = []
-            at = part_cache_get(epoch, adj_parts[p])
-            if at.num_rows and push_mask.any():
-                y = at["y"].to_numpy(zero_copy_only=False)
-                posy = np.searchsorted(node_arr, y)  # every y IS a part node
-                act = push_mask[posy]
-                outs.append((at["n"].to_numpy(zero_copy_only=False)[act],
-                             new[posy[act]], 0))
-            # answer jump requests: requester q asked for label(m); reply is
-            # an ordinary push keyed to q
+            if upd.any():
+                np.minimum.at(new, np.searchsorted(node_arr, keys[upd]),
+                              vals[upd])
             is_req = kind == 2
             if is_req.any():
-                pos_r = np.searchsorted(node_arr, keys[is_req])
-                outs.append((vals[is_req], new[pos_r], 0))
-            # issue next round's requests: every node whose label isn't
-            # itself asks its label's owner part for label(label)
-            ask = new != node_arr
-            if ask.any():
-                outs.append((new[ask], node_arr[ask], 2))
-            outs.append((node_arr, new, 1))  # self rows last
-            out_node = np.concatenate([o[0] for o in outs])
-            out_label = np.concatenate([o[1] for o in outs])
-            out_kind = np.concatenate(
-                [np.full(len(o[0]), o[2], np.int8) for o in outs])
-            out_changed = np.zeros(len(out_node), np.int64)
-            out_changed[-len(node_arr):] = changed.astype(np.int64)
-            return pd.DataFrame({"node": out_node, "label": out_label,
-                                 "kind": out_kind, "changed": out_changed})
+                req_keys.append(keys[is_req])
+                req_vals.append(vals[is_req])
+        changed = new < old
+        push_mask = changed | first
+        outs = []
+        if adj_t.num_rows and push_mask.any():
+            y = adj_t["y"].to_numpy(zero_copy_only=False)
+            posy = np.searchsorted(node_arr, y)  # every y IS a part node
+            act = push_mask[posy]
+            outs.append((adj_t["n"].to_numpy(zero_copy_only=False)[act],
+                         new[posy[act]], 0))
+        # answer jump requests: requester q asked for label(m); reply is an
+        # ordinary push keyed to q
+        if req_keys:
+            rk = np.concatenate(req_keys)
+            rv = np.concatenate(req_vals)
+            outs.append((rv, new[np.searchsorted(node_arr, rk)], 0))
+        # issue next round's requests: every node whose label isn't itself
+        # asks its label's owner part for label(label)
+        ask = new != node_arr
+        if ask.any():
+            outs.append((new[ask], node_arr[ask], 2))
+        state = pa.table({"node": pa.array(node_arr, pa.int64()),
+                          "label": pa.array(new, pa.int64())})
+        if not outs:
+            return (*([empty_msg] * n_parts), state, int(changed.sum()))
+        out_node = np.concatenate([o[0] for o in outs])
+        out_label = np.concatenate([o[1] for o in outs])
+        out_kind = np.concatenate(
+            [np.full(len(o[0]), o[2], np.int8) for o in outs])
+        dpart = out_node.astype(np.uint64) % np.uint64(n_parts)
+        msg_outs = []
+        for q in range(n_parts):
+            m = dpart == q
+            msg_outs.append(pa.table({"node": pa.array(out_node[m], pa.int64()),
+                                      "label": pa.array(out_label[m], pa.int64()),
+                                      "kind": pa.array(out_kind[m], pa.int8())})
+                            if m.any() else empty_msg)
+        return (*msg_outs, state, int(changed.sum()))
 
-        msgs = (msgs
-                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                .groupby("part").map_groups(step, batch_format="pandas")
-                .repartition(n_state_blocks)
-                .materialize())
+    in_msgs: dict[int, list] = {p: [] for p in range(n_parts)}
+    state_refs: dict[int, object] = {p: None for p in range(n_parts)}
+    converged = False
+    for rnd in range(max_rounds):
+        rets = {p: cc_step.remote(rnd == 0, node_parts[p], adj_parts[p],
+                                  state_refs[p], *in_msgs[p])
+                for p in range(n_parts)}
+        in_msgs = {q: [rets[p][q] for p in range(n_parts)]
+                   for q in range(n_parts)}
+        state_refs = {p: rets[p][n_parts] for p in range(n_parts)}
+        n_changed = sum(ray.get([rets[p][n_parts + 1]
+                                 for p in range(n_parts)]))
         # the seed round force-pushes everything and reports changed == 0;
         # real updates start at rnd 1
-        if rnd > 0 and (msgs.sum("changed") or 0) == 0:
+        if rnd > 0 and n_changed == 0:
             converged = True
             break
 
@@ -3953,9 +3936,7 @@ def _cc_labels(adj: "rd.Dataset", nodes: "rd.Dataset",
         raise RuntimeError(
             f"_cc_labels did not converge within max_rounds={max_rounds}")
 
-    return msgs.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], 1)).select(["node", "label"]),
-        batch_format="pyarrow")
+    return rd.from_arrow_refs(list(state_refs.values()))
 
 
 def link_components(sf_dir: str, max_rounds: int = 32):
@@ -4132,103 +4113,92 @@ def _kcore_alive(adj: "rd.Dataset", nodes: "rd.Dataset", k: int,
     pytest (test_kcore.py::test_max_rounds_raises) pins the loud failure
     past it.
 
-    State rides as survivor self rows (kind 1, val = degree).  A part that
-    had deaths this round additionally emits one kind-3 tombstone row
-    carrying its death count, so a part whose LAST nodes die still reports
-    changes while its decrements are in flight (putting the count on self
-    rows would under-count exactly there).  A part with NO deaths emits no
-    tombstone — so a fully-dead part emits nothing at all, stops receiving
-    messages, and genuinely stops executing (it can still be woken once by
-    a stray decrement to a dead node, which it ignores and re-emits
-    nothing)."""
-    import uuid
-
+    r5: rounds are BSP raw tasks (the pagerank_pages lesson — Dataset
+    sort-groupby machinery dwarfed the numpy work per round).  Degree state
+    stays in plasma per part (-1 = dead) and never travels; only decrement
+    messages cross parts, already split by destination; death counts return
+    as task scalars, so the r4 tombstone machinery (a routed row carrying
+    the change count, with its fully-dead-part wakeup subtleties) is gone
+    entirely.  The driver's per-round ``ray.get`` of the death counters is
+    the peel's synchronous barrier."""
     from .common import session_parts, static_parts
 
     n_parts = session_parts()
-    epoch = uuid.uuid4().hex
     nodes = nodes.materialize()
     adj_parts = static_parts(adj, "y", n_parts, sort_by=["y", "n"], dedup=True)
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    # message kinds: 0 = decrement (val = count), 1 = self/state row
-    # (val = current in-core degree), 3 = tombstone (changed carrier only)
-    msgs = nodes.map_batches(
-        lambda t: pa.table({"node": t["node"],
-                            "val": pa.array(np.full(t.num_rows, -1, np.int64)),
-                            "kind": pa.array(np.ones(t.num_rows, np.int8)),
-                            "changed": pa.array(np.zeros(t.num_rows, np.int64))}),
-        batch_format="pyarrow").materialize()
-    n_state_blocks = max(msgs.num_blocks(), 1)
+    # r5 BSP raw-task rounds (the pagerank_pages lesson): degree state stays
+    # in plasma per part (-1 = dead), only decrement messages cross parts
+    # (already split by destination), and the driver's per-round ``ray.get``
+    # of the death counters is the fixpoint barrier.  The r4 tombstone rows
+    # are gone entirely — change counts return as task scalars.
+    empty_dec = pa.table({"node": pa.array([], pa.int64()),
+                          "val": pa.array([], pa.int64())})
+
+    @ray.remote(num_returns=n_parts + 2)
+    def kc_step(first: bool, node_t: pa.Table, adj_t: pa.Table,
+                state_t, *in_tables: pa.Table):
+        node_arr = (node_t["node"].to_numpy(zero_copy_only=False)
+                    if node_t.num_rows else np.empty(0, np.int64))
+        y = (adj_t["y"].to_numpy(zero_copy_only=False)
+             if adj_t.num_rows else np.empty(0, np.int64))
+        if first:
+            # initial degree = run length in the (y, n)-sorted deduped
+            # static adjacency; isolated nodes start (and may stay) at 0
+            deg = np.zeros(len(node_arr), np.int64)
+            if len(y):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], y[1:] != y[:-1])))
+                cnt = np.diff(np.append(starts, len(y)))
+                deg[np.searchsorted(node_arr, y[starts])] = cnt
+        else:
+            deg = state_t["deg"].to_numpy(zero_copy_only=False).copy()
+        alive = deg >= 0
+        dec = np.zeros(len(node_arr), np.int64)
+        for t in in_tables:
+            if t.num_rows and len(node_arr):
+                np.add.at(dec,
+                          np.searchsorted(
+                              node_arr,
+                              t["node"].to_numpy(zero_copy_only=False)),
+                          t["val"].to_numpy(zero_copy_only=False))
+        deg[alive] -= dec[alive]
+        die = alive & (deg < k)
+        n_die = int(die.sum())
+        outs = [empty_dec] * n_parts
+        if n_die and len(y):
+            posy = np.searchsorted(node_arr, y)  # every y IS a part node
+            m = die[posy]
+            if m.any():
+                tgt = adj_t["n"].to_numpy(zero_copy_only=False)[m]
+                dpart = tgt.astype(np.uint64) % np.uint64(n_parts)
+                outs = []
+                for q in range(n_parts):
+                    mq = dpart == q
+                    outs.append(pa.table(
+                        {"node": pa.array(tgt[mq], pa.int64()),
+                         "val": pa.array(np.ones(int(mq.sum()), np.int64))})
+                        if mq.any() else empty_dec)
+        deg[die] = -1  # dead
+        state = pa.table({"node": pa.array(node_arr, pa.int64()),
+                          "deg": pa.array(deg, pa.int64())})
+        return (*outs, state, n_die)
+
+    in_msgs: dict[int, list] = {p: [] for p in range(n_parts)}
+    state_refs: dict[int, object] = {p: None for p in range(n_parts)}
     converged = False
-
     for rnd in range(max_rounds):
-        def step(part_df: pd.DataFrame, node_parts=node_parts,
-                 adj_parts=adj_parts, epoch=epoch, k=k,
-                 first=(rnd == 0)) -> pd.DataFrame:
-            from .common import part_cache_get
-
-            p = int(part_df["part"].iloc[0])
-            nt = part_cache_get(epoch, node_parts[p])
-            node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            at = part_cache_get(epoch, adj_parts[p])
-            y = (at["y"].to_numpy(zero_copy_only=False)
-                 if at.num_rows else np.empty(0, np.int64))
-            deg = np.full(len(node_arr), -1, np.int64)  # -1 = dead
-            kind = part_df["kind"].to_numpy()
-            keys = part_df["node"].to_numpy()
-            vals = part_df["val"].to_numpy()
-            is_self = kind == 1
-            deg[np.searchsorted(node_arr, keys[is_self])] = vals[is_self]
-            if first and len(node_arr):
-                # initial degree = run length in the (y, n)-sorted deduped
-                # static adjacency; isolated nodes start (and may stay) at 0
-                deg[:] = 0
-                if len(y):
-                    starts = np.flatnonzero(
-                        np.concatenate(([True], y[1:] != y[:-1])))
-                    cnt = np.diff(np.append(starts, len(y)))
-                    deg[np.searchsorted(node_arr, y[starts])] = cnt
-            alive = deg >= 0
-            is_dec = kind == 0
-            if is_dec.any():
-                dec = np.zeros(len(node_arr), np.int64)
-                np.add.at(dec, np.searchsorted(node_arr, keys[is_dec]),
-                          vals[is_dec])
-                deg[alive] -= dec[alive]
-            die = alive & (deg < k)
-            outs = []
-            if die.any() and len(y):
-                posy = np.searchsorted(node_arr, y)  # every y IS a part node
-                m = die[posy]
-                if m.any():
-                    outs.append((at["n"].to_numpy(zero_copy_only=False)[m],
-                                 np.ones(int(m.sum()), np.int64), 0))
-            surv = alive & ~die
-            outs.append((node_arr[surv], deg[surv], 1))
-            n_die = int(die.sum())
-            if n_die:
-                # tombstone only on rounds WITH deaths: a no-death part's
-                # tombstone would carry changed=0 (pure overhead) and —
-                # routed to the part's own first node — would keep a fully
-                # dead part executing no-op groups until global convergence
-                outs.append((node_arr[:1], np.zeros(1, np.int64), 3))
-            out_node = np.concatenate([o[0] for o in outs])
-            out_val = np.concatenate([o[1] for o in outs])
-            out_kind = np.concatenate(
-                [np.full(len(o[0]), o[2], np.int8) for o in outs])
-            out_changed = np.zeros(len(out_node), np.int64)
-            if n_die:
-                out_changed[-1] = n_die
-            return pd.DataFrame({"node": out_node, "val": out_val,
-                                 "kind": out_kind, "changed": out_changed})
-
-        msgs = (msgs
-                .map_batches(_add_part("node", n_parts), batch_format="pyarrow")
-                .groupby("part").map_groups(step, batch_format="pandas")
-                .repartition(n_state_blocks)
-                .materialize())
-        if (msgs.sum("changed") or 0) == 0:
+        rets = {p: kc_step.remote(rnd == 0, node_parts[p], adj_parts[p],
+                                  state_refs[p], *in_msgs[p])
+                for p in range(n_parts)}
+        in_msgs = {q: [rets[p][q] for p in range(n_parts)]
+                   for q in range(n_parts)}
+        state_refs = {p: rets[p][n_parts] for p in range(n_parts)}
+        n_die = sum(ray.get([rets[p][n_parts + 1] for p in range(n_parts)]))
+        if n_die == 0:
+            # a zero-death round is a true fixpoint: decrements only
+            # originate from deaths, so none are in flight
             converged = True
             break
 
@@ -4237,10 +4207,10 @@ def _kcore_alive(adj: "rd.Dataset", nodes: "rd.Dataset", k: int,
             f"_kcore_alive did not converge within max_rounds={max_rounds} "
             f"(rounds = peel depth for k-core; raise max_rounds)")
 
-    return msgs.map_batches(
-        lambda t: pa.table({"node": t.filter(pc.equal(t["kind"], 1))["node"],
-                            "core_degree":
-                                t.filter(pc.equal(t["kind"], 1))["val"]}),
+    return rd.from_arrow_refs(list(state_refs.values())).map_batches(
+        lambda t: (lambda f: pa.table({"node": f["node"],
+                                       "core_degree": f["deg"]}))(
+            t.filter(pc.greater_equal(t["deg"], 0))),
         batch_format="pyarrow")
 
 
@@ -4382,8 +4352,6 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     Reference analog: the reference ranks crawl work by year/listing
     heuristics (/root/reference/src/scraper/base/scraper.py:469-485); HITS
     is the principled hub/authority upgrade for a listing→doc web."""
-    import uuid
-
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
     from .common import session_parts, static_parts
@@ -4431,124 +4399,109 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
              .groupby("part").map_groups(dedup_nodes, batch_format="pandas")
              .materialize())
 
-    epoch = uuid.uuid4().hex
-
     e_by_src = static_parts(edges, "src", n_parts, sort_by=["src"])
     e_by_dst = static_parts(edges, "dst", n_parts, sort_by=["dst"])
     node_parts = static_parts(nodes, "node", n_parts, sort_by=["node"])
 
-    n_state_blocks = max(nodes.num_blocks(), 1)
+    # BSP raw-task half-steps (r5, the pagerank_pages lesson): a Dataset
+    # sort-groupby exchange costs ~1.4 s of machinery per round at sf0.1 vs
+    # tens of ms of numpy, so each half-step is now one plain Ray task per
+    # part with ``num_returns = n_parts + 2`` — scatter-add the incoming
+    # contribution tables (divided by the PREVIOUS half's L2 norm, passed as
+    # a scalar arg: Σ(c)/n vs Σ(c/n) differ only at ulp level, far inside
+    # the oracle's measured 3e-12 rounding margin), emit the next half's
+    # contributions ALREADY SPLIT by destination part across the static edge
+    # side where the new scores live (authorities push via e_by_dst, hubs
+    # via e_by_src), and return the part's score state plus its Σv² partial.
+    # The per-half ``ray.get`` of the Σv² partials IS the normalization
+    # barrier HITS semantically requires.  The r4 sentinel rows are gone:
+    # raw tasks run for every part unconditionally, so a part with zero
+    # inflow still emits its nodes' zero scores.  The seed (h0 = 1.0 pushed
+    # over every edge) collapses to the local in-degree run lengths of
+    # e_by_dst — no seed exchange at all.
+    empty_contrib = pa.table({"node": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.float64())})
 
-    def _sentinels(int_cols: dict, float_col: str) -> rd.Dataset:
-        data = {}
-        for name, (typ, fill) in int_cols.items():
-            data[name] = pa.array(np.full(n_parts, fill), typ)
-        data[float_col] = pa.nulls(n_parts, pa.float64())
-        data["part"] = pa.array(np.arange(n_parts, dtype=np.int32), pa.int32())
-        return rd.from_arrow(pa.table(data))
+    @ray.remote(num_returns=n_parts + 2)
+    def half_step(first: bool, norm_prev: float, push: bool, look_col: str,
+                  emit_col: str, node_t: pa.Table, edge_t: pa.Table,
+                  *in_tables: pa.Table):
+        node_arr = (node_t["node"].to_numpy(zero_copy_only=False)
+                    if node_t.num_rows else np.empty(0, np.int64))
+        acc = np.zeros(len(node_arr), np.float64)
+        if first:
+            # h0 = 1.0 pushed along every edge = in-degree per dst, a local
+            # run-length over the dst-sorted static side (float-identical to
+            # scatter-adding 1.0 per edge: integer-valued sums are exact)
+            if edge_t.num_rows and len(node_arr):
+                u, cnt = np.unique(
+                    edge_t[look_col].to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                acc[np.searchsorted(node_arr, u)] = cnt.astype(np.float64)
+        else:
+            for t in in_tables:
+                if t.num_rows and len(node_arr):
+                    pos = np.searchsorted(
+                        node_arr, t["node"].to_numpy(zero_copy_only=False))
+                    np.add.at(acc, pos, t["c"].to_numpy(zero_copy_only=False))
+        v = acc / norm_prev if norm_prev > 0 else np.zeros_like(acc)
+        sumsq = float(np.sum(np.square(v)))
+        state = pa.table({"node": pa.array(node_arr, pa.int64()),
+                          "v": pa.array(v, pa.float64())})
+        if not push or not edge_t.num_rows or not len(node_arr):
+            return (*([empty_contrib] * n_parts), state, sumsq)
+        look = edge_t[look_col].to_numpy(zero_copy_only=False)
+        emit = edge_t[emit_col].to_numpy(zero_copy_only=False)
+        cv = v[np.searchsorted(node_arr, look)]
+        dpart = emit.astype(np.uint64) % np.uint64(n_parts)
+        outs = []
+        for q in range(n_parts):
+            m = dpart == q
+            outs.append(pa.table({"node": pa.array(emit[m], pa.int64()),
+                                  "c": pa.array(cv[m], pa.float64())})
+                        if m.any() else empty_contrib)
+        return (*outs, state, sumsq)
 
-    # sentinel rows make every part's group fn run even with zero inflow —
-    # HITS recomputes each side from inflow alone (no self state), so a
-    # part with no incoming pushes must still emit its nodes' zero scores
-    contrib_sent = _sentinels({"key": (pa.int64(), 0),
-                               "is_self": (pa.int8(), 0)}, "c").materialize()
+    def run_half(first: bool, norm_prev: float, push: bool, edge_parts: dict,
+                 look_col: str, emit_col: str, in_msgs: dict):
+        rets = {p: half_step.remote(first, norm_prev, push, look_col,
+                                    emit_col, node_parts[p], edge_parts[p],
+                                    *in_msgs[p])
+                for p in range(n_parts)}
+        nxt = {q: [rets[p][q] for p in range(n_parts)]
+               for q in range(n_parts)}
+        states = {p: rets[p][n_parts] for p in range(n_parts)}
+        norm = float(np.sqrt(sum(
+            ray.get([rets[p][n_parts + 1] for p in range(n_parts)]))))
+        return nxt, states, norm
 
-    # Message-fused half-steps (r4: the link_components/pagerank fusion):
-    # each half-step is ONE exchange — the group fn scatter-adds its part's
-    # incoming contributions (divided by the PREVIOUS half's L2 norm, passed
-    # as a closure scalar: Σ(c)/n vs Σ(c/n) differ only at ulp level, far
-    # inside the oracle's measured 3e-12 rounding margin) onto the static
-    # node list, emits the part's new scores as self rows, and emits the
-    # NEXT half's contributions across the static edge side where the new
-    # scores live (authorities push via e_by_dst, hubs via e_by_src) — raw,
-    # normalized by the next fn.  Sentinels stay: unlike the state-carrying
-    # fixpoints, HITS recomputes each side from inflow alone, so a part with
-    # no inflow must still emit its nodes' zero scores.
-    def _fused_half(msgs: rd.Dataset, norm_prev: float,
-                    out_edges: dict | None, look_col: str, emit_col: str):
-        def step(part_df: pd.DataFrame, node_parts=node_parts,
-                 out_edges=out_edges, norm_prev=norm_prev,
-                 epoch=epoch) -> pd.DataFrame:
-            from .common import part_cache_get
-
-            p = int(part_df["part"].iloc[0])
-            nt = part_cache_get(epoch, node_parts[p])
-            if nt.num_rows == 0:
-                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                     "c": pd.Series([], dtype="float64"),
-                                     "is_self": pd.Series([], dtype="int8")})
-            node_arr = nt["node"].to_numpy(zero_copy_only=False)
-            acc = np.zeros(len(node_arr), np.float64)
-            cs = part_df[part_df["c"].notna()]
-            # contributions only (self rows of the previous half carry
-            # is_self=1 and are NOT inflow for this half)
-            cs = cs[cs["is_self"] == 0]
-            if len(cs):
-                pos = np.searchsorted(node_arr, cs["key"].to_numpy())
-                np.add.at(acc, pos, cs["c"].to_numpy())
-            v = acc / norm_prev if norm_prev > 0 else np.zeros_like(acc)
-            out_key, out_c = node_arr, v
-            out_self = np.ones(len(node_arr), np.int8)
-            if out_edges is not None:
-                et = part_cache_get(epoch, out_edges[p])
-                if et.num_rows:
-                    # the edge side partitioned by WHERE the new scores live
-                    look = et[look_col].to_numpy(zero_copy_only=False)
-                    emit = et[emit_col].to_numpy(zero_copy_only=False)
-                    posy = np.searchsorted(node_arr, look)
-                    out_key = np.concatenate([out_key, emit])
-                    out_c = np.concatenate([out_c, v[posy]])
-                    out_self = np.concatenate(
-                        [out_self, np.zeros(et.num_rows, np.int8)])
-            return pd.DataFrame({"key": out_key, "c": out_c,
-                                 "is_self": out_self})
-
-        out = (msgs.map_batches(_add_part("key", n_parts), batch_format="pyarrow")
-               .union(contrib_sent)
-               .groupby("part").map_groups(step, batch_format="pandas")
-               .repartition(n_state_blocks)
-               .materialize())
-        ss = out.map_batches(
-            lambda t: pa.table({"s": pa.array(
-                [float(np.sum(np.square(
-                    t["c"].to_numpy(zero_copy_only=False)
-                    * (t["is_self"].to_numpy(zero_copy_only=False) == 1))))],
-                pa.float64())}),
-            batch_format="pyarrow").sum("s") or 0.0
-        return out, float(np.sqrt(ss))
-
-    def _selfs(msgs: rd.Dataset, norm: float) -> rd.Dataset:
-        def fin(t: pa.Table, norm=norm) -> pa.Table:
-            f = t.filter(pc.equal(t["is_self"], 1))
-            v = f["c"].to_numpy(zero_copy_only=False)
-            out = v / norm if norm > 0 else np.zeros_like(v)
-            return pa.table({"node": f["key"], "v": pa.array(out)})
-        return msgs.map_batches(fin, batch_format="pyarrow")
-
-    # seed inflow: h0 = 1.0 on every node pushed over the edges (the first
-    # authority half's contributions), with norm_prev = 1
-    def seed_push(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["dst"],
-                         "c": pa.array(np.ones(t.num_rows, np.float64)),
-                         "is_self": pa.array(np.zeros(t.num_rows, np.int8))})
-
-    cur = edges.map_batches(seed_push, batch_format="pyarrow").materialize()
-    norm_prev = 1.0
-    a_msgs, norm_a, h_msgs, norm_h = cur, 1.0, cur, 1.0
+    no_msgs: dict[int, list] = {p: [] for p in range(n_parts)}
+    cur, norm_prev = no_msgs, 1.0
+    a_states: dict = {}
+    h_states: dict = {}
+    norm_a = norm_h = 1.0
     for i in range(n_iter):
-        # authority half: inflow = hub pushes; the new authorities push hub
-        # contributions via e_by_dst (the side where they live: dst-sorted)
-        a_msgs, norm_a = _fused_half(cur, norm_prev, e_by_dst, "dst", "src")
+        # authority half: inflow = hub pushes (iteration 0: the in-degree
+        # seed); the new authorities push hub contributions via e_by_dst
+        cur, a_states, norm_a = run_half(
+            i == 0, norm_prev, True, e_by_dst, "dst", "src", cur)
         # hub half: inflow = authority pushes; new hubs push the next
         # iteration's authority contributions via e_by_src (skipped on the
         # last iteration — no consumer)
-        h_msgs, norm_h = _fused_half(
-            a_msgs, norm_a, e_by_src if i < n_iter - 1 else None,
-            "src", "dst")
-        cur, norm_prev = h_msgs, norm_h
+        cur, h_states, norm_h = run_half(
+            False, norm_a, i < n_iter - 1, e_by_src, "src", "dst", cur)
+        norm_prev = norm_h
 
-    a = _selfs(a_msgs, norm_a).materialize()
-    h = _selfs(h_msgs, norm_h).materialize()
+    def _norm_states(states: dict, norm: float) -> rd.Dataset:
+        def fin(t: pa.Table, norm=norm) -> pa.Table:
+            v = t["v"].to_numpy(zero_copy_only=False)
+            out = v / norm if norm > 0 else np.zeros_like(v)
+            return pa.table({"node": t["node"], "v": pa.array(out)})
+        return (rd.from_arrow_refs(list(states.values()))
+                .map_batches(fin, batch_format="pyarrow"))
+
+    a = _norm_states(a_states, norm_a).materialize()
+    h = _norm_states(h_states, norm_h).materialize()
 
     # assemble (url, node, hub, authority): side-tagged partitioned merge on
     # the node key (0 = url map, 1 = hub scores, 2 = authority scores)
