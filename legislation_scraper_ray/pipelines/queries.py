@@ -3248,14 +3248,13 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
 
     Scale shape — iterate ONLY the mutable state: the static edge and node
     relations are hash-partitioned ONCE into plasma ({part → ObjectRef} of
-    src-/node-sorted tables); each iteration shuffles just the node-sized
-    rank rows (exchange 1: per-part searchsorted rank lookup against the
-    part's static edges → contribution rows) and the edge-sized contribution
-    rows (exchange 2: scatter-add onto the part's static node list — every
-    node re-emitted, flowless ones at the teleport base).  The dangling-mass
-    correction is a scalar aggregate; per-edge weight 1/outdeg is computed
-    batch-locally at explode time.  ``ranks`` is materialized (and
-    block-coalesced) per iteration — node-sized, never driver-collected.
+    src-/node-sorted tables); each round is one BSP raw task per part
+    (see the iteration-core comment) that scatter-adds its incoming
+    contribution tables, rank-updates, and emits the next round's
+    contributions pre-split by destination part.  Rank state stays in
+    plasma per part — node-sized, never driver-collected; the dangling-mass
+    correction returns as per-task scalars; per-edge weight 1/outdeg is
+    computed batch-locally at explode time.
 
     Reference analog: crawl prioritization over discovered listing→doc links
     (/root/reference/src/scraper/base/scraper.py:469-485 orders work by year
@@ -3953,13 +3952,12 @@ def link_components(sf_dir: str, max_rounds: int = 32):
 
     Scale shape: the adjacency (both directions, y-sorted) and the node
     list are hash-partitioned ONCE into plasma (``static_parts``); each
-    Jacobi round is ONE message exchange — the group fn min-updates its
-    part's labels from the incoming messages (state rides as self rows,
-    one per node per round, so no sentinel rows are needed) and emits the
-    next round's delta pushes in the same task.  The loop exits on a
-    converged round (changed == 0, a scalar aggregate — rounds needed =
-    graph diameter, 4–5 on every corpus scale); per-round ``repartition``
-    holds the state block count flat (CLAUDE.md r3 law)."""
+    Jacobi round is one BSP raw task per part (``_cc_labels``) — min-update
+    the part's labels from the incoming message tables, emit the next
+    round's delta pushes and pointer-jump requests pre-split by destination
+    part; label state stays in plasma.  The loop exits on a converged round
+    (changed == 0, summed from per-task scalars — rounds needed =
+    O(log diameter) with the jumps, 4–5 on every corpus scale)."""
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
     from .common import session_parts
@@ -4337,13 +4335,12 @@ def hits_pages(sf_dir: str, n_iter: int = 6, round_to: int | None = 9):
     Per iteration (mutual recursion, L2-normalized each half-step):
     ``a_i = normalize(Eᵀ h_{i-1})`` then ``h_i = normalize(E a_i)``.  Static
     sides are hash-partitioned ONCE into plasma: edges sorted by src (the
-    a-step's lookup side), edges sorted by dst (the h-step's), and the node
-    list; each half-step shuffles only node-sized score rows (exchange 1:
-    per-part searchsorted score lookup against the part's edges →
-    contribution rows) and edge-sized contributions (exchange 2: scatter-add
-    onto the part's static node list).  The L2 norm is a scalar aggregate;
-    the division is a node-local map (no shuffle).  Score state is
-    repartitioned per half-step (iterated-state coalesce law).
+    h-step's push side), edges sorted by dst (the a-step's), and the node
+    list; each half-step is one BSP raw task per part (see the half-step
+    comment) — scatter-add the incoming contribution tables, divide by the
+    previous half's L2 norm, push the next half's contributions pre-split
+    by destination part.  Σv² partials return as task scalars (the norm
+    barrier); score state stays in plasma per part.
 
     DuckDB oracle: unrolled materialized-CTE iterations, scores rounded
     ``round_to`` dp half-away on both sides (measured engine-vs-SQL
