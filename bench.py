@@ -229,16 +229,20 @@ def run_scaling() -> dict:
     derivation, checkpointless doc writes included).  ``value`` is the
     full-crawl efficiency — the stronger claim.
 
-    Legs run over the 900k-page ``bench2x`` corpus (override with
+    Legs run over the 1.8M-page ``bench4x`` corpus (override with
     $GRAFT_BENCH_SCALE): a scaling measurement needs the job large enough
     that the crawl's FIXED seams — executor start, the gen-0 seed trickle
     (1,280 pages regardless of corpus size), final-wave drain, ~3-5 s total —
     amortize.  At 450k pages they are ~25% of the 16-core wall (capping any
     measured efficiency at ~0.75 even for perfectly scaling per-page work);
-    at 900k ~12%; at the 10^10-URL design point ~0.  Both levels of each pair
-    always run the SAME input, which is what the criterion compares."""
+    at 900k ~12% when r4 measured it — but the r5 engine cut the 16-core
+    bench2x wall 27 s → 21 s, pushing the seams back to ~14-24% (a faster
+    engine needs a bigger job for the same measurement fidelity, the same
+    mechanism that forced r3's 450k → 900k move); at 1.8M they are back
+    under ~10%, and at the 10^10-URL design point ~0.  Both levels of each
+    pair always run the SAME input, which is what the criterion compares."""
     N_LO, N_HI = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    scale = os.environ.get("GRAFT_BENCH_SCALE", "bench2x")
+    scale = os.environ.get("GRAFT_BENCH_SCALE", "bench4x")
 
     def run(ncpu: int, mode: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CPU_AFFINITY=str(ncpu),
