@@ -264,14 +264,15 @@ def _make_slot_shards(delays_ms: dict[str, int], clocks: dict[str, float], n_sha
     per-shard through this same slicing, row-group at a time, exactly like
     ``_save_checkpoint``'s clock dump reads it back)."""
     Shard = ray.remote(num_cpus=0)(PolitenessSlotShard)
-    shards = []
-    for i in range(n_shards):
-        owned_d = {h: d for h, d in delays_ms.items()
-                   if host_shard_of(h, n_shards) == i}
-        owned_c = {h: c for h, c in clocks.items()
-                   if host_shard_of(h, n_shards) == i}
-        shards.append(Shard.remote(owned_d, owned_c))
-    return shards
+    # single pass over each dict (not a full scan per shard — that would be
+    # O(n_shards x hosts), 2.6e10 dict probes at 10^8 hosts x 256 shards)
+    owned_d: list[dict] = [{} for _ in range(n_shards)]
+    owned_c: list[dict] = [{} for _ in range(n_shards)]
+    for h, dl in delays_ms.items():
+        owned_d[host_shard_of(h, n_shards)][h] = dl
+    for h, c in clocks.items():
+        owned_c[host_shard_of(h, n_shards)][h] = c
+    return [Shard.remote(owned_d[i], owned_c[i]) for i in range(n_shards)]
 
 
 def _small_frontier_batch(n_frontier: int, cfg: "CrawlConfig") -> int:
