@@ -3260,8 +3260,6 @@ def pagerank_pages(sf_dir: str, n_iter: int = 8, d: float = 0.85,
     (/root/reference/src/scraper/base/scraper.py:469-485 orders work by year
     heuristics; PageRank is the principled upgrade a frontier scheduler
     uses)."""
-    from ray.data.aggregate import Sum as _Sum
-
     from ..functions.hashing import hash64
     from ..sources.corpus import corpus_dir_for_sf
 
