@@ -3653,17 +3653,20 @@ def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
     links — the classic "which pages should link but don't" signal a crawl
     scheduler uses to prioritize discovery.
 
-    Scale shape: the adjacency is hash-partitioned by APEX, so deg(y) is
-    just the group's run length (edges are distinct — no degree table, no
-    broadcast) and each apex's neighbor pairs are one vectorized
-    ``_run_pairs`` emission, canonicalized in hash order.  Apexes with
-    deg > max_deg are skipped (the standard hub cap: a 10^6-degree hub
-    contributes ~1/ln(10^6) ≈ 0.07 per pair across 10^12 pairs — negligible
-    signal, quadratic cost; the cap is mirrored in the SQL oracle).  Pair
-    scores reduce in ONE partitioned exchange keyed on the pair's low
-    endpoint, which also carries the edge set side-tagged for the
-    anti-join (a predicted link must not exist).  Only the k result rows
-    and their 2k urls ever reach the driver.
+    Scale shape (r5 — the link_triangles dual-static layout + raw-task
+    exchanges, zero Dataset sort-groupby shuffles): edges pin ONCE into
+    plasma by both endpoints, so each part's wedge task sees every local
+    apex's complete distinct neighborhood (a-side + b-side halves) and
+    deg(y) is the run length — no degree table, no broadcast; one
+    vectorized ``_run_pairs`` emission per part, pre-split by the pair's
+    low endpoint.  Apexes with deg > max_deg are skipped (the standard hub
+    cap: a 10^6-degree hub contributes ~1/ln(10^6) ≈ 0.07 per pair across
+    10^12 pairs — negligible signal, quadratic cost; the cap is mirrored
+    in the SQL oracle).  The per-part reduce task groupby-sums its wedge
+    inflow, anti-joins against the part's STATIC edge table (a predicted
+    link must not exist), and pre-trims to a top-k superset — only
+    k × n_parts candidate rows and the 2k result urls ever reach the
+    driver.
 
     Float note: the only cross-engine float ops are ln() on identical
     integer-valued doubles and the per-pair sum (pandas vs DuckDB
@@ -3697,96 +3700,115 @@ def adamic_adar_links(sf_dir: str, k: int = 50, max_deg: int = 512,
         return pa.table({"a": pa.array(a.view(np.int64), pa.int64()),
                          "b": pa.array(b.view(np.int64), pa.int64())})
 
-    def dedup_edges(part_df: pd.DataFrame) -> pd.DataFrame:
-        return part_df.drop_duplicates(["a", "b"])[["a", "b"]]
+    # r5: the whole pipeline runs on the link_triangles dual static edge
+    # layout + raw-task exchanges (zero Dataset sort-groupby shuffles).
+    # Edges pin ONCE into plasma by both endpoints (dedup fused into the
+    # by-a combine); each part's wedge task sees every apex∈part's complete
+    # distinct neighborhood locally (a-side from edges_by_a, b-side from
+    # edges_by_b — a neighbor appears in exactly one half), emits capped
+    # run-pair wedges pre-split by the pair's low endpoint; the reduce task
+    # per part groupby-sums its incoming wedge tables, anti-joins against
+    # the STATIC local edge table, and pre-trims to its top-k superset.
+    from .common import repartition_parts, static_parts
 
-    edges = (pages.map_batches(edge_rows, batch_format="pyarrow",
-                               batch_size=4096)
-             .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
-             .groupby("part").map_groups(dedup_edges, batch_format="pandas")
-             .materialize())
+    raw = pages.map_batches(edge_rows, batch_format="pyarrow",
+                            batch_size=4096)
+    edges_a = static_parts(raw, "a", n_parts, sort_by=["a", "b"], dedup=True)
+    edges_b = repartition_parts(edges_a, "b", n_parts, sort_by=["b", "a"])
 
-    def adj_rows(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        return pa.table({"y": pa.array(np.concatenate([a, b]), pa.int64()),
-                         "n": pa.array(np.concatenate([b, a]), pa.int64())})
+    empty_w = pa.table({"a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.float64())})
 
-    def wedge_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
-        """Group = every (apex, neighbor) row whose apex hashes here.  Edges
-        are distinct, so an apex's run length IS its degree; the hub cap
-        drops whole runs before any pair is materialized."""
-        part_df = part_df.sort_values(["y", "n"])
-        y = part_df["y"].to_numpy()
-        n = part_df["n"].to_numpy()
+    @ray.remote(num_returns=max(n_parts, 2))
+    def wedge_task(ta: pa.Table, tb: pa.Table):
+        """Apexes ∈ this part: distinct neighborhood = a-side ∪ b-side; run
+        length IS the degree; the hub cap drops whole runs before any pair
+        is materialized."""
+        y = np.concatenate([
+            ta["a"].to_numpy(zero_copy_only=False) if ta.num_rows
+            else np.empty(0, np.int64),
+            tb["b"].to_numpy(zero_copy_only=False) if tb.num_rows
+            else np.empty(0, np.int64)])
+        nn = np.concatenate([
+            ta["b"].to_numpy(zero_copy_only=False) if ta.num_rows
+            else np.empty(0, np.int64),
+            tb["a"].to_numpy(zero_copy_only=False) if tb.num_rows
+            else np.empty(0, np.int64)])
+        if not len(y):
+            return tuple(empty_w for _ in range(max(n_parts, 2)))
+        order = np.lexsort((nn, y))
+        y, nn = y[order], nn[order]
         _, counts = np.unique(y, return_counts=True)
         if max_deg:
             keep = np.repeat(counts <= max_deg, counts)
-            y, n = y[keep], n[keep]
+            nn = nn[keep]
             counts = counts[counts <= max_deg]
         i_idx, j_idx = _run_pairs(counts)
         deg = np.repeat(counts, counts * (counts - 1) // 2).astype(np.float64)
-        c1 = n[i_idx]
-        c2 = n[j_idx]
+        c1 = nn[i_idx]
+        c2 = nn[j_idx]
         # neighbors were sorted on the int64 VIEW; canonicalize unsigned
         xa = np.minimum(c1.view(np.uint64), c2.view(np.uint64))
         xb = np.maximum(c1.view(np.uint64), c2.view(np.uint64))
-        return pd.DataFrame({"a": xa.view(np.int64), "b": xb.view(np.int64),
-                             "w": 1.0 / np.log(deg)})
+        w = 1.0 / np.log(deg)
+        dpart = xa % np.uint64(n_parts)
+        outs = []
+        for q in range(n_parts):
+            m = dpart == q
+            outs.append(pa.table({"a": pa.array(xa[m].view(np.int64), pa.int64()),
+                                  "b": pa.array(xb[m].view(np.int64), pa.int64()),
+                                  "w": pa.array(w[m], pa.float64())})
+                        if m.any() else empty_w)
+        while len(outs) < 2:  # num_returns lower bound
+            outs.append(empty_w)
+        return tuple(outs)
 
-    wedges = (edges.map_batches(adj_rows, batch_format="pyarrow")
-              .map_batches(_add_part("y", n_parts), batch_format="pyarrow")
-              .groupby("part").map_groups(wedge_pairs, batch_format="pandas"))
-
-    # pair-score reduce + existing-edge anti-join in ONE exchange on the
-    # pair's low endpoint (side-tagged; 0-sentinel ints, never nulls)
-    def tag_e(t: pa.Table) -> pa.Table:
-        return pa.table({"a": t["a"], "b": t["b"],
-                         "w": pa.array(np.zeros(t.num_rows, np.float64)),
-                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
-
-    def tag_w(t: pa.Table) -> pa.Table:
-        return pa.table({"a": t["a"], "b": t["b"], "w": t["w"],
-                         "side": pa.array(np.ones(t.num_rows, np.int8))})
-
-    def reduce_pairs(part_df: pd.DataFrame) -> pd.DataFrame:
-        w = part_df[part_df["side"] == 1]
-        if not len(w):
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "n_common": pd.Series([], dtype="int64"),
-                                 "score": pd.Series([], dtype="float64")})
-        e = part_df[part_df["side"] == 0][["a", "b"]]
+    @ray.remote
+    def reduce_task(et: pa.Table, *wtables: pa.Table) -> pa.Table:
+        """Pair-score reduce + existing-edge anti-join against the part's
+        STATIC edge table + local top-k pre-trim (>= keeps score ties at
+        the k-th, so the global (score desc, a, b) tie-break never loses
+        a candidate)."""
+        ws = [t for t in wtables if t.num_rows]
+        if not ws:
+            return empty_w.append_column(
+                "n_common", pa.array([], pa.int64()))
+        w = pa.concat_tables(ws).to_pandas()
         g = (w.groupby(["a", "b"], as_index=False)
              .agg(n_common=("w", "size"), score=("w", "sum")))
+        e = pd.DataFrame({"a": et["a"].to_numpy(zero_copy_only=False),
+                          "b": et["b"].to_numpy(zero_copy_only=False)})
         m = g.merge(e.assign(_is_edge=1), on=["a", "b"], how="left")
         m = m[m["_is_edge"].isna()]
-        return pd.DataFrame({"a": m["a"].astype("int64"),
-                             "b": m["b"].astype("int64"),
-                             "n_common": m["n_common"].astype("int64"),
-                             "score": m["score"].astype("float64")})
+        if len(m) > k:
+            s = m["score"].to_numpy()
+            kth = np.partition(s, len(s) - k)[len(s) - k]
+            m = m[s >= kth]
+        return pa.table({"a": pa.array(m["a"].to_numpy(), pa.int64()),
+                         "b": pa.array(m["b"].to_numpy(), pa.int64()),
+                         "w": pa.array(m["score"].to_numpy(), pa.float64()),
+                         "n_common": pa.array(
+                             m["n_common"].to_numpy().astype(np.int64),
+                             pa.int64())})
 
-    scores = (edges.map_batches(tag_e, batch_format="pyarrow")
-              .union(wedges.map_batches(tag_w, batch_format="pyarrow"))
-              .map_batches(_add_part("a", n_parts), batch_format="pyarrow")
-              .groupby("part").map_groups(reduce_pairs, batch_format="pandas"))
-
-    # per-block partial top-k before the global sort: scores are FINAL per
-    # row after the pair reduce, so any global top-k row survives its
-    # block's top-k — the sort input shrinks from candidate-pair-sized to
-    # k × blocks
-    def block_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows <= k:
-            return t
-        s = t["score"].to_numpy(zero_copy_only=False)
-        kth = np.partition(s, len(s) - k)[len(s) - k]
-        # >= keeps every row tied at the block's k-th score, so the global
-        # (score desc, a, b) tie-break never loses a candidate
-        return t.filter(pa.array(s >= kth))
-
-    top = (scores.map_batches(block_topk, batch_format="pyarrow")
-           .sort(["score", "a", "b"], descending=[True, False, False])
-           .limit(k).to_pandas())
+    wrets = {p: wedge_task.remote(edges_a[p], edges_b[p])
+             for p in range(n_parts)}
+    parts_out = [reduce_task.remote(edges_a[q],
+                                    *[wrets[p][q] for p in range(n_parts)])
+                 for q in range(n_parts)]
+    nonempty = [t for t in ray.get(parts_out) if t.num_rows]
+    if not nonempty:
+        top = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                            "b": pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64"),
+                            "n_common": pd.Series([], dtype="int64")})
+    else:
+        top = (pa.concat_tables(nonempty)
+               .rename_columns(["a", "b", "score", "n_common"]).to_pandas()
+               .sort_values(["score", "a", "b"],
+                            ascending=[False, True, True])
+               .head(k).reset_index(drop=True))
 
     # url map-back for the ≤2k distinct node ids (tiny broadcast filter)
     ids = set(top["a"]) | set(top["b"])
