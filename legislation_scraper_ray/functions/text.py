@@ -230,6 +230,39 @@ def kgram_hashes(word_hashes: np.ndarray, parents: np.ndarray, k: int):
     return h[same], parents[: n - k + 1][same]
 
 
+def kgram_pos_hashes(texts: pa.Array | pa.ChunkedArray, k: int):
+    """POSITIONAL word-k-gram hashes for a batch of texts — the span-dedup
+    variant of :func:`kgram_hashes`: every in-doc k-gram start position gets
+    a DUAL 64-bit hash (two independent FNV token-hash families folded by
+    two different odd Horner multipliers), so downstream equality tests are
+    effectively 128-bit — a false "shared span" needs a simultaneous
+    collision in both families (~2^-128).  Returns ``(h1 uint64[],
+    h2 uint64[], parent_doc int64[], pos_in_doc int64[])`` with ``pos``
+    0-based."""
+    from .hashing import hash64_pair
+
+    flat, parents, counts = _flat_tokens(texts)
+    h1t, h2t = hash64_pair(flat)
+    n = len(h1t)
+    if n < k:
+        return (np.empty(0, np.uint64), np.empty(0, np.uint64),
+                np.empty(0, np.int64), np.empty(0, np.int64))
+    mix1 = np.uint64(0x9E3779B97F4A7C15)
+    mix2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    h1 = h1t[: n - k + 1].copy()
+    h2 = h2t[: n - k + 1].copy()
+    same = np.ones(n - k + 1, dtype=bool)
+    for i in range(1, k):
+        h1 = h1 * mix1 + h1t[i : n - k + 1 + i]
+        h2 = h2 * mix2 + h2t[i : n - k + 1 + i]
+        same &= parents[: n - k + 1] == parents[i : n - k + 1 + i]
+    par = parents[: n - k + 1][same]
+    starts = np.cumsum(counts) - counts
+    idx = np.flatnonzero(same)
+    pos = idx - starts[par]
+    return h1[same], h2[same], par.astype(np.int64), pos.astype(np.int64)
+
+
 def doc_distinct_kgrams(
     texts: pa.Array | pa.ChunkedArray, k: int
 ) -> tuple[np.ndarray, np.ndarray, int, np.ndarray]:

@@ -1355,6 +1355,79 @@ def dup_ngram_docs(sf_dir: str, k: int = 4):
             .groupby("part").map_groups(sum_per_doc, batch_format="pandas"))
 
 
+def dup_span_docs(sf_dir: str, k: int = 8):
+    """Exact duplicated-substring SPANS — the actionable output of Lee et
+    al. 2022's substring dedup (``dup_ngram_docs`` reports per-doc COUNTS;
+    this emits the maximal token ranges to cut): for each doc, every
+    maximal token interval covered by word-``k``-grams that also occur in
+    at least one OTHER document.  One row per (doc_id, span) with 0-based
+    ``span_start``, exclusive ``span_end``, and ``span_tokens``.
+
+    100-TB shape: exchange 1 carries (h1, h2, doc_id, pos) gram rows — 28
+    bytes per token position, never text — hash-partitioned on h1 so each
+    gram's postings co-locate; the part fn keeps positions of grams whose
+    DISTINCT-doc count ≥ 2 (dual 64-bit hashes ≈ 128-bit equality, so the
+    survivor set matches the true string-gram set to ~2^-128; the DuckDB
+    oracle compares actual gram strings and would expose a collision).
+    Exchange 2 re-keys the (doc_id, pos) hits by doc and merges sorted
+    positions into maximal islands vectorized (intervals [p, p+k) merge
+    when consecutive starts differ ≤ k — touching spans are one contiguous
+    duplicated region).  Output is corpus-sized → lazy Dataset."""
+    from ..functions.text import kgram_pos_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        h1, h2, par, pos = kgram_pos_hashes(t["text"], k)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(h1.view(np.int64), pa.int64()),
+                         "h2": pa.array(h2.view(np.int64), pa.int64()),
+                         "doc_id": pa.array(ids[par], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    rows = (ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=8192)
+            .map_batches(_add_part("h"), batch_format="pyarrow"))
+
+    def shared_hits(part_df: pd.DataFrame) -> pd.DataFrame:
+        h = part_df["h"].to_numpy()
+        h2 = part_df["h2"].to_numpy()
+        d = part_df["doc_id"].to_numpy()
+        p = part_df["pos"].to_numpy()
+        order = np.lexsort((d, h2, h))
+        h, h2, d, p = h[order], h2[order], d[order], p[order]
+        newgrp = np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])])
+        gid = np.cumsum(newgrp) - 1
+        newdoc = newgrp | np.concatenate([[True], d[1:] != d[:-1]])
+        ndoc = np.bincount(gid[newdoc])
+        keep = ndoc[gid] >= 2
+        return pd.DataFrame({"doc_id": d[keep], "pos": p[keep]})
+
+    hits = (rows.groupby("part").map_groups(shared_hits,
+                                            batch_format="pandas")
+            .map_batches(_add_part("doc_id"), batch_format="pyarrow"))
+
+    def spans(part_df: pd.DataFrame) -> pd.DataFrame:
+        d = part_df["doc_id"].to_numpy()
+        p = part_df["pos"].to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        newdoc = np.concatenate([[True], d[1:] != d[:-1]])
+        gap = np.concatenate([[np.int64(0)], p[1:] - p[:-1]])
+        brk = newdoc | (gap > k)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(p))
+        span_start = p[starts]
+        span_end = p[ends - 1] + k
+        return pd.DataFrame({
+            "doc_id": d[starts].astype("int64"),
+            "span_start": span_start.astype("int64"),
+            "span_end": span_end.astype("int64"),
+            "span_tokens": (span_end - span_start).astype("int64")})
+
+    return hits.groupby("part").map_groups(spans, batch_format="pandas")
+
+
 def c4_filter_docs(sf_dir: str):
     """C4-style heuristic quality gate (Raffel et al. 2020, §2.2 adapted to
     this corpus's whitespace token model): per doc — word count, mean word
@@ -2846,6 +2919,7 @@ ANALYTICS_QUERIES = {
     "decontaminate_docs": decontaminate_docs,
     "repetition_ratio_docs": repetition_ratio_docs,
     "dup_ngram_docs": dup_ngram_docs,
+    "dup_span_docs": dup_span_docs,
     "c4_filter_docs": c4_filter_docs,
     "customer_order_stats": customer_order_stats,
     "events_value_delta": events_value_delta,
@@ -2966,6 +3040,47 @@ ANALYTICS_ORACLE_SQL = {
         FROM gd JOIN df USING (ng)
         GROUP BY doc_id
         ORDER BY doc_id
+    """,
+    # span dedup: 1-based DuckDB positions shifted to the engine's 0-based
+    # start / exclusive end; gaps-and-islands merge with the same
+    # consecutive-starts-differ-<=-k rule
+    "dup_span_docs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(generate_series(1, n - 8 + 1)) AS p, ts
+            FROM toks WHERE n >= 8
+        ),
+        gstr AS (
+            SELECT doc_id, p, array_to_string(ts[p : p + 7], ' ') AS g
+            FROM grams
+        ),
+        shared AS (
+            SELECT g FROM gstr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT doc_id, p FROM gstr WHERE g IN (SELECT g FROM shared)
+        ),
+        brk AS (
+            SELECT doc_id, p,
+                   CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             <= 8
+                        THEN 0 ELSE 1 END AS b
+            FROM hits
+        ),
+        grp AS (
+            SELECT doc_id, p,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS gid
+            FROM brk
+        )
+        SELECT doc_id, CAST(MIN(p) - 1 AS BIGINT) AS span_start,
+               CAST(MAX(p) - 1 + 8 AS BIGINT) AS span_end,
+               CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS span_tokens
+        FROM grp GROUP BY doc_id, gid
     """,
     "customer_order_stats": """
         SELECT c.c_custkey, c.c_mktsegment,
