@@ -1428,6 +1428,114 @@ def dup_span_docs(sf_dir: str, k: int = 8):
     return hits.groupby("part").map_groups(spans, batch_format="pandas")
 
 
+def dedup_clean_docs(sf_dir: str, k: int = 8):
+    """APPLY the ``dup_span_docs`` spans: emit every document with its
+    cross-doc duplicated token ranges removed — the actual cleaning step of
+    Lee et al. substring dedup (span detection tells you what to cut; this
+    cuts it).  One row per doc: (doc_id, clean_text, n_removed).
+
+    Shape: the shared-gram hit positions (same dual-hash exchange as
+    ``dup_span_docs``) re-key by doc and meet the doc TEXT in a side-tagged
+    partitioned exchange — the text payload moves exactly once; the part fn
+    expands hits to their [p, p+k) coverage (vectorized repeat+tile scatter
+    into a flat token mask), rebuilds each doc's kept tokens as an Arrow
+    list array sliced from offsets, and joins them with
+    ``pc.binary_join`` — no Python loop over docs or tokens.  Docs with no
+    shared grams pass through verbatim.  Output is corpus-sized → lazy
+    Dataset."""
+    from ..functions.text import kgram_pos_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        h1, h2, par, pos = kgram_pos_hashes(t["text"], k)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(h1.view(np.int64), pa.int64()),
+                         "h2": pa.array(h2.view(np.int64), pa.int64()),
+                         "doc_id": pa.array(ids[par], pa.int64()),
+                         "pos": pa.array(pos, pa.int64())})
+
+    rows = (ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=8192)
+            .map_batches(_add_part("h"), batch_format="pyarrow"))
+
+    def shared_hits(part_df: pd.DataFrame) -> pd.DataFrame:
+        h = part_df["h"].to_numpy()
+        h2 = part_df["h2"].to_numpy()
+        d = part_df["doc_id"].to_numpy()
+        p = part_df["pos"].to_numpy()
+        order = np.lexsort((d, h2, h))
+        h, h2, d, p = h[order], h2[order], d[order], p[order]
+        newgrp = np.concatenate(
+            [[True], (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])])
+        gid = np.cumsum(newgrp) - 1
+        newdoc = newgrp | np.concatenate([[True], d[1:] != d[:-1]])
+        ndoc = np.bincount(gid[newdoc])
+        keep = ndoc[gid] >= 2
+        return pd.DataFrame({"doc_id": d[keep], "pos": p[keep]})
+
+    hits = rows.groupby("part").map_groups(shared_hits,
+                                           batch_format="pandas")
+
+    # side-tagged partitioned merge keyed by doc: side 0 = text rows (pos
+    # carries a 0-sentinel), side 1 = hit positions (empty-string text)
+    def tag_text(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "pos": pa.array(np.zeros(t.num_rows, np.int64)),
+                         "side": pa.array(np.zeros(t.num_rows, np.int8))})
+
+    def tag_hits(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array([""] * t.num_rows, pa.string()),
+                         "pos": t["pos"],
+                         "side": pa.array(np.ones(t.num_rows, np.int8))})
+
+    def clean(part_df: pd.DataFrame) -> pd.DataFrame:
+        docs = part_df[part_df["side"] == 0]
+        if not len(docs):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "clean_text": pd.Series([], dtype="object"),
+                                 "n_removed": pd.Series([], dtype="int64")})
+        docs = docs.sort_values("doc_id")
+        ids = docs["doc_id"].to_numpy()
+        texts = pa.array(docs["text"].to_numpy(), pa.string())
+        words = pc.split_pattern(texts, " ")
+        counts = (pc.list_value_length(words).to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        starts = np.cumsum(counts) - counts
+        flat = pc.list_flatten(words)
+        mask = np.zeros(len(flat), bool)
+        hp = part_df[part_df["side"] == 1]
+        if len(hp):
+            hd = hp["doc_id"].to_numpy()
+            pos = hp["pos"].to_numpy()
+            di = np.searchsorted(ids, hd)  # hits' docs all live in this part
+            base = starts[di] + pos
+            cover = (np.repeat(base, k)
+                     + np.tile(np.arange(k, dtype=np.int64), len(base)))
+            mask[cover] = True
+        kept = flat.filter(pa.array(~mask))
+        kept_counts = np.zeros(len(ids), np.int64)
+        rem_per_doc = np.bincount(
+            np.repeat(np.arange(len(ids)), counts)[mask],
+            minlength=len(ids)).astype(np.int64) if mask.any() else \
+            np.zeros(len(ids), np.int64)
+        kept_counts = counts - rem_per_doc
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept)
+        clean_text = pc.binary_join(kept_lists, " ")
+        return pd.DataFrame({"doc_id": ids.astype("int64"),
+                             "clean_text": clean_text.to_pylist(),
+                             "n_removed": rem_per_doc})
+
+    tagged = (ds.map_batches(tag_text, batch_format="pyarrow")
+              .union(hits.map_batches(tag_hits, batch_format="pyarrow"))
+              .map_batches(_add_part("doc_id"), batch_format="pyarrow"))
+    return tagged.groupby("part").map_groups(clean, batch_format="pandas")
+
+
 def c4_filter_docs(sf_dir: str):
     """C4-style heuristic quality gate (Raffel et al. 2020, §2.2 adapted to
     this corpus's whitespace token model): per doc — word count, mean word
@@ -2920,6 +3028,7 @@ ANALYTICS_QUERIES = {
     "repetition_ratio_docs": repetition_ratio_docs,
     "dup_ngram_docs": dup_ngram_docs,
     "dup_span_docs": dup_span_docs,
+    "dedup_clean_docs": dedup_clean_docs,
     "c4_filter_docs": c4_filter_docs,
     "customer_order_stats": customer_order_stats,
     "events_value_delta": events_value_delta,
@@ -3081,6 +3190,53 @@ ANALYTICS_ORACLE_SQL = {
                CAST(MAX(p) - 1 + 8 AS BIGINT) AS span_end,
                CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS span_tokens
         FROM grp GROUP BY doc_id, gid
+    """,
+    # the APPLY step: tokens covered by any shared 8-gram window are cut;
+    # the two unnests zip positionally (token with its 0-based index)
+    "dedup_clean_docs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(generate_series(1, n - 8 + 1)) AS p, ts
+            FROM toks WHERE n >= 8
+        ),
+        gstr AS (
+            SELECT doc_id, p, array_to_string(ts[p : p + 7], ' ') AS g
+            FROM grams
+        ),
+        shared AS (
+            SELECT g FROM gstr GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        hits AS (
+            SELECT doc_id, p FROM gstr WHERE g IN (SELECT g FROM shared)
+        ),
+        cover AS (
+            SELECT DISTINCT doc_id, p - 1 + r.range AS t0
+            FROM hits, range(0, 8) r
+        ),
+        tk AS (
+            SELECT doc_id, unnest(ts) AS token,
+                   unnest(generate_series(0, n - 1)) AS t0
+            FROM toks
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.t0, tk.token
+            FROM tk LEFT JOIN cover c
+                ON c.doc_id = tk.doc_id AND c.t0 = tk.t0
+            WHERE c.doc_id IS NULL
+        ),
+        agg AS (
+            SELECT doc_id,
+                   array_to_string(list(token ORDER BY t0), ' ') AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+               CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+        FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
     """,
     "customer_order_stats": """
         SELECT c.c_custkey, c.c_mktsegment,

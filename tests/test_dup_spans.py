@@ -43,6 +43,27 @@ def test_dup_span_semantics_planted(ray_session, tmp_path):
     assert rows == [(0, 10, 30, 20), (1, 5, 25, 20)]
 
 
+def test_dedup_clean_cuts_exact_spans(ray_session, tmp_path):
+    K = 8
+    base0 = [_w(i) for i in range(40)]
+    shared = base0[10:30]
+    doc1 = [f"x{i}" for i in range(5)] + shared + [f"y{i}" for i in range(7)]
+    doc2 = ["solo"] * 12  # self-repeats only → untouched
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([_doc(base0), _doc(doc1), _doc(doc2)])})
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    from legislation_scraper_ray.pipelines.analytics import dedup_clean_docs
+
+    out = (dedup_clean_docs(str(tmp_path), k=K).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    assert out["n_removed"].tolist() == [20, 20, 0]
+    assert out.loc[0, "clean_text"] == _doc(base0[:10] + base0[30:])
+    # doc1's shared block sits at tokens [5, 25): kept = 5 x's + 7 y's
+    assert out.loc[1, "clean_text"] == _doc(doc1[:5] + doc1[25:])
+    assert out.loc[2, "clean_text"] == _doc(doc2)
+
+
 def test_dup_span_touching_spans_merge(ray_session, tmp_path):
     K = 8
     # docs 1 and 2 each share a DIFFERENT 8-token block with doc 0; in doc 0
