@@ -72,6 +72,9 @@ def test_ann_lsh_recall_vs_brute_force(ray_session):
     assert overlap >= 6  # recall@10 ≥ 0.6 with 32/64 probed buckets
     # vec_id 0 itself (cos=1) must always be found
     assert 0 in set(lsh["vec_id"])
+    # the emitted self-certification column equals the externally computed
+    # recall (constant across rows)
+    assert (lsh["recall_at_k"] == round(overlap / 10, 4)).all()
 
 
 def test_kmeans_centroids_deterministic_and_unit():
@@ -100,9 +103,11 @@ def test_ann_ivf_recall_vs_brute_force(ray_session):
     overlap = len(set(bf["vec_id"]) & set(ivf["vec_id"]))
     assert overlap >= 3  # ≥ the 8/22-cells baseline on unclustered data
     assert 0 in set(ivf["vec_id"])  # the query vector itself (cos = 1)
-    # full probe == exact
+    assert (ivf["recall_at_k"] == round(overlap / 10, 4)).all()
+    # full probe == exact, and its self-certification reads exactly 1.0
     full = ann_topk_ivf("/root/testdata/sf0.001", n_probe=10**9)
     assert list(full["vec_id"]) == list(bf["vec_id"])
+    assert (full["recall_at_k"] == 1.0).all()
 
 
 def test_ivf_recall_on_planted_clusters():
